@@ -1,0 +1,37 @@
+package graft.suite
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-checkable query: a DataFrame program over the test tables
+  * plus (when SQL-expressible) the equivalent ANSI SQL for the DuckDB
+  * oracle. Column names/types must line up exactly between the two — the
+  * driver sorts columns by name and hash-compares values.
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  /** Read one driver test table from the scale-factor dir.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it (only) as a
+    * nanos-since-epoch LONG under the nanosAsLong legacy flag (set in
+    * [[graft.GraftSession]]). Normalize it back to a proper timestamp with
+    * exact integer arithmetic (`div`, not double division — nanos ~1e18
+    * exceed double's 2^53 exact range), truncating toward microseconds the
+    * same way DuckDB does when it reads the file.
+    */
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  def all: Seq[QDef] =
+    CoreQueries.all ++ RelationalQueries.all ++ Af3Queries.all ++
+      DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all ++ StreamingQueries.all
+}
