@@ -1,0 +1,517 @@
+package graft.suite
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Aggregates, Islands, SpatialJoin, Windows}
+import graft.functions.Scalars
+import Registry.tbl
+
+/** Remaining SURVEY §2 operator keys, phrased over the driver tables so
+  * DuckDB can oracle them. Reference cites (process_af3_outputs.py) are on
+  * each entry; the corresponding operator implementations live in
+  * `graft.operators` / `graft.functions`.
+  */
+object RelationalQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").withColumn("sec", unix_timestamp(col("ts")))
+
+  /** embeddings projected to 3-D points (first three dims, cast to double
+    * on both sides so Spark and DuckDB see identical values).
+    */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings").select(
+      col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"),
+      element_at(col("embedding"), 3).cast("double").as("z"))
+
+  def all: Seq[QDef] = Seq(
+
+    // ---- scans / sources / sinks -------------------------------------
+
+    QDef(
+      "scan_discover_jobs",
+      (s, dir) => {
+        // recursive directory walk + suffix glob (py:560-566); the driver
+        // sf dir stands in for the AF3 output tree.
+        s.read.format("binaryFile")
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .load(dir)
+          .select(Scalars.baseName(col("path")).as("fname"))
+          .orderBy("fname")
+      },
+      // t2 always runs at sf0.01 (TESTDATA.md), so the static oracle pins
+      // that dir; the Spark side lists whatever dir it is handed.
+      Some("""
+        SELECT regexp_extract(file, '([^/]+)$', 1) AS fname
+        FROM glob('/root/testdata/sf0.01/*.parquet') ORDER BY fname""")),
+
+    QDef(
+      "scan_json_full_data",
+      (s, dir) => {
+        // pae+token_res_ids JSON read: parse with explicit schema, REQUIRE
+        // the key present (py:112-113 existence check), null -> dropped.
+        val parsed = tbl(s, dir, "events").select(
+          col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        parsed.filter(col("k").isNotNull)
+          .select(
+            col("event_id"),
+            Scalars.matrixAt0(array(array(col("k").cast("double") * lit(2.0))), 0, 0).as("pae00"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, ([[CAST(CAST(props->>'$.k' AS INTEGER) AS DOUBLE) * 2.0]])[1][1] AS pae00
+        FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL
+        ORDER BY event_id""")),
+
+    QDef(
+      "filter_hidden_files",
+      (s, dir) =>
+        // skip `._*` AppleDouble names (py:563) — prefix exclusion filter.
+        tbl(s, dir, "documents")
+          .filter(!col("source").startsWith("src1"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .orderBy("source"),
+      Some("""
+        SELECT source, count(*) AS n FROM documents
+        WHERE source NOT LIKE 'src1%' GROUP BY source ORDER BY source""")),
+
+    QDef(
+      "sink_csv_report",
+      (s, dir) => {
+        // save_to_csv (py:304-318): header + rows, coalesced to one file.
+        // The query both writes the CSV (side-effect sink) and returns the
+        // report for the oracle compare.
+        val report = tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+        report.coalesce(1).write.mode("overwrite")
+          .option("header", "true")
+          .csv(sys.props("java.io.tmpdir") + "/graft_sink_csv_report")
+        report
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QDef(
+      "sink_pymol_codegen",
+      (s, dir) => {
+        // create_pymol_script (py:477-541): per job (customer), the 5
+        // ranked models (latest orders) -> load lines, align-to-model-0
+        // lines, util.cbc(), save. Pure ordered string codegen.
+        val o = tbl(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val ranked = o.withColumn("rn", row_number().over(w) - 1)
+          .filter(col("rn") < 5)
+          .withColumn("load_line",
+            concat(lit("load model_"), col("rn"), lit(".cif, model_"), col("rn")))
+          .withColumn("align_line",
+            when(col("rn") >= 1,
+              concat(lit("align model_"), col("rn"),
+                lit(" and chain A, model_0 and chain A"))))
+        ranked.groupBy(col("o_custkey"))
+          .agg(
+            concat_ws("\n",
+              transform(array_sort(collect_list(struct(col("rn"), col("load_line")))),
+                _.getField("load_line")),
+              coalesce(
+                concat_ws("\n",
+                  transform(
+                    array_sort(collect_list(
+                      when(col("align_line").isNotNull,
+                        struct(col("rn"), col("align_line"))))),
+                    _.getField("align_line"))),
+                lit("")),
+              lit("util.cbc()"),
+              concat(lit("save job_"), col("o_custkey"), lit("_overlay.pse")))
+              .as("script"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT o_custkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) - 1 AS rn
+          FROM orders),
+        top AS (SELECT * FROM ranked WHERE rn < 5)
+        SELECT o_custkey,
+          string_agg('load model_' || rn || '.cif, model_' || rn, chr(10) ORDER BY rn)
+          || chr(10) ||
+          coalesce(string_agg('align model_' || rn || ' and chain A, model_0 and chain A',
+                              chr(10) ORDER BY rn) FILTER (WHERE rn >= 1), '')
+          || chr(10) || 'util.cbc()' || chr(10)
+          || 'save job_' || o_custkey || '_overlay.pse' AS script
+        FROM top GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ---- projections / filters ---------------------------------------
+
+    QDef(
+      "filter_aa_only",
+      (s, dir) =>
+        // is_aa membership filter (py:230-231, 237) == isin over a closed
+        // literal set.
+        tbl(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("A", "N"))
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag, count(*) AS n FROM lineitem
+        WHERE l_returnflag IN ('A','N') GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
+      "filter_residue_membership",
+      (s, dir) => {
+        // res_id IN interacting_residues (py:231, 237) -> left-semi join
+        // at scale (broadcast when the membership side is small).
+        val li = tbl(s, dir, "lineitem")
+        val keys = tbl(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("l_orderkey"))
+        li.join(broadcast(keys), Seq("l_orderkey"), "left_semi")
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
+      "filter_residue_select",
+      (s, dir) =>
+        // ResidueSelect.accept_residue (py:326-336): chain==poi OR
+        // (chain==partner AND res_id in islands).
+        tbl(s, dir, "customer")
+          .filter(
+            col("c_mktsegment") === "MACHINERY" ||
+            (col("c_mktsegment") === "BUILDING" && col("c_nationkey").isin(0, 1, 2, 3, 4)))
+          .select(col("c_custkey"))
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'MACHINERY'
+           OR (c_mktsegment = 'BUILDING' AND c_nationkey IN (0,1,2,3,4))
+        ORDER BY c_custkey""")),
+
+    QDef(
+      "project_rebase_index",
+      (s, dir) => {
+        // global token index -> 1-based within-partition index
+        // (py:222: int(x) - start_partner + 1).
+        val w = Window.partitionBy(col("user_id"))
+        events(s, dir)
+          .withColumn("rebased", col("event_id") - min(col("event_id")).over(w) + 1)
+          .select(col("event_id"), col("user_id"), col("rebased"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               event_id - min(event_id) OVER (PARTITION BY user_id) + 1 AS rebased
+        FROM events ORDER BY event_id""")),
+
+    QDef(
+      "project_chain_lengths",
+      (s, dir) => {
+        // ordered per-chain length list (py:353, 451), rendered as a
+        // comma string (array columns stay out of oracle outputs).
+        val n = tbl(s, dir, "nation")
+        val c = tbl(s, dir, "customer")
+        n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+          .groupBy(n("n_regionkey"), n("n_name"))
+          .agg(count(c("c_custkey")).as("len"))
+          .groupBy(col("n_regionkey"))
+          .agg(concat_ws(",",
+            transform(array_sort(collect_list(struct(col("n_name"), col("len")))),
+              x => x.getField("len").cast("string"))).as("lengths"))
+          .orderBy("n_regionkey")
+      },
+      Some("""
+        WITH lens AS (
+          SELECT n_regionkey, n_name, count(c_custkey) AS len
+          FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+          GROUP BY 1, 2)
+        SELECT n_regionkey,
+               string_agg(CAST(len AS VARCHAR), ',' ORDER BY n_name) AS lengths
+        FROM lens GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- joins --------------------------------------------------------
+
+    QDef(
+      "join_contact_eps_distance",
+      (s, dir) => {
+        // the reference's KD-tree NeighborSearch eps-join (py:226-251) as
+        // a grid-cell equi-join (SpatialJoin.epsJoin scale form).
+        val p = points(s, dir)
+        SpatialJoin.selfEpsJoin(p, "vec_id", eps = 0.15)
+          .select(col("a_vec_id"), col("b_vec_id"), col("dist_sq"))
+          .orderBy("a_vec_id", "b_vec_id")
+      },
+      Some("""
+        WITH p AS (SELECT vec_id,
+                     CAST(embedding[1] AS DOUBLE) AS x,
+                     CAST(embedding[2] AS DOUBLE) AS y,
+                     CAST(embedding[3] AS DOUBLE) AS z
+                   FROM embeddings)
+        SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
+               (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS dist_sq
+        FROM p a JOIN p b ON a.vec_id < b.vec_id
+        WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+              <= 0.15*0.15
+        ORDER BY a_vec_id, b_vec_id""")),
+
+    QDef(
+      "join_model0_fanout",
+      (s, dir) => {
+        // model-0 result reused across all sibling models (py:449-469):
+        // compute a small per-group result once, broadcast it back over
+        // the full table.
+        val p = tbl(s, dir, "part")
+        val tops = p.groupBy(col("p_type")).agg(max(col("p_retailprice")).as("top_price"))
+        p.join(broadcast(tops), Seq("p_type"))
+          .filter(col("p_retailprice") > col("top_price") * 0.9)
+          .select(col("p_partkey"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey FROM part p
+        JOIN (SELECT p_type, max(p_retailprice) AS top_price FROM part GROUP BY 1) t
+          USING (p_type)
+        WHERE p_retailprice > top_price * 0.9
+        ORDER BY p_partkey""")),
+
+    // ---- aggregations -------------------------------------------------
+
+    QDef(
+      "agg_chain_info",
+      (s, dir) => {
+        // extract_chain_info (py:152-176): per chain (user), token-count
+        // approximation (AA counts 1, non-AA counts atom_count -> here 2)
+        // + ordered 1-letter sequence concat.
+        val code = Scalars.mapLookup(
+          Map("click" -> "C", "error" -> "E", "purchase" -> "P",
+              "signup" -> "S", "view" -> "V"),
+          col("event_type"), "X")
+        val e = events(s, dir).withColumn("__code", code)
+          .withColumn("__len",
+            when(col("event_type").isin("click", "view", "purchase"), 1).otherwise(2))
+        val seqs = Aggregates.orderedStringAgg(
+          e, Seq("user_id"), Seq("event_id"), col("__code"), "sequence")
+        val lens = e.groupBy(col("user_id"))
+          .agg(sum(col("__len")).cast("long").as("residue_length"))
+        lens.join(seqs, Seq("user_id")).orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type IN ('click','view','purchase')
+                             THEN 1 ELSE 2 END) AS BIGINT) AS residue_length,
+               string_agg(CASE event_type WHEN 'click' THEN 'C' WHEN 'error' THEN 'E'
+                          WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+                          WHEN 'view' THEN 'V' ELSE 'X' END, '' ORDER BY event_id)
+                 AS sequence
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    QDef(
+      "agg_collect_contacts",
+      (s, dir) =>
+        // per partner residue: distinct sorted contact set (py:236-249).
+        Aggregates.distinctSortedConcat(
+          tbl(s, dir, "lineitem"), Seq("l_orderkey"), col("l_suppkey"), "supps")
+          .orderBy("l_orderkey"),
+      Some("""
+        SELECT l_orderkey,
+               string_agg(DISTINCT CAST(l_suppkey AS VARCHAR), ','
+                          ORDER BY CAST(l_suppkey AS VARCHAR)) AS supps
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // ---- windows ------------------------------------------------------
+
+    QDef(
+      "win_nested_islands",
+      (s, dir) => {
+        // two-level islands (py:288-302): islands of event seconds per
+        // user, then islands of the island start-hours per user.
+        val l1 = Islands.islands(
+          events(s, dir).select(col("user_id"), col("sec")),
+          Seq("user_id"), "sec", maxGap = 900L, minLen = 2L)
+        val l2in = l1.withColumn("hr", expr("island_start div 3600"))
+        Islands.assignIds(l2in, Seq("user_id"), "hr", maxGap = 1L, idCol = "super_id")
+          .groupBy(col("user_id"), col("super_id"))
+          .agg(
+            count(lit(1)).as("n_islands"),
+            sum(col("island_size")).cast("long").as("total_events"),
+            min(col("island_start")).as("span_start"),
+            max(col("island_end")).as("span_end"))
+          .orderBy("user_id", "super_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        b1 AS (SELECT user_id, sec,
+               CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 900
+                    THEN 1 ELSE 0 END AS brk FROM e),
+        g1 AS (SELECT user_id, sec,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id FROM b1),
+        i1 AS (SELECT user_id, island_id, min(sec) AS island_start,
+                      max(sec) AS island_end, count(*) AS island_size
+               FROM g1 GROUP BY 1, 2 HAVING count(*) >= 2),
+        l2 AS (SELECT *, island_start // 3600 AS hr FROM i1),
+        b2 AS (SELECT *, CASE WHEN hr - lag(hr) OVER (PARTITION BY user_id ORDER BY hr) > 1
+                    THEN 1 ELSE 0 END AS brk FROM l2),
+        g2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS super_id FROM b2)
+        SELECT user_id, CAST(super_id AS BIGINT) AS super_id, count(*) AS n_islands,
+               CAST(sum(island_size) AS BIGINT) AS total_events,
+               min(island_start) AS span_start, max(island_end) AS span_end
+        FROM g2 GROUP BY user_id, super_id ORDER BY user_id, super_id""")),
+
+    QDef(
+      "sort_residue_keys",
+      (s, dir) =>
+        // sorted(keys) before grouping (py:291, 441, 504): order-sensitive
+        // within-group ordering via sorted collect.
+        Aggregates.orderedStringAgg(
+          tbl(s, dir, "documents"), Seq("source"), Seq("doc_id"),
+          col("doc_id").cast("string"), "docs")
+          .orderBy("source"),
+      Some("""
+        SELECT source, string_agg(CAST(doc_id AS VARCHAR), '' ORDER BY doc_id) AS docs
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- set ops ------------------------------------------------------
+
+    QDef(
+      "set_union_island_contacts",
+      (s, dir) => {
+        // union of contact sets across an island (py:295-297): distinct
+        // union per group, rendered sorted.
+        val n = tbl(s, dir, "nation")
+        val c = tbl(s, dir, "customer")
+        Aggregates.distinctSortedConcat(
+          n.join(c, n("n_nationkey") === c("c_nationkey")),
+          Seq("n_regionkey"), col("c_mktsegment"), "segments")
+          .orderBy("n_regionkey")
+      },
+      Some("""
+        SELECT n_regionkey,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- scalar functions --------------------------------------------
+
+    QDef(
+      "f_substring_range",
+      (s, dir) =>
+        // sequence[min-1:max] 1-based inclusive range (py:377, 379).
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            Scalars.substrRange(col("text"), lit(5), lit(24)).as("sub"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, substr(text, 5, 20) AS sub FROM documents ORDER BY doc_id""")),
+
+    QDef(
+      "f_euclid_dist",
+      (s, dir) => {
+        // NeighborSearch distance predicate (py:233, 242): exact Euclidean
+        // distance, IEEE-identical on both engines (same op order).
+        val p = points(s, dir)
+        p.select(col("vec_id"),
+          Scalars.euclid(col("x"), col("y"), col("z"), lit(0.0), lit(0.0), lit(0.0))
+            .as("dist"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        SELECT vec_id,
+               sqrt((CAST(embedding[1] AS DOUBLE) - 0.0) * (CAST(embedding[1] AS DOUBLE) - 0.0)
+                  + (CAST(embedding[2] AS DOUBLE) - 0.0) * (CAST(embedding[2] AS DOUBLE) - 0.0)
+                  + (CAST(embedding[3] AS DOUBLE) - 0.0) * (CAST(embedding[3] AS DOUBLE) - 0.0))
+                 AS dist
+        FROM embeddings ORDER BY vec_id""")),
+
+    QDef(
+      "f_matrix_index",
+      (s, dir) => {
+        // m[i][j] 0-based nested index (py:97) -> 1-based element_at.
+        val m = array(slice(col("embedding"), 1, 4), slice(col("embedding"), 5, 4))
+        tbl(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Scalars.matrixAt0(m, 0, 1).cast("double").as("m01"),
+            Scalars.matrixAt0(m, 1, 2).cast("double").as("m12"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        SELECT vec_id,
+               CAST(([list_slice(embedding,1,4), list_slice(embedding,5,8)])[1][2] AS DOUBLE) AS m01,
+               CAST(([list_slice(embedding,1,4), list_slice(embedding,5,8)])[2][3] AS DOUBLE) AS m12
+        FROM embeddings ORDER BY vec_id""")),
+
+    QDef(
+      "f_chain_to_idx",
+      (s, dir) => {
+        // closed chain->index map; unknown chain -> null -> dropped
+        // (py:89-94, 186-192).
+        val m = Map("AFRICA" -> "0", "AMERICA" -> "1", "ASIA" -> "2", "EUROPE" -> "3")
+        tbl(s, dir, "region")
+          .select(col("r_name"),
+            try_element_at(typedLit(m), col("r_name")).cast("int").as("chain_idx"))
+          .filter(col("chain_idx").isNotNull)
+          .orderBy("r_name")
+      },
+      Some("""
+        SELECT r_name,
+               CASE r_name WHEN 'AFRICA' THEN 0 WHEN 'AMERICA' THEN 1
+                    WHEN 'ASIA' THEN 2 WHEN 'EUROPE' THEN 3 END AS chain_idx
+        FROM region
+        WHERE r_name IN ('AFRICA','AMERICA','ASIA','EUROPE')
+        ORDER BY r_name""")),
+
+    QDef(
+      "f_path_parse",
+      (s, dir) => {
+        // basename/dirname path algebra (py:115, 348-349, 522-523).
+        val path = concat(lit("jobs/"), col("source"), lit("/doc_"), col("doc_id"), lit(".json"))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            Scalars.parentDirName(path).as("job_dir"),
+            Scalars.baseName(path).as("base"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               regexp_extract('jobs/' || source || '/doc_' || doc_id || '.json',
+                              '([^/]+)/[^/]+$', 1) AS job_dir,
+               regexp_extract('jobs/' || source || '/doc_' || doc_id || '.json',
+                              '([^/]+)$', 1) AS base
+        FROM documents ORDER BY doc_id""")),
+
+    QDef(
+      "f_dynamic_name",
+      (s, dir) => {
+        // param-interpolated output names (py:305-312): column name built
+        // from analysis parameters at plan time.
+        val pae = 15.0; val dist = 8.0
+        val colName = s"interaction_analysis_PAE_${pae}_max_dist_${dist}"
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as(colName))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS "interaction_analysis_PAE_15.0_max_dist_8.0"
+        FROM lineitem GROUP BY 1 ORDER BY 1"""))
+  )
+}
