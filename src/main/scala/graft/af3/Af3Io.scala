@@ -1,0 +1,82 @@
+package graft.af3
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Scalars
+
+/** AF3 bundle readers — explicit schemas, never inferred (SURVEY §1.2).
+  * Every frame carries `job_dir` (parent folder name) as the end-to-end
+  * partition key: one job's data stays co-located through the whole
+  * pipeline, so per-job operators shuffle once on `job_dir` and never
+  * again.
+  */
+object Af3Io {
+
+  /** summary_confidences JSON (py:67-84). Corrupt/malformed files surface
+    * as a `_corrupt` row (PERMISSIVE), which the gate treats as non-binder
+    * — the reference's return-False-on-JSONDecodeError (py:74-77).
+    */
+  val summarySchema: StructType = StructType(Seq(
+    StructField("iptm", DoubleType),
+    StructField("ptm", DoubleType),
+    StructField("chain_pair_pae_min", ArrayType(ArrayType(DoubleType))),
+    StructField("_corrupt", StringType)))
+
+  /** full_data JSON (py:107-124): `pae` N x N + `token_res_ids` presence
+    * check (py:112-113 — the value itself is never used downstream).
+    */
+  val fullDataSchema: StructType = StructType(Seq(
+    StructField("pae", ArrayType(ArrayType(DoubleType))),
+    StructField("token_res_ids", ArrayType(IntegerType)),
+    StructField("_corrupt", StringType)))
+
+  /** Discover job dirs: recursive walk keeping `*_summary_confidences_0
+    * .json`, skipping AppleDouble `._*` names (py:560-566). Returns
+    * (job_dir, summary_path).
+    */
+  def discoverJobs(spark: SparkSession, inputDir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*_summary_confidences_0.json")
+      .load(inputDir)
+      .select(col("path").as("summary_path"))
+      .filter(!Scalars.baseName(col("path")).startsWith("._"))
+      .withColumn("job_dir", Scalars.parentDirName(col("summary_path")))
+
+  private def stripScheme(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^file:/*", "/")
+
+  /** Read all summaries under `inputDir` keyed by job_dir. */
+  def readSummaries(spark: SparkSession, inputDir: String): DataFrame =
+    spark.read.schema(summarySchema)
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*_summary_confidences_0.json")
+      .json(inputDir)
+      .withColumn("job_dir", Scalars.parentDirName(input_file_name()))
+      .filter(!Scalars.baseName(input_file_name()).startsWith("._"))
+
+  /** Read all full_data files under `inputDir`, exploded to long/COO form
+    * `(job_dir, i, j, pae)` — the transpose of py:215 is a no-op here, and
+    * the explode shards the N^2 matrix across the cluster instead of
+    * holding it in one pandas frame.
+    */
+  def readPaeLong(spark: SparkSession, inputDir: String): DataFrame = {
+    val raw = spark.read.schema(fullDataSchema)
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*_full_data_0.json")
+      .json(inputDir)
+      .withColumn("job_dir", Scalars.parentDirName(input_file_name()))
+      // both keys must be present or the whole file is dropped (py:111-113)
+      .filter(col("pae").isNotNull && col("token_res_ids").isNotNull)
+    raw.select(col("job_dir"), posexplode(col("pae")).as(Seq("i", "row")))
+      .select(col("job_dir"), col("i"), posexplode(col("row")).as(Seq("j", "pae")))
+  }
+}

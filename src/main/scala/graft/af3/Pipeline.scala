@@ -1,0 +1,281 @@
+package graft.af3
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Islands, SpatialJoin}
+import graft.functions.Scalars
+
+/** Analysis parameters — the reference CLI's 8 knobs with its defaults
+  * (process_af3_outputs.py:581-592).
+  */
+final case class Af3Params(
+    poiChain: String = "A",
+    partnerChain: String = "B",
+    maxPaeCutoff: Double = 15.0,
+    minIptmCutoff: Double = 0.0,
+    minPtmCutoff: Double = 0.0,
+    minResidues: Int = 5,
+    maxDist: Double = 8.0)
+
+/** The reference pipeline (E1-E3, SURVEY §3) as composable
+  * DataFrame -> DataFrame stages. Everything is keyed and partitioned by
+  * `job_dir`; per-job work never crosses executors after the first shuffle.
+  * All thresholds reproduce the reference's exact comparison directions:
+  * gate iptm/ptm reject on `<` (py:86), pae gate passes on strict `<`
+  * (py:102), threshold count strict `<` with `>=` min_residues (py:218),
+  * islands params (1,3) then (2,3) (py:292, 299).
+  */
+object Af3Pipeline {
+
+  /** filter_confidence_gate (py:66-105): keep binder jobs. Missing keys
+    * default to 0 (py:82-83); unknown chain or index out of bounds drops
+    * the row (try_element_at -> null ≙ return False).
+    */
+  def gate(summaries: DataFrame, p: Af3Params): DataFrame = {
+    val poiIdx = Scalars.chainToIdx.get(p.poiChain)
+    val partnerIdx = Scalars.chainToIdx.get(p.partnerChain)
+    (poiIdx, partnerIdx) match {
+      case (Some(pi), Some(qi)) =>
+        val pae = try_element_at(try_element_at(col("chain_pair_pae_min"), lit(pi + 1)), lit(qi + 1))
+        summaries
+          .filter(col("_corrupt").isNull)
+          .filter(
+            coalesce(col("iptm"), lit(0.0)) >= p.minIptmCutoff &&
+            coalesce(col("ptm"), lit(0.0)) >= p.minPtmCutoff &&
+            pae < p.maxPaeCutoff)
+      case _ => summaries.limit(0) // invalid chain id: nothing passes (py:93-94)
+    }
+  }
+
+  /** agg_chain_info (py:152-176): per (job, chain) the 1-letter sequence in
+    * residue order and the token-count approximation `residue_length`
+    * (AA residues count 1, others their atom count).
+    */
+  def chainInfo(atoms: DataFrame): DataFrame = {
+    val perResidue = atoms
+      .groupBy(col("job_dir"), col("chain"), col("res_id"), col("res_name"))
+      .agg(count(lit(1)).as("atom_count"))
+    val isAA = col("res_name").isin(Scalars.standardAA: _*)
+    perResidue
+      .groupBy(col("job_dir"), col("chain"))
+      .agg(
+        sum(when(isAA, lit(1L)).otherwise(col("atom_count"))).as("residue_length"),
+        concat_ws("",
+          transform(
+            array_sort(collect_list(struct(col("res_id"), Scalars.seq1(col("res_name")).as("c")))),
+            _.getField("c"))).as("sequence"))
+  }
+
+  /** win_prefix_sum_offsets (py:197-204): per job, token start/end offsets
+    * per chain. Chain position = the reference's fixed A..E index map
+    * (py:186-188), which for AF3 outputs coincides with file insertion
+    * order (chains are emitted alphabetically).
+    */
+  def chainOffsets(chainInfoDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("job_dir")).orderBy(col("chain"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chainInfoDf
+      .withColumn("start_off", coalesce(sum(col("residue_length")).over(w), lit(0L)))
+      .withColumn("end_off", col("start_off") + col("residue_length"))
+  }
+
+  /** agg_pae_threshold_count + project_rebase_index (py:185-224): partner
+    * tokens j with `count_{i in POI}(pae[i][j] < cutoff) >= min_residues`,
+    * rebased to 1-based partner residue numbers. The long-form PAE join
+    * broadcast-joins the tiny per-job offset table into the big exploded
+    * matrix; ranges out of bounds simply select nothing (≙ py's empty
+    * returns at 209-211).
+    */
+  def interactingResidues(paeLong: DataFrame, offsets: DataFrame, p: Af3Params): DataFrame = {
+    val off = offsets
+      .groupBy(col("job_dir"))
+      .agg(
+        max(when(col("chain") === p.poiChain, col("start_off"))).as("start_poi"),
+        max(when(col("chain") === p.poiChain, col("end_off"))).as("end_poi"),
+        max(when(col("chain") === p.partnerChain, col("start_off"))).as("start_partner"),
+        max(when(col("chain") === p.partnerChain, col("end_off"))).as("end_partner"))
+    paeLong
+      .join(broadcast(off), Seq("job_dir"))
+      .filter(
+        col("i") >= col("start_poi") && col("i") < col("end_poi") &&
+        col("j") >= col("start_partner") && col("j") < col("end_partner") &&
+        col("pae") < p.maxPaeCutoff)
+      .groupBy(col("job_dir"), col("j"), col("start_partner"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= p.minResidues)
+      .select(col("job_dir"),
+        (col("j") - col("start_partner") + 1).cast("int").as("partner_res"))
+  }
+
+  /** join_contact_eps_distance (py:226-251): for each interacting partner
+    * residue, the distinct POI residues with any atom pair within
+    * `maxDist`. Grid-cell eps-join partitioned by job_dir (the scale form
+    * of the reference's per-job KD-tree).
+    */
+  def contactPairs(atoms: DataFrame, interacting: DataFrame, p: Af3Params): DataFrame = {
+    val isAA = col("res_name").isin(Scalars.standardAA: _*)
+    val poiAtoms = atoms
+      .filter(col("chain") === p.poiChain && isAA)
+      .select(col("job_dir"), col("res_id").as("poi_res"), col("x"), col("y"), col("z"))
+    val partnerAtoms = atoms
+      .filter(col("chain") === p.partnerChain && isAA)
+      .join(interacting.withColumnRenamed("partner_res", "res_id"),
+        Seq("job_dir", "res_id"), "left_semi")
+      .select(col("job_dir"), col("res_id").as("partner_res"), col("x"), col("y"), col("z"))
+    SpatialJoin
+      .epsJoin(partnerAtoms, poiAtoms, p.maxDist, Seq("job_dir"), "p_", "q_")
+      .select(col("job_dir"), col("p_partner_res").as("partner_res"),
+        col("q_poi_res").as("poi_res"))
+      .distinct()
+  }
+
+  /** win_nested_islands (py:288-302): islands(gap=1,min=3) over partner
+    * residues that have contacts; per island the union of contact sets;
+    * islands(gap=2,min=3) over that union. Returns one row per
+    * (partner island, contact island) with min/max of both.
+    *
+    * Note: the reference feeds `list(set(...))` (unsorted) into its
+    * group-finder; we use the documented sorted semantics — identical for
+    * CPython's ascending small-int set iteration, and the only
+    * deterministic reading.
+    */
+  def interactionIslands(contacts: DataFrame): DataFrame = {
+    val partnerIslands = Islands.assignIds(
+      contacts.select(col("job_dir"), col("partner_res")).distinct(),
+      Seq("job_dir"), "partner_res", maxGap = 1L, idCol = "p_island")
+    val keptIslands = partnerIslands
+      .groupBy(col("job_dir"), col("p_island"))
+      .agg(min(col("partner_res")).as("partner_min"),
+        max(col("partner_res")).as("partner_max"),
+        count(lit(1)).as("p_size"))
+      .filter(col("p_size") >= 3)
+    val contactsByIsland = contacts
+      .join(partnerIslands, Seq("job_dir", "partner_res"))
+      .join(keptIslands.select("job_dir", "p_island", "partner_min", "partner_max"),
+        Seq("job_dir", "p_island"))
+      .select(col("job_dir"), col("p_island"), col("partner_min"), col("partner_max"),
+        col("poi_res")).distinct()
+    Islands.assignIds(contactsByIsland,
+        Seq("job_dir", "p_island"), "poi_res", maxGap = 2L, idCol = "c_island")
+      .groupBy(col("job_dir"), col("p_island"), col("partner_min"), col("partner_max"),
+        col("c_island"))
+      .agg(min(col("poi_res")).as("contact_min"),
+        max(col("poi_res")).as("contact_max"),
+        count(lit(1)).as("c_size"))
+      .filter(col("c_size") >= 3)
+  }
+
+  /** The CSV report rows (py:372-380): one row per (partner island,
+    * contact island) with range labels and sequence substrings.
+    */
+  def report(islands: DataFrame, chainInfoDf: DataFrame, p: Af3Params): DataFrame = {
+    val poiSeq = chainInfoDf.filter(col("chain") === p.poiChain)
+      .select(col("job_dir"), col("sequence").as("poi_sequence"))
+    val partnerSeq = chainInfoDf.filter(col("chain") === p.partnerChain)
+      .select(col("job_dir"), col("sequence").as("partner_sequence"))
+    islands
+      .join(poiSeq, Seq("job_dir"))
+      .join(partnerSeq, Seq("job_dir"))
+      .select(
+        col("job_dir").as("folder_name"),
+        Scalars.rangeLabel(col("contact_min"), col("contact_max"))
+          .as("contact_residues_poi"),
+        Scalars.substrRange(col("poi_sequence"), col("contact_min"), col("contact_max"))
+          .as("contact_sequence"),
+        Scalars.rangeLabel(col("partner_min"), col("partner_max"))
+          .as("interacting_residues_partner"),
+        Scalars.substrRange(col("partner_sequence"), col("partner_min"), col("partner_max"))
+          .as("interacting_sequence"))
+  }
+
+  /** filter_residue_select (py:326-336): atoms of the interaction CIF —
+    * the whole POI chain plus partner residues inside any kept partner
+    * island. `islandsDf` is the interactionIslands output (partner ranges
+    * are contiguous up to gap 1, so range membership == island membership
+    * is NOT assumed: we re-join via the island member list).
+    */
+  def interactionCifAtoms(atoms: DataFrame, islandMembers: DataFrame, p: Af3Params): DataFrame = {
+    val members = islandMembers.select(col("job_dir"), col("partner_res").as("res_id")).distinct()
+    val model0 = atoms.filter(col("model_idx") === 0)
+    model0.filter(col("chain") === p.poiChain)
+      .unionByName(
+        model0.filter(col("chain") === p.partnerChain)
+          .join(members, Seq("job_dir", "res_id"), "left_semi"))
+  }
+
+  /** sink_cif_model_extract (py:389-430): for every model 0..4, POI chain
+    * relabeled 'A', member partner residues relabeled 'B'.
+    */
+  def modelExtractAtoms(atoms: DataFrame, islandMembers: DataFrame, p: Af3Params): DataFrame = {
+    val members = islandMembers.select(col("job_dir"), col("partner_res").as("res_id")).distinct()
+    atoms.filter(col("chain") === p.poiChain).withColumn("chain", lit("A"))
+      .unionByName(
+        atoms.filter(col("chain") === p.partnerChain)
+          .join(members, Seq("job_dir", "res_id"), "left_semi")
+          .withColumn("chain", lit("B")))
+  }
+
+  /** Partner-island members (keys of consecutive_interactions, py:383,
+    * 409-411): partner residues in kept (gap=1, min=3) islands with
+    * contacts.
+    */
+  def partnerIslandMembers(contacts: DataFrame): DataFrame = {
+    val withIds = Islands.assignIds(
+      contacts.select(col("job_dir"), col("partner_res")).distinct(),
+      Seq("job_dir"), "partner_res", maxGap = 1L, idCol = "p_island")
+    val kept = withIds.groupBy(col("job_dir"), col("p_island"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+      .select("job_dir", "p_island")
+    withIds.join(kept, Seq("job_dir", "p_island"))
+      .select("job_dir", "partner_res")
+  }
+
+  /** sink_pymol_codegen (py:477-541): one `.pml` per job — loads, aligns
+    * to model_0 on chain A, util.cbc(), save overlay session.
+    */
+  def pymolScripts(atoms: DataFrame): DataFrame = {
+    val models = atoms.select(col("job_dir"), col("model_idx")).distinct()
+      .withColumn("load_line",
+        concat(lit("load model_"), col("model_idx"), lit(".cif, model_"), col("model_idx")))
+      .withColumn("align_line",
+        when(col("model_idx") >= 1,
+          concat(lit("align model_"), col("model_idx"),
+            lit(" and chain A, model_0 and chain A"))))
+    models.groupBy(col("job_dir"))
+      .agg(
+        concat_ws("\n",
+          concat_ws("\n", transform(
+            array_sort(collect_list(struct(col("model_idx"), col("load_line")))),
+            _.getField("load_line"))),
+          coalesce(concat_ws("\n", transform(
+            array_sort(collect_list(when(col("align_line").isNotNull,
+              struct(col("model_idx"), col("align_line"))))),
+            _.getField("align_line"))), lit("")),
+          lit("util.cbc()"),
+          concat(lit("save "), col("job_dir"), lit("_overlay.pse")))
+          .as("script"))
+  }
+
+  /** End-to-end E1/E2 (py:543-579 -> 347-387): discover, gate, analyze,
+    * report. Returns the report DataFrame; intermediate frames are
+    * recomputed per call — callers that need several outputs should use
+    * the stage functions directly and `.cache()` shared inputs (the
+    * model-0-fanout reuse of py:449-469).
+    */
+  def run(spark: SparkSession, inputDir: String, p: Af3Params = Af3Params()): DataFrame = {
+    val binders = gate(Af3Io.readSummaries(spark, inputDir), p)
+      .select("job_dir").distinct()
+    val atoms = CifParser.readAtomsDf(spark, inputDir)
+      .join(broadcast(binders), Seq("job_dir"), "left_semi")
+    val model0 = atoms.filter(col("model_idx") === 0).cache()
+    val info = chainInfo(model0)
+    val offsets = chainOffsets(info)
+    val pae = Af3Io.readPaeLong(spark, inputDir)
+      .join(broadcast(binders), Seq("job_dir"), "left_semi")
+    val interacting = interactingResidues(pae, offsets, p)
+    val contacts = contactPairs(model0, interacting, p)
+    report(interactionIslands(contacts), info, p)
+  }
+}

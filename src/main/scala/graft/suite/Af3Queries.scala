@@ -1,0 +1,116 @@
+package graft.suite
+
+import org.apache.spark.sql.functions._
+
+import graft.af3.{Af3Io, Af3Params, Af3Pipeline, CifParser}
+
+/** AF3 domain pipeline as driver-checkable queries. These run over the
+  * committed synthetic fixture bundle (src/test/resources/af3 — generated
+  * by tools/make_af3_fixtures.py together with independently computed
+  * expected_*.csv oracles, which the DuckDB side reads back). The sfDir
+  * argument is ignored: the driver tables carry no mmCIF content.
+  */
+object Af3Queries {
+
+  private val fx = "/root/repo/src/test/resources/af3"
+  private val p = Af3Params()
+
+  def all: Seq[QDef] = Seq(
+
+    QDef(
+      "af3_scan_cif_atoms",
+      (s, _) =>
+        CifParser.readAtomsDf(s, fx)
+          .filter(col("job_dir") === "job_binder" && col("model_idx") === 0)
+          .select(col("chain"), col("res_id").cast("long").as("res_id"),
+            col("res_name"), col("atom_name"), col("x"), col("y"), col("z"))
+          .orderBy("chain", "res_id", "atom_name"),
+      Some(s"""
+        SELECT chain, res_id, res_name, atom_name, x, y, z
+        FROM read_csv('$fx/expected_atoms_model0.csv', header=true)
+        ORDER BY chain, res_id, atom_name""")),
+
+    QDef(
+      "af3_filter_confidence_gate",
+      (s, _) =>
+        Af3Pipeline.gate(Af3Io.readSummaries(s, fx), p)
+          .select(col("job_dir")).orderBy("job_dir"),
+      Some("SELECT 'job_binder' AS job_dir")),
+
+    QDef(
+      "af3_agg_chain_info",
+      (s, _) =>
+        Af3Pipeline.chainInfo(
+          CifParser.readAtomsDf(s, fx)
+            .filter(col("job_dir") === "job_binder" && col("model_idx") === 0))
+          .select(col("chain"), col("residue_length"), col("sequence"))
+          .orderBy("chain"),
+      Some(s"""
+        SELECT chain, residue_length, sequence
+        FROM read_csv('$fx/expected_chain_info.csv', header=true)
+        ORDER BY chain""")),
+
+    QDef(
+      "af3_interacting_residues",
+      (s, _) => {
+        val atoms = CifParser.readAtomsDf(s, fx).filter(col("model_idx") === 0)
+        val offsets = Af3Pipeline.chainOffsets(Af3Pipeline.chainInfo(atoms))
+        Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), offsets, p)
+          .filter(col("job_dir") === "job_binder")
+          .select(col("partner_res").cast("long").as("partner_res"))
+          .orderBy("partner_res")
+      },
+      Some(s"""
+        SELECT partner_res
+        FROM read_csv('$fx/expected_interacting.csv', header=true)
+        ORDER BY partner_res""")),
+
+    QDef(
+      "af3_contact_map",
+      (s, _) => {
+        val atoms = CifParser.readAtomsDf(s, fx).filter(col("model_idx") === 0)
+        val offsets = Af3Pipeline.chainOffsets(Af3Pipeline.chainInfo(atoms))
+        val interacting =
+          Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), offsets, p)
+        Af3Pipeline.contactPairs(atoms, interacting, p)
+          .select(col("partner_res").cast("long").as("partner_res"),
+            col("poi_res").cast("long").as("poi_res"))
+          .orderBy("partner_res", "poi_res")
+      },
+      Some(s"""
+        SELECT partner_res, poi_res
+        FROM read_csv('$fx/expected_contacts.csv', header=true)
+        ORDER BY partner_res, poi_res""")),
+
+    QDef(
+      "af3_report",
+      (s, _) =>
+        Af3Pipeline.run(s, fx, p)
+          .orderBy("folder_name", "contact_residues_poi", "interacting_residues_partner"),
+      Some(s"""
+        SELECT folder_name, contact_residues_poi, contact_sequence,
+               interacting_residues_partner, interacting_sequence
+        FROM read_csv('$fx/expected_report.csv', header=true)
+        ORDER BY 1, 2, 4""")),
+
+    QDef(
+      "af3_pymol_script",
+      (s, _) =>
+        Af3Pipeline.pymolScripts(
+          CifParser.readAtomsDf(s, fx).filter(col("job_dir") === "job_binder"))
+          .select(col("job_dir"), col("script")).orderBy("job_dir"),
+      Some("""
+        SELECT 'job_binder' AS job_dir,
+          'load model_0.cif, model_0' || chr(10) ||
+          'load model_1.cif, model_1' || chr(10) ||
+          'load model_2.cif, model_2' || chr(10) ||
+          'load model_3.cif, model_3' || chr(10) ||
+          'load model_4.cif, model_4' || chr(10) ||
+          'align model_1 and chain A, model_0 and chain A' || chr(10) ||
+          'align model_2 and chain A, model_0 and chain A' || chr(10) ||
+          'align model_3 and chain A, model_0 and chain A' || chr(10) ||
+          'align model_4 and chain A, model_0 and chain A' || chr(10) ||
+          'util.cbc()' || chr(10) ||
+          'save job_binder_overlay.pse' AS script"""))
+  )
+}

@@ -1,7 +1,6 @@
 package graft.suite
 
 /** Placeholders — filled in as the corresponding packages land. */
-object Af3Queries { def all: Seq[QDef] = Seq.empty }
 object DedupQueries { def all: Seq[QDef] = Seq.empty }
 object TextQueries { def all: Seq[QDef] = Seq.empty }
 object SimilarityQueries { def all: Seq[QDef] = Seq.empty }
