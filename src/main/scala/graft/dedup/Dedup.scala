@@ -1,0 +1,170 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for the training-data pipeline extension:
+  * exact (hash-groupBy), MinHash + LSH banding, SimHash, n-gram Jaccard.
+  *
+  * Scale design: every stage is a shuffle on a bounded key (text hash,
+  * (band, key), (source, word)) with map-side partial aggregation; no
+  * driver-side state, no O(n^2) anywhere except *within* an LSH bucket —
+  * which is the point of LSH.
+  *
+  * Determinism: all hashes are explicit integer arithmetic (no engine
+  * hash functions), so the DuckDB oracle reproduces them bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per identical text + group size.
+    * At 100 TB: group on a 64-bit text hash first, compare full text only
+    * within colliding groups; with 2^64 space the collision re-check is a
+    * no-op shuffle on tiny groups. Here texts are small; we group on the
+    * text directly (the hash variant is `exactByHash`).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .select(col("survivor_id"), col("n_copies"))
+
+  /** Scale form: pre-bucket by cheap fingerprint, exact-compare within. */
+  def exactByHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .groupBy(col("__fp"), col(textCol))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .select(col("survivor_id"), col("n_copies"))
+
+  // ---- shared vocabulary ------------------------------------------------
+
+  /** Global word vocabulary with dense 0-based ids (deterministic: sorted
+    * by word). One shuffle; at scale this is a broadcast-able dimension
+    * (distinct words grow ~log of corpus).
+    */
+  def vocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .distinct()
+      .withColumn("word_id",
+        row_number().over(Window.orderBy(col("word"))).cast("long") - 1)
+
+  /** (id, pos, word_id) triples per document, in token order. */
+  def docWordIds(docs: DataFrame, idCol: String, textCol: String, vocabDf: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "word")))
+      .join(broadcast(vocabDf), Seq("word"))
+      .select(col("doc_id"), col("pos"), col("word_id"))
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  val MinhashP: Long = 2147483647L // 2^31 - 1, prime
+
+  /** Deterministic per-permutation coefficients (all < MinhashP; products
+    * stay < 2^63 given shingle ids are reduced mod p first).
+    */
+  def hashCoeffs(numPerms: Int): Seq[(Long, Long)] =
+    (1 to numPerms).map(k => (1000003L * k + 12345L, 777767L * k + 13L))
+
+  /** 3-word shingle ids: (w0*V + w1)*V + w2 reduced mod p. Requires the
+    * vocabulary size V to keep shingles injective below p-collisions.
+    */
+  def shingles3(wordIds: DataFrame, vocabSize: Long): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wordIds
+      .withColumn("w1", lead(col("word_id"), 1).over(w))
+      .withColumn("w2", lead(col("word_id"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      // ((w0*V + w1) % p * V + w2) % p — stays < 2^63 for V <= ~4e9
+      .withColumn("shingle",
+        ((col("word_id") * vocabSize + col("w1")) % MinhashP * vocabSize + col("w2"))
+          % MinhashP)
+      .select(col("doc_id"), col("shingle")).distinct()
+  }
+
+  /** MinHash signature: for each permutation k, min over shingles of
+    * (a_k * s + b_k) mod p. One groupBy(doc) with map-side partial mins —
+    * a single cheap shuffle at any scale.
+    */
+  def minhashSignature(shingleDf: DataFrame, numPerms: Int): DataFrame = {
+    val aggs = hashCoeffs(numPerms).zipWithIndex.map { case ((a, b), k) =>
+      min((col("shingle") * a + b) % MinhashP).as(s"mh_$k")
+    }
+    shingleDf.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: bands of 2 signature slots packed into one long.
+    * Docs sharing any band key are near-dup candidates.
+    */
+  def lshBandKeys(sig: DataFrame, numPerms: Int): DataFrame = {
+    val bands = (0 until numPerms / 2).map { b =>
+      struct(lit(b).as("band"),
+        (col(s"mh_${2 * b}") * MinhashP + col(s"mh_${2 * b + 1}")).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs: equi-join on (band, key), each unordered pair once.
+    * The join is a plain shuffle hash join on the band key — the whole
+    * point of LSH banding at 100 TB (no all-pairs comparison).
+    */
+  def lshCandidates(bandKeys: DataFrame): DataFrame =
+    bandKeys.as("x")
+      .join(bandKeys.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 16-bit SimHash over the document's distinct words: word w hashes to
+    * h = (a*word_id + b) mod 2^16; each bit contributes +1/-1; the
+    * signature bit is 1 iff the sum is positive.
+    */
+  def simhash(wordIds: DataFrame, bits: Int = 16): DataFrame = {
+    val h = (col("word_id") * 40503L + 9973L) % 65536L
+    val perWord = wordIds.select(col("doc_id"), col("word_id")).distinct()
+      .withColumn("h", h)
+    val bitSums = (0 until bits).map { k =>
+      sum(when(shiftright(col("h"), k) % 2 === 1, 1).otherwise(-1)).as(s"s_$k")
+    }
+    val sig = (0 until bits).map { k =>
+      when(col(s"s_$k") > 0, lit(1L << k)).otherwise(0L)
+    }.reduce(_ + _)
+    perWord.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  // ---- n-gram / unigram Jaccard ----------------------------------------
+
+  /** Pairwise Jaccard similarity over distinct-token sets, computed only
+    * within `blockCol` blocks (at scale: block on LSH bucket / source /
+    * language to bound the pair space). Intersections via equi-join on
+    * (block, word) — shuffle-partitioned, no cross join.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      minJaccard: Double): DataFrame = {
+    val words = docs.select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .distinct()
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+    val inter = words.as("x").join(words.as("y"), Seq("blk", "word"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_words", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_words", "nb"), Seq("b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH bucketing as the scale path (generalizing the
+  * reference's eps-distance neighbor search, process_af3_outputs.py
+  * :226-251, to high dimensions).
+  *
+  * Determinism notes:
+  * - dot products use an ordered left fold (`aggregate` over `zip_with`),
+  *   so the result is bit-identical across engines — never a shuffled
+  *   `sum` of exploded products;
+  * - the LSH path works on `floor(x*1000)` integers: order-free exact
+  *   arithmetic, so bucket assignment is engine-independent.
+  */
+object Similarity {
+
+  /** Ordered-fold dot product of two double arrays. */
+  def dotFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dotFold(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dotFold(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Brute-force cosine top-k: each query vector against the full corpus.
+    * O(|Q| * N) — the baseline; keep |Q| bounded or use [[lshBuckets]].
+    * The per-query ranking is one window over the join result,
+    * partitioned by query id (shuffle on query id only).
+    */
+  def cosineTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("q_emb"))
+    val c = corpus.select(col(idCol).as("c_id"), asDouble(col(embCol)).as("c_emb"))
+    val scored = q.crossJoin(c)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  }
+
+  /** Integer-exact hyperplane weights: w(k, d) = ((k*37 + d*17) mod 7) - 3
+    * for plane k, dimension d (0-based). Deterministic, reproducible in
+    * SQL via the same formula.
+    */
+  def planeWeights(numPlanes: Int, dims: Int): Seq[Seq[Long]] =
+    (0 until numPlanes).map(k => (0 until dims).map(d => ((k * 37 + d * 17) % 7 - 3).toLong))
+
+  /** Integer embedding: floor(x * 1000) per dimension (exact in both
+    * engines; DOUBLE->INT casts round differently, floor does not).
+    */
+  def intEmbedding(embCol: Column): Column =
+    transform(embCol, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Random-hyperplane LSH bucket id: bit k = [intdot(emb, plane_k) >= 0].
+    * Bucketing is a narrow map — no shuffle; the subsequent candidate
+    * join shuffles on the bucket id only.
+    */
+  def lshBucket(embCol: Column, numPlanes: Int, dims: Int): Column = {
+    val ie = intEmbedding(embCol)
+    planeWeights(numPlanes, dims).zipWithIndex.map { case (w, k) =>
+      val dot = aggregate(
+        zip_with(ie, typedLit(w), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bucketed ANN top-k: rank by exact integer dot product within each
+    * LSH bucket. The scale path: per-bucket work is |bucket|^2 with
+    * buckets ~ N/2^planes; add planes to shrink buckets.
+    */
+  def annTopK(
+      vectors: DataFrame,
+      idCol: String,
+      embCol: String,
+      numPlanes: Int,
+      dims: Int,
+      k: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("v_id"),
+      intEmbedding(col(embCol)).as("ie"),
+      lshBucket(col(embCol), numPlanes, dims).as("bucket"))
+    val pairs = v.as("q").join(v.as("c"), Seq("bucket"))
+      .filter(col("q.v_id") =!= col("c.v_id"))
+      .select(col("bucket"), col("q.v_id").as("q_id"), col("c.v_id").as("c_id"),
+        aggregate(zip_with(col("q.ie"), col("c.ie"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("idot"))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("idot"), col("rank"))
+  }
+}

@@ -1,0 +1,187 @@
+package graft.suite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import Registry.tbl
+
+/** Deduplication extension suite over `documents` / `embeddings`.
+  * All hash arithmetic is explicit integers, so every query has an exact
+  * DuckDB oracle (no engine-specific hash functions anywhere).
+  */
+object DedupQueries {
+
+  private val P = Dedup.MinhashP
+  private val NumPerms = 8
+
+  /** Shared SQL prelude: tokenized docs + global vocab + word ids. */
+  private val vocabSql =
+    """words AS (
+         SELECT DISTINCT unnest(string_split_regex(text, '\s+')) AS word
+         FROM documents),
+       vocab AS (
+         SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) - 1 AS word_id
+         FROM words),
+       vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+       toks AS (
+         SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos, ts
+         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents)),
+       ids AS (
+         SELECT t.doc_id, t.pos, v.word_id
+         FROM (SELECT doc_id, pos, ts[pos] AS word FROM toks) t
+         JOIN vocab v USING (word))"""
+
+  private val shingleSql =
+    s"""shing AS (
+         SELECT DISTINCT doc_id,
+           ((w0 * v + w1) % $P * v + w2) % $P AS shingle
+         FROM (
+           SELECT doc_id, word_id AS w0,
+                  lead(word_id, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                  lead(word_id, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM ids), vsize
+         WHERE w2 IS NOT NULL)"""
+
+  private def docWordIds(s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, Long) = {
+    val docs = tbl(s, dir, "documents")
+    val v = Dedup.vocab(docs, "text").cache()
+    (Dedup.docWordIds(docs, "doc_id", "text", v), v.count())
+  }
+
+  def all: Seq[QDef] = Seq(
+
+    QDef(
+      "dedup_exact",
+      (s, dir) =>
+        Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy("survivor_id"),
+      Some("""
+        SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY survivor_id""")),
+
+    QDef(
+      "dedup_exact_hash",
+      (s, dir) =>
+        Dedup.exactByHash(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy("survivor_id"),
+      Some("""
+        SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY survivor_id""")),
+
+    QDef(
+      "dedup_minhash_signature",
+      (s, dir) => {
+        val (ids, vsize) = docWordIds(s, dir)
+        Dedup.minhashSignature(Dedup.shingles3(ids, vsize), NumPerms)
+          .orderBy("doc_id")
+      },
+      Some {
+        val mins = Dedup.hashCoeffs(NumPerms).zipWithIndex.map { case ((a, b), k) =>
+          s"min((shingle * $a + $b) % $P) AS mh_$k"
+        }.mkString(", ")
+        s"""WITH $vocabSql, $shingleSql
+            SELECT doc_id, $mins FROM shing GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    QDef(
+      "dedup_lsh_candidates",
+      (s, dir) => {
+        val (ids, vsize) = docWordIds(s, dir)
+        val sig = Dedup.minhashSignature(Dedup.shingles3(ids, vsize), NumPerms)
+        Dedup.lshCandidates(Dedup.lshBandKeys(sig, NumPerms))
+          .orderBy("a", "b")
+      },
+      Some {
+        val mins = Dedup.hashCoeffs(NumPerms).zipWithIndex.map { case ((a, b), k) =>
+          s"min((shingle * $a + $b) % $P) AS mh_$k"
+        }.mkString(", ")
+        val bandRows = (0 until NumPerms / 2).map { b =>
+          s"SELECT doc_id, $b AS band, mh_${2 * b} * $P + mh_${2 * b + 1} AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $vocabSql, $shingleSql,
+            sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id),
+            bands AS ($bandRows)
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+              AND x.doc_id < y.doc_id
+            ORDER BY a, b"""
+      }),
+
+    QDef(
+      "dedup_simhash",
+      (s, dir) => {
+        val (ids, _) = docWordIds(s, dir)
+        Dedup.simhash(ids).orderBy("doc_id")
+      },
+      Some {
+        val bitSums = (0 until 16).map { k =>
+          s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s_$k"
+        }.mkString(", ")
+        val sig = (0 until 16).map { k =>
+          s"CASE WHEN s_$k > 0 THEN ${1L << k} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH $vocabSql,
+            pw AS (SELECT DISTINCT doc_id, word_id FROM ids),
+            hs AS (SELECT doc_id, (word_id * 40503 + 9973) % 65536 AS h FROM pw),
+            bs AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id)
+            SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bs ORDER BY doc_id"""
+      }),
+
+    QDef(
+      "dedup_ngram_jaccard",
+      (s, dir) =>
+        Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", "source", 0.5)
+          .orderBy("a", "b"),
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT source AS blk, doc_id,
+            unnest(string_split_regex(text, '\s+')) AS word
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+          FROM w x JOIN w y ON x.blk = y.blk AND x.word = y.word
+            AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b,
+               CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.5
+        ORDER BY a, b""")),
+
+    QDef(
+      "dedup_embedding_cosine",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+            Similarity.cosine(col("x.emb"), col("y.emb")).as("cos"))
+          .filter(col("cos") >= 0.35)
+          .orderBy("a", "b")
+      },
+      Some("""
+        WITH p AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        dots AS (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(a.emb, b.emb), z -> z[1] * z[2])),
+              (acc, x) -> acc + x) AS dab,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(a.emb, a.emb), z -> z[1] * z[2])),
+              (acc, x) -> acc + x) AS daa,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(b.emb, b.emb), z -> z[1] * z[2])),
+              (acc, x) -> acc + x) AS dbb
+          FROM p a JOIN p b ON a.vec_id < b.vec_id)
+        SELECT a, b, dab / (sqrt(daa) * sqrt(dbb)) AS cos
+        FROM dots WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.35
+        ORDER BY a, b"""))
+  )
+}

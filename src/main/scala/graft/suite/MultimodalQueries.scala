@@ -1,0 +1,73 @@
+package graft.suite
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import Registry.tbl
+
+/** Multimodal-column extension suite: binary payloads (document text
+  * bytes stand in for media), typed metadata, stubbed batch decode via
+  * typed mapPartitions, frame sampling.
+  */
+object MultimodalQueries {
+
+  def all: Seq[QDef] = Seq(
+
+    QDef(
+      "mm_binary_meta",
+      (s, dir) =>
+        Multimodal.binaryMeta(
+          tbl(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8")),
+          "doc_id", "blob")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha,
+               hex(encode(substr(text, 1, 4))) AS magic
+        FROM documents ORDER BY doc_id""")),
+
+    QDef(
+      "mm_decode_meta",
+      (s, dir) =>
+        Multimodal.decode(
+          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents")))
+          .toDF()
+          .select(col("doc_id"), col("fmt"), col("n_bytes"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH m AS (SELECT doc_id,
+            (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS fmt,
+            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents)
+        SELECT doc_id, fmt, n_bytes,
+               64 + n_bytes % 1024 AS width,
+               64 + (n_bytes * 7) % 768 AS height,
+               CASE WHEN fmt = 'video' THEN 1 + n_bytes % 240 ELSE 1 END AS n_frames
+        FROM m ORDER BY doc_id""")),
+
+    QDef(
+      "mm_frame_sample",
+      (s, dir) =>
+        Multimodal.sampleFrames(
+          Multimodal.decode(
+            Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))).toDF(),
+          step = 30)
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+          .orderBy("doc_id", "frame_idx"),
+      Some("""
+        WITH m AS (SELECT doc_id,
+            (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS fmt,
+            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents),
+        fr AS (SELECT doc_id,
+            CASE WHEN fmt = 'video' THEN 1 + n_bytes % 240 ELSE 1 END AS n_frames
+          FROM m)
+        SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 30)) AS BIGINT)
+          AS frame_idx
+        FROM fr ORDER BY doc_id, frame_idx"""))
+  )
+}

@@ -1,0 +1,103 @@
+package graft.suite
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+import Registry.tbl
+
+/** Similarity-search extension suite over `embeddings`. */
+object SimilarityQueries {
+
+  private val Planes = 4
+  private val Dims = 64
+
+  /** SQL fragments for the integer-exact LSH (mirrors
+    * Similarity.planeWeights / intEmbedding / lshBucket).
+    */
+  private val intEmbSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  private def planeDotSql(k: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_zip(ie,
+            list_transform(generate_series(0, ${Dims - 1}),
+              d -> CAST(($k * 37 + d * 17) % 7 - 3 AS BIGINT))),
+            z -> z[1] * z[2])),
+          (acc, x) -> acc + x)"""
+
+  private val bucketSql: String =
+    (0 until Planes).map { k =>
+      s"CASE WHEN ${planeDotSql(k)} >= 0 THEN ${1L << k} ELSE 0 END"
+    }.mkString(" + ")
+
+  private val dotFoldSql =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(list_zip(q.emb, c.emb), z -> z[1] * z[2])),
+         (acc, x) -> acc + x)"""
+
+  private def normSql(a: String) =
+    s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip($a.emb, $a.emb), z -> z[1] * z[2])),
+          (acc, x) -> acc + x))"""
+
+  def all: Seq[QDef] = Seq(
+
+    QDef(
+      "sim_cosine_topk",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        Similarity.cosineTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        WITH p AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            $dotFoldSql / (${normSql("q")} * ${normSql("c")}) AS cos
+          FROM p q JOIN p c ON q.vec_id < 20 AND q.vec_id != c.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+            AS rank FROM scored)
+        SELECT q_id, c_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    QDef(
+      "sim_ann_lsh_buckets",
+      (s, dir) =>
+        tbl(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.lshBucket(col("embedding"), Planes, Dims).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket
+          FROM (SELECT vec_id, $intEmbSql AS ie FROM embeddings))
+        SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    QDef(
+      "sim_ann_topk",
+      (s, dir) =>
+        Similarity.annTopK(
+          tbl(s, dir, "embeddings").filter(col("vec_id") < 100),
+          "vec_id", "embedding", Planes, Dims, k = 3)
+          .orderBy("q_id", "rank"),
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ie, CAST($bucketSql AS BIGINT) AS bucket
+          FROM (SELECT vec_id, $intEmbSql AS ie FROM embeddings WHERE vec_id < 100)),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(list_zip(q.ie, c.ie), z -> z[1] * z[2])),
+              (acc, x) -> acc + x) AS idot
+          FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id != c.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY idot DESC, c_id)
+            AS rank FROM pairs)
+        SELECT q_id, c_id, idot, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+  )
+}

@@ -1,0 +1,83 @@
+package graft.suite
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+import graft.functions.Scalars
+import Registry.tbl
+
+/** Text-analysis extension suite over `documents`. */
+object TextQueries {
+
+  def all: Seq[QDef] = Seq(
+
+    QDef(
+      "text_token_count",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    QDef(
+      "text_quality_score",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("score"))
+          .orderBy("doc_id"),
+      Some {
+        val stops = TextFunctions.enStopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, text,
+              string_split_regex(text, '\\s+') AS toks FROM documents)
+            SELECT doc_id,
+              CASE WHEN len(toks) > 0
+                   THEN CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END
+              + (CASE WHEN len(toks) > 0
+                   THEN CAST(len(list_filter(toks, x -> list_contains([$stops], x))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END) * 10.0 AS score
+            FROM t ORDER BY doc_id"""
+      }),
+
+    QDef(
+      "text_lang_id",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
+      Some {
+        val scores = TextFunctions.langMarkers.map { case (lang, ws) =>
+          val list = ws.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(toks, x -> list_contains([$list], x))) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextFunctions.langMarkers.map(_._1)
+        val cases = langs.map { l =>
+          val geAll = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString(" ")
+        s"""WITH t AS (SELECT doc_id,
+              string_split_regex(text, '\\s+') AS toks FROM documents),
+            sc AS (SELECT doc_id, $scores FROM t)
+            SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+            FROM sc ORDER BY doc_id"""
+      }),
+
+    QDef(
+      "text_fingerprint",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % ${Scalars.polyHashP}) AS fp
+        FROM documents ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline extension
+  * (builder brief): token counting, quality scoring, language ID,
+  * fingerprinting. All pure codegen'd column expressions — no UDFs — so
+  * they vectorize inside whole-stage codegen at any scale, and every one
+  * is reproducible in ANSI SQL for the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the BPE-ish regex variant splits on
+    * non-word boundaries too; both are pure `split`).
+    */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokensBpeIsh(text: Column): Column =
+    split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Fraction of tokens found in `words` (stopword ratio et al.).
+    * Guarded against empty token lists.
+    */
+  def wordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => array_contains(typedLit(words), t)))
+    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def countHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(typedLit(words), t)))
+
+  /** Heuristic quality score: mean token length + stopword ratio +
+    * length band. Deterministic double arithmetic (single division).
+    */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val meanTokLen = when(nTok > 0, length(text).cast("double") / nTok).otherwise(lit(0.0))
+    val stop = wordRatio(text, enStopwords)
+    meanTokLen + stop * lit(10.0)
+  }
+
+  /** n-gram-heuristic language ID: count hits per language's marker list,
+    * pick the first maximal language in alphabetical order (deterministic
+    * tiebreak, mirrored exactly by the oracle's CASE chain).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "los", "y", "que", "es"),
+    "fr" -> Seq("le", "les", "et", "un", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ws) => lang -> countHits(text, ws) }
+    // first lang (alphabetical) whose score >= every other score
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      val isMax = scores.map(_._2).map(o => s >= o).reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Document fingerprint: polynomial rolling hash over characters
+    * (graft.functions.Scalars.polyHash). Stable across engines: pure
+    * integer fold, p < 2^53 so no overflow.
+    */
+  def fingerprint(text: Column): Column = graft.functions.Scalars.polyHash(text)
+}

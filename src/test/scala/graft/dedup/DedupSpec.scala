@@ -1,0 +1,60 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e", "s1"),
+    (2L, "a b c d e", "s1"),     // exact dup of 1
+    (3L, "a b c d e f", "s1"),   // near dup of 1 (high jaccard)
+    (4L, "x y z w q", "s2")      // unrelated
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps min-id survivor with copy count") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (3L, 1L), (4L, 1L)))
+    // hash-bucketed variant agrees
+    val viaHash = Dedup.exactByHash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaHash === got)
+  }
+
+  test("identical texts share the full minhash signature; disjoint texts do not") {
+    val v = Dedup.vocab(docs, "text")
+    val ids = Dedup.docWordIds(docs, "doc_id", "text", v)
+    val sig = Dedup.minhashSignature(Dedup.shingles3(ids, v.count()), 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+  }
+
+  test("LSH candidates contain the exact-dup pair, not the disjoint pair") {
+    val v = Dedup.vocab(docs, "text")
+    val ids = Dedup.docWordIds(docs, "doc_id", "text", v)
+    val sig = Dedup.minhashSignature(Dedup.shingles3(ids, v.count()), 8)
+    val pairs = Dedup.lshCandidates(Dedup.lshBandKeys(sig, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash: identical texts equal; hamming(near-dup) < hamming(disjoint)") {
+    val v = Dedup.vocab(docs, "text")
+    val ids = Dedup.docWordIds(docs, "doc_id", "text", v)
+    val sh = Dedup.simhash(ids).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) <= hamming(sh(1L), sh(4L)))
+  }
+
+  test("jaccard pairs: dup pair = 1.0, near pair = 5/6, cross-block pair absent") {
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 2L)) === 1.0)
+    assert(math.abs(got((1L, 3L)) - 5.0 / 6.0) < 1e-15)
+    assert(!got.contains((1L, 4L)))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // closest to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))   // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine top-k ranks by similarity with deterministic tiebreak") {
+    val got = Similarity.cosineTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("cosine of identical vectors is exactly 1.0 for unit vectors") {
+    val c = vecs.as("a").join(vecs.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .select(Similarity.cosine(
+        transform(col("a.embedding"), _.cast("double")),
+        transform(col("b.embedding"), _.cast("double"))).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(c.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("lsh bucket: opposite vectors land in complementary sign buckets") {
+    val b = vecs.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 4, 4).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical-direction vectors share a bucket
+    assert(b(0L) === b(1L))
+  }
+
+  test("annTopK within bucket returns the nearest same-bucket neighbor first") {
+    val got = Similarity.annTopK(vecs, "vec_id", "embedding", 4, 4, k = 1)
+      .filter(col("q_id") === 0).collect()
+    assert(got.nonEmpty && got.head.getLong(1) === 1L)
+  }
+}
