@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductExpr, LongDotProductExpr}
+
+/** Column-level entry points for the native vector expressions
+  * (implemented in org.apache.spark.sql.graft — they need the
+  * `private[sql]` AbstractDataType for ExpectsInputTypes).
+  */
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(LongDotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Ordered-fold dot product of two double arrays. */
+  /** Ordered-fold dot product of two double arrays (reference
+    * implementation — [[graft.functions.VectorExpressions.dot]] is the
+    * codegen'd production path; both sum left-to-right, so they are
+    * bit-identical).
+    */
   def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dotFold(a, a))
+  /** Native codegen'd dot product — the hot-loop form. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
-    dotFold(a, b) / (norm(a) * norm(b))
+    dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -41,11 +48,14 @@ object Similarity {
       idCol: String,
       embCol: String,
       k: Int): DataFrame = {
+    // precompute per-vector norms once (not per pair: N+Q sqrts, not N*Q)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
     val c = corpus.select(col(idCol).as("c_id"), asDouble(col(embCol)).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
     val scored = q.crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))))
@@ -73,9 +83,8 @@ object Similarity {
   def lshBucket(embCol: Column, numPlanes: Int, dims: Int): Column = {
     val ie = intEmbedding(embCol)
     planeWeights(numPlanes, dims).zipWithIndex.map { case (w, k) =>
-      val dot = aggregate(
-        zip_with(ie, typedLit(w), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << k)).otherwise(lit(0L))
+      val d = graft.functions.VectorExpressions.dotLong(ie, typedLit(w))
+      when(d >= 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -96,8 +105,7 @@ object Similarity {
     val pairs = v.as("q").join(v.as("c"), Seq("bucket"))
       .filter(col("q.v_id") =!= col("c.v_id"))
       .select(col("bucket"), col("q.v_id").as("q_id"), col("c.v_id").as("c_id"),
-        aggregate(zip_with(col("q.ie"), col("c.ie"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).as("idot"))
+        graft.functions.VectorExpressions.dotLong(col("q.ie"), col("c.ie")).as("idot"))
     pairs
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("c_id"))))

@@ -157,11 +157,14 @@ object DedupQueries {
     QDef(
       "dedup_embedding_cosine",
       (s, dir) => {
+        // norms precomputed per vector (N sqrts), codegen'd dot per pair
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+          .withColumn("nrm", Similarity.norm(col("emb")))
         e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-            Similarity.cosine(col("x.emb"), col("y.emb")).as("cos"))
+            (Similarity.dot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm")))
+              .as("cos"))
           .filter(col("cos") >= 0.35)
           .orderBy("a", "b")
       },
