@@ -1,0 +1,250 @@
+package graft.suite
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+import Registry.tbl
+
+/** Built-in relational surface beyond the reference (SURVEY §2 "absent"
+  * rows + §7 extension suite): as-of join, set operations, rollup/cube/
+  * grouping sets, approx sketches, datetime functions, and TPC-H-shaped
+  * headline queries.
+  *
+  * Money math uses integer cents (`round(x*100)` as BIGINT) so sums are
+  * order-independent and exactly comparable across engines — floating
+  * sums of 2-decimal values are neither.
+  */
+object ExtrasQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  def all: Seq[QDef] = Seq(
+
+    QDef(
+      "join_asof",
+      (s, dir) => {
+        // per event: the user's latest order with orderdate <= event time
+        // (union + window implementation, no nested-loop join)
+        val ev = tbl(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+        val o = tbl(s, dir, "orders")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+        AsofJoin.asofBackward(ev, o, Seq("user_id"), "ts", "o_orderdate",
+            valueCols = Seq("o_orderkey"), tieBreak = Seq("o_orderkey"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, o_orderkey FROM (
+          SELECT e.event_id, e.user_id, o.o_orderkey,
+            row_number() OVER (PARTITION BY e.event_id
+              ORDER BY o.o_orderdate DESC NULLS LAST,
+                       o.o_orderkey DESC NULLS LAST) AS rn
+          FROM events e LEFT JOIN orders o
+            ON o.o_custkey = e.user_id
+           AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+               <= CAST(floor(epoch(e.ts)) AS BIGINT)) t
+        WHERE rn = 1 ORDER BY event_id""")),
+
+    QDef(
+      "setop_intersect",
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_custkey""")),
+
+    QDef(
+      "setop_except",
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_custkey""")),
+
+    QDef(
+      "setop_union",
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+          .union(c.filter(col("c_acctbal") < 0).select(col("c_custkey")))
+          .distinct()
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        ORDER BY c_custkey""")),
+
+    QDef(
+      "agg_rollup",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    QDef(
+      "agg_cube",
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    QDef(
+      "agg_grouping_sets",
+      (s, dir) =>
+        tbl(s, dir, "customer")
+          .groupingSets(
+            Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey"))),
+            col("c_mktsegment"), col("c_nationkey"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first),
+      Some("""
+        SELECT c_mktsegment, c_nationkey, count(*) AS n
+        FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""")),
+
+    // approx sketch: no cross-engine oracle (HLL implementations differ);
+    // driver records the weaker rows-only check
+    QDef(
+      "agg_approx_count_distinct",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy("l_returnflag"),
+      None),
+
+    QDef(
+      "f_datetime_trunc",
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("month_start"),
+      Some("""
+        SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+                 AS month_start, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- TPC-H-shaped headline queries (integer-cent money math) ------
+
+    QDef(
+      "tpch_q1_pricing_summary",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .withColumn("price_c", cents(col("l_extendedprice")))
+          .withColumn("disc_pct", round(col("l_discount") * 100).cast("long"))
+          .withColumn("tax_pct", round(col("l_tax") * 100).cast("long"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            sum(col("price_c")).as("sum_base_price_c"),
+            sum(col("price_c") * (lit(100L) - col("disc_pct"))).as("sum_disc_price_c2"),
+            sum(col("price_c") * (lit(100L) - col("disc_pct")) * (lit(100L) + col("tax_pct")))
+              .as("sum_charge_c3"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c2,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_c3,
+               count(*) AS count_order
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QDef(
+      "tpch_q3_shipping_priority",
+      (s, dir) => {
+        val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = tbl(s, dir, "orders")
+        val li = tbl(s, dir, "lineitem")
+          .withColumn("rev_c2",
+            cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        val top = li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("rev_c2")).as("revenue_c2"))
+        top.withColumn("rk", row_number().over(
+            Window.orderBy(col("revenue_c2").desc, col("l_orderkey"))))
+          .filter(col("rk") <= 10)
+          .select("l_orderkey", "revenue_c2", "rk")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_orderkey,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY l_orderkey)
+        SELECT l_orderkey, revenue_c2, CAST(rk AS INT) AS rk FROM (
+          SELECT *, row_number() OVER (ORDER BY revenue_c2 DESC, l_orderkey) AS rk
+          FROM rev) t
+        WHERE rk <= 10""")),
+
+    QDef(
+      "tpch_q5_local_supplier_volume",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .withColumn("rev_c2",
+            cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer")
+        val sup = tbl(s, dir, "supplier")
+        val n = tbl(s, dir, "nation")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("rev_c2")).as("revenue_c2"))
+          .orderBy(col("revenue_c2").desc, col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY revenue_c2 DESC, n_name"""))
+  )
+}

@@ -33,5 +33,5 @@ object Registry {
   def all: Seq[QDef] =
     CoreQueries.all ++ RelationalQueries.all ++ Af3Queries.all ++
       DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ StreamingQueries.all
+      MultimodalQueries.all ++ StreamingQueries.all ++ ExtrasQueries.all
 }
