@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{DotProductExpr, LongDotProductExpr}
+
+/** SparkSessionExtensions hook: registers the graft native expressions in
+  * the SQL function registry, so `spark.sql("SELECT graft_dot(a, b)")`
+  * works next to the Column API. Install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` — GraftSession does the former.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+        (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_dot_long"),
+        new ExpressionInfo(classOf[LongDotProductExpr].getName, "graft_dot_long"),
+        (children: Seq[Expression]) => LongDotProductExpr(children(0), children(1))))
+  }
+}

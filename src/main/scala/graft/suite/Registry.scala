@@ -33,5 +33,6 @@ object Registry {
   def all: Seq[QDef] =
     CoreQueries.all ++ RelationalQueries.all ++ Af3Queries.all ++
       DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ StreamingQueries.all ++ ExtrasQueries.all
+      MultimodalQueries.all ++ StreamingQueries.all ++ ExtrasQueries.all ++
+      WindowExtraQueries.all
 }

@@ -1,0 +1,133 @@
+package graft.suite
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Registry.tbl
+
+/** Additional ordered/window/pivot coverage + the SQL surface of the
+  * native graft_dot expression (registered via GraftExtensions).
+  */
+object WindowExtraQueries {
+
+  def all: Seq[QDef] = Seq(
+
+    QDef(
+      "win_moving_avg",
+      (s, dir) => {
+        // 3-row centered moving sum of integer cents per user over time —
+        // exact (no FP), order pinned by (ts, event_id)
+        val e = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            round(col("value") * 100).cast("long").as("v_c"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("event_id")).rowsBetween(-1, 1)
+        e.withColumn("mov_sum_c", sum(col("v_c")).over(w))
+          .withColumn("mov_n", count(lit(1)).over(w))
+          .select("event_id", "user_id", "mov_sum_c", "mov_n")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS mov_sum_c,
+          count(*) OVER w AS mov_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        ORDER BY event_id""")),
+
+    QDef(
+      "win_lag_delta",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+          .select("user_id", "event_id", "gap_us")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, gap_us FROM (
+          SELECT user_id, event_id,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY event_id) AS gap_us
+          FROM events) t
+        WHERE gap_us IS NOT NULL ORDER BY event_id""")),
+
+    QDef(
+      "win_first_last_value",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        tbl(s, dir, "orders")
+          .withColumn("first_order", first(col("o_orderkey")).over(w))
+          .withColumn("last_order", last(col("o_orderkey")).over(w))
+          .select("o_custkey", "o_orderkey", "first_order", "last_order")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          first_value(o_orderkey) OVER w AS first_order,
+          last_value(o_orderkey) OVER w AS last_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey""")),
+
+    QDef(
+      "agg_pivot",
+      (s, dir) =>
+        // order counts pivoted by status — fixed column set, exact counts
+        tbl(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+          count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+          count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+          count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QDef(
+      "stream_tumbling_window",
+      (s, dir) =>
+        // fixed 10-min tumbling windows (the batch form of the streaming
+        // window() aggregation; works identically under readStream)
+        tbl(s, dir, "events")
+          .groupBy(col("user_id"), window(col("ts"), "10 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), unix_timestamp(col("w.start")).as("win_start"),
+            col("n"))
+          .orderBy("user_id", "win_start"),
+      Some("""
+        SELECT user_id,
+          (epoch_us(ts) // 600000000) * 600 AS win_start,
+          count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QDef(
+      "sim_dot_sql",
+      (s, dir) => {
+        // the native expression through its SQL surface (GraftExtensions)
+        tbl(s, dir, "embeddings").createOrReplaceTempView("emb_v")
+        s.sql("""
+          SELECT vec_id,
+            graft_dot(transform(embedding, x -> CAST(x AS DOUBLE)),
+                      transform(embedding, x -> CAST(x AS DOUBLE))) AS self_dot
+          FROM emb_v ORDER BY vec_id""")
+      },
+      Some("""
+        SELECT vec_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(
+              list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(embedding, x -> CAST(x AS DOUBLE))),
+              z -> z[1] * z[2])),
+            (acc, x) -> acc + x) AS self_dot
+        FROM embeddings ORDER BY vec_id"""))
+  )
+}
