@@ -150,17 +150,26 @@ object Dedup {
       textCol: String,
       blockCol: String,
       minJaccard: Double): DataFrame = {
-    val words = docs.select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
+    // Per-doc distinct word-id set as one compact long array, then a
+    // block-key join (broadcast-able: one row per doc) with hash-based
+    // array_intersect per pair. Avoids the 25M-row word-level join shape
+    // (explode + equi-join on (block, word)) that dominates at scale —
+    // pair count is bounded by the blocking, intersection is O(n+m).
+    val v = vocab(docs, textCol)
+    val wordSets = docs
+      .select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .distinct()
-    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
-    val inter = words.as("x").join(words.as("y"), Seq("blk", "word"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_words", "na"), Seq("a"))
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_words", "nb"), Seq("b"))
+      .join(broadcast(v), Seq("word"))
+      .groupBy(col("blk"), col("doc_id"))
+      .agg(collect_set(col("word_id")).as("words"))
+      .withColumn("n_words", size(col("words")))
+    val x = wordSets.select(col("blk"), col("doc_id").as("a"),
+      col("words").as("wa"), col("n_words").as("na"))
+    val y = wordSets.select(col("blk"), col("doc_id").as("b"),
+      col("words").as("wb"), col("n_words").as("nb"))
+    x.join(broadcast(y), Seq("blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("n_inter", size(array_intersect(col("wa"), col("wb"))))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter")).cast("double"))
