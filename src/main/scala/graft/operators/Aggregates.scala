@@ -43,11 +43,12 @@ object Aggregates {
       groupCols: Seq[String],
       orderCols: Seq[String],
       valueCol: Column,
-      resultName: String = "sequence"): DataFrame = {
+      resultName: String = "sequence",
+      sep: String = ""): DataFrame = {
     val packed = struct((orderCols.map(col) :+ valueCol.as("__v")): _*)
     df.groupBy(groupCols.map(col): _*)
       .agg(
-        concat_ws("", transform(array_sort(collect_list(packed)), _.getField("__v")))
+        concat_ws(sep, transform(array_sort(collect_list(packed)), _.getField("__v")))
           .as(resultName))
   }
 

@@ -94,6 +94,98 @@ object Af3Queries {
         ORDER BY 1, 2, 4""")),
 
     QDef(
+      "sink_csv_pae_sideoutput",
+      (s, _) => {
+        // extract_pae_data's side CSV of the raw matrix (py:114-117):
+        // per job, one line per row i with comma-joined values, written
+        // next to the (writable) output dir; the query returns the
+        // rendered lines for the oracle.
+        val pae = graft.af3.Af3Io.readPaeLong(s, fx)
+        val lines = graft.operators.Aggregates.orderedStringAgg(
+            pae.withColumn("v", col("pae").cast("string")),
+            Seq("job_dir", "i"), Seq("j"), col("v"), "line", sep = ",")
+        graft.af3.CifWriter.writeKeyedText(
+          lines.select(concat(col("job_dir"), lit("_pae")).as("file_key"),
+            col("i").cast("long").as("ord"), col("line")),
+          sys.props("java.io.tmpdir") + "/graft_pae_sideoutput", ".csv")
+        lines.select(col("job_dir"), col("i").cast("long").as("i"), col("line"))
+          .orderBy("job_dir", "i")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT 'job_binder' AS job_dir, i.generate_series AS i, j.generate_series AS j,
+                 pae[i.generate_series + 1][j.generate_series + 1] AS v
+          FROM (SELECT pae FROM read_json('$fx/job_binder/job_binder_full_data_0.json',
+                  columns = {pae: 'DOUBLE[][]', token_res_ids: 'BIGINT[]'})),
+               generate_series(0, 29) i, generate_series(0, 29) j)
+        SELECT job_dir, i, string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS line
+        FROM m GROUP BY job_dir, i ORDER BY job_dir, i""")),
+
+    QDef(
+      "sink_cif_filtered",
+      (s, _) => {
+        // create_interaction_cif residue selection (py:326-345): POI
+        // chain + partner residues in kept islands, rendered + written;
+        // the oracle recomputes the expected atom set from the fixture
+        // CSVs (atoms x contact-island membership).
+        val atoms = CifParser.readAtomsDf(s, fx)
+        val offsets = Af3Pipeline.chainOffsets(
+          Af3Pipeline.chainInfo(atoms.filter(col("model_idx") === 0)))
+        val interacting = Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), offsets, p)
+        val contacts = Af3Pipeline.contactPairs(
+          atoms.filter(col("model_idx") === 0), interacting, p)
+        val members = Af3Pipeline.partnerIslandMembers(contacts)
+        val sel = Af3Pipeline.interactionCifAtoms(atoms, members, p)
+        graft.af3.CifWriter.writeKeyedText(
+          graft.af3.CifWriter.renderCif(sel, concat(col("job_dir"), lit("_interaction"))),
+          sys.props("java.io.tmpdir") + "/graft_cif_filtered", ".cif",
+          withCifHeader = true)
+        sel.select(col("chain"), col("res_id").cast("long").as("res_id"),
+            col("atom_name"))
+          .orderBy("chain", "res_id", "atom_name")
+      },
+      Some(s"""
+        WITH islands AS (
+          SELECT DISTINCT partner_res
+          FROM read_csv('$fx/expected_contacts.csv', header=true))
+        SELECT chain, res_id, atom_name
+        FROM read_csv('$fx/expected_atoms_model0.csv', header=true)
+        WHERE chain = 'A' OR (chain = 'B' AND res_id IN (SELECT partner_res FROM islands))
+        ORDER BY chain, res_id, atom_name""")),
+
+    QDef(
+      "sink_cif_model_extract",
+      (s, _) => {
+        // extract_and_save_model (py:389-430): POI -> 'A', island
+        // partner residues -> 'B', for every model 0..4. Oracle: the
+        // per-model per-chain atom counts derived from the fixture CSVs
+        // (identical across models; coordinates differ by jitter only).
+        val atoms = CifParser.readAtomsDf(s, fx)
+        val model0 = atoms.filter(col("model_idx") === 0)
+        val offsets = Af3Pipeline.chainOffsets(Af3Pipeline.chainInfo(model0))
+        val interacting = Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), offsets, p)
+        val members = Af3Pipeline.partnerIslandMembers(
+          Af3Pipeline.contactPairs(model0, interacting, p))
+        Af3Pipeline.modelExtractAtoms(atoms, members, p)
+          .groupBy(col("model_idx").cast("long").as("model_idx"), col("chain"))
+          .agg(count(lit(1)).as("n_atoms"))
+          .orderBy("model_idx", "chain")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT CASE WHEN chain = 'A' THEN 'A' ELSE 'B' END AS chain,
+                 count(*) AS n_atoms
+          FROM read_csv('$fx/expected_atoms_model0.csv', header=true)
+          WHERE chain = 'A'
+             OR (chain = 'B' AND res_id IN (
+                   SELECT DISTINCT partner_res
+                   FROM read_csv('$fx/expected_contacts.csv', header=true)))
+          GROUP BY 1)
+        SELECT m.generate_series AS model_idx, chain, n_atoms
+        FROM base, generate_series(0, 4) m
+        ORDER BY model_idx, chain""")),
+
+    QDef(
       "af3_pymol_script",
       (s, _) =>
         Af3Pipeline.pymolScripts(
