@@ -129,6 +129,24 @@ object ExtrasQueries {
         FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
         ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""")),
 
+    QDef(
+      "agg_salted_skew",
+      (s, dir) =>
+        // two-stage salted aggregation over a 3-key (heavily skewed)
+        // grouping — identical result to the direct groupBy, but stage 1
+        // spreads each hot key over 32 reducers (graft.operators.Salted)
+        graft.operators.Salted.saltedSumCount(
+          tbl(s, dir, "lineitem"),
+          Seq("l_returnflag"),
+          col("l_quantity"),
+          spreadCol = col("l_orderkey") * 8 + col("l_linenumber"))
+          .select(col("l_returnflag"), col("sum_val").cast("long").as("sum_qty"), col("n"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // approx sketch: no cross-engine oracle (HLL implementations differ);
     // driver records the weaker rows-only check
     QDef(
