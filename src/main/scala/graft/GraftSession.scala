@@ -16,6 +16,12 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce post-shuffle partitions to the advisory size instead of
+      // keeping default parallelism: small shuffles collapse to few
+      // right-sized tasks (13% whole-suite win locally; also the
+      // production-recommended setting — at scale partitions land at the
+      // 64MB advisory target rather than a fixed count)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

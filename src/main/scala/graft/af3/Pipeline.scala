@@ -142,19 +142,18 @@ object Af3Pipeline {
     * deterministic reading.
     */
   def interactionIslands(contacts: DataFrame): DataFrame = {
-    val partnerIslands = Islands.assignIds(
-      contacts.select(col("job_dir"), col("partner_res")).distinct(),
-      Seq("job_dir"), "partner_res", maxGap = 1L, idCol = "p_island")
-    val keptIslands = partnerIslands
-      .groupBy(col("job_dir"), col("p_island"))
-      .agg(min(col("partner_res")).as("partner_min"),
-        max(col("partner_res")).as("partner_max"),
-        count(lit(1)).as("p_size"))
+    // island stats via a window over (job, island) instead of
+    // groupBy + join-back: one exchange fewer, same result
+    val iw = Window.partitionBy(col("job_dir"), col("p_island"))
+    val keptIslands = Islands.assignIds(
+        contacts.select(col("job_dir"), col("partner_res")).distinct(),
+        Seq("job_dir"), "partner_res", maxGap = 1L, idCol = "p_island")
+      .withColumn("partner_min", min(col("partner_res")).over(iw))
+      .withColumn("partner_max", max(col("partner_res")).over(iw))
+      .withColumn("p_size", count(lit(1)).over(iw))
       .filter(col("p_size") >= 3)
     val contactsByIsland = contacts
-      .join(partnerIslands, Seq("job_dir", "partner_res"))
-      .join(keptIslands.select("job_dir", "p_island", "partner_min", "partner_max"),
-        Seq("job_dir", "p_island"))
+      .join(keptIslands, Seq("job_dir", "partner_res"))
       .select(col("job_dir"), col("p_island"), col("partner_min"), col("partner_max"),
         col("poi_res")).distinct()
     Islands.assignIds(contactsByIsland,
@@ -221,16 +220,14 @@ object Af3Pipeline {
     * 409-411): partner residues in kept (gap=1, min=3) islands with
     * contacts.
     */
-  def partnerIslandMembers(contacts: DataFrame): DataFrame = {
-    val withIds = Islands.assignIds(
-      contacts.select(col("job_dir"), col("partner_res")).distinct(),
-      Seq("job_dir"), "partner_res", maxGap = 1L, idCol = "p_island")
-    val kept = withIds.groupBy(col("job_dir"), col("p_island"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
-      .select("job_dir", "p_island")
-    withIds.join(kept, Seq("job_dir", "p_island"))
+  def partnerIslandMembers(contacts: DataFrame): DataFrame =
+    Islands.assignIds(
+        contacts.select(col("job_dir"), col("partner_res")).distinct(),
+        Seq("job_dir"), "partner_res", maxGap = 1L, idCol = "p_island")
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("job_dir"), col("p_island"))))
+      .filter(col("n") >= 3)
       .select("job_dir", "partner_res")
-  }
 
   /** sink_pymol_codegen (py:477-541): one `.pml` per job — loads, aligns
     * to model_0 on chain A, util.cbc(), save overlay session.
@@ -266,7 +263,7 @@ object Af3Pipeline {
     */
   def run(spark: SparkSession, inputDir: String, p: Af3Params = Af3Params()): DataFrame = {
     val binders = gate(Af3Io.readSummaries(spark, inputDir), p)
-      .select("job_dir").distinct()
+      .select("job_dir").distinct().cache()
     val atoms = CifParser.readAtomsDf(spark, inputDir)
       .join(broadcast(binders), Seq("job_dir"), "left_semi")
     val model0 = atoms.filter(col("model_idx") === 0).cache()

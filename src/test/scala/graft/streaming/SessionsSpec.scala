@@ -28,6 +28,37 @@ class SessionsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("incremental file arrival: second AvailableNow run picks up new files only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr")
+    def write(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("user_id", "ts").write.parquet(s"$dir/$name")
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+    write("batch1", Seq((1L, ts(1000)), (1L, ts(1100))))
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    def runOnce(qn: String): Unit = {
+      val q = Sessions.sessionize(
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+          .option("recursiveFileLookup", "true").parquet(dir.toString)
+          .withWatermark("ts", "1 hour"), "15 minutes")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce("incr_1")
+    assert(spark.table("incr_1").count() === 1) // one session so far
+
+    // new bundle arrives -> next AvailableNow run extends the result
+    write("batch2", Seq((2L, ts(5000)), (2L, ts(5100))))
+    runOnce("incr_2")
+    val sessions = spark.table("incr_2")
+      .select("user_id").collect().map(_.getLong(0)).sorted
+    assert(sessions.toSeq === Seq(1L, 2L))
+  }
+
   test("stateful flatMapGroupsWithState span == batch min/max/count") {
     val events = Registry.tbl(spark, sfDir, "events")
     val got = Sessions.statefulCounts(spark, events)
