@@ -48,17 +48,37 @@ object Af3Io {
   private def stripScheme(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^file:/*", "/")
 
-  /** Read all summaries under `inputDir` keyed by job_dir. */
-  def readSummaries(spark: SparkSession, inputDir: String): DataFrame =
+  private def rawSummaries(spark: SparkSession, inputDir: String, enc: String): DataFrame =
     spark.read.schema(summarySchema)
       .option("multiLine", "true")
+      .option("encoding", enc)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*_summary_confidences_0.json")
       .json(inputDir)
-      .withColumn("job_dir", Scalars.parentDirName(input_file_name()))
-      .filter(!Scalars.baseName(input_file_name()).startsWith("._"))
+      .withColumn("__path", input_file_name())
+      .filter(!Scalars.baseName(col("__path")).startsWith("._"))
+
+  /** Read all summaries under `inputDir` keyed by job_dir, with the
+    * reference's encoding fallback (py:68-73): files that fail the UTF-8
+    * parse are re-read as ISO-8859-1; files bad in both encodings keep
+    * their `_corrupt` marker and fall out at the gate (≙ return False,
+    * py:74-77). Exactly one row per summary file either way.
+    */
+  def readSummaries(spark: SparkSession, inputDir: String): DataFrame = {
+    // cache: Spark forbids filtering a raw JSON scan on only the corrupt
+    // column (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materializing first is
+    // the documented workaround, and the summaries table is tiny
+    val utf8 = rawSummaries(spark, inputDir, "UTF-8").cache()
+    val good = utf8.filter(col("_corrupt").isNull)
+    val badPaths = utf8.filter(col("_corrupt").isNotNull).select("__path")
+    val latin1Retry = rawSummaries(spark, inputDir, "ISO-8859-1")
+      .join(broadcast(badPaths), Seq("__path"), "left_semi")
+    good.unionByName(latin1Retry)
+      .withColumn("job_dir", Scalars.parentDirName(col("__path")))
+      .drop("__path")
+  }
 
   /** Read all full_data files under `inputDir`, exploded to long/COO form
     * `(job_dir, i, j, pae)` — the transpose of py:215 is a no-op here, and

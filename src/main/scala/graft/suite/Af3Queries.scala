@@ -35,7 +35,9 @@ object Af3Queries {
       (s, _) =>
         Af3Pipeline.gate(Af3Io.readSummaries(s, fx), p)
           .select(col("job_dir")).orderBy("job_dir"),
-      Some("SELECT 'job_binder' AS job_dir")),
+      Some("""
+        SELECT 'job_binder' AS job_dir UNION ALL SELECT 'job_latin1'
+        ORDER BY job_dir""")),
 
     QDef(
       "af3_agg_chain_info",

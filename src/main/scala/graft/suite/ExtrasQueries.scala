@@ -130,6 +130,32 @@ object ExtrasQueries {
         ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""")),
 
     QDef(
+      "join_outer_nulls",
+      (s, dir) => {
+        // full outer join + null-default semantics (the relational
+        // reading of the reference's .get(default) handling, py:82-84)
+        val c = tbl(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+        val sup = tbl(s, dir, "supplier")
+          .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+        c.join(sup, Seq("nk"), "full_outer")
+          .select(col("nk"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nk")
+      },
+      Some("""
+        WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                   FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                   FROM supplier GROUP BY 1)
+        SELECT coalesce(c.nk, s.nk) AS nk,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        ORDER BY nk""")),
+
+    QDef(
       "agg_salted_skew",
       (s, dir) =>
         // two-stage salted aggregation over a 3-key (heavily skewed)

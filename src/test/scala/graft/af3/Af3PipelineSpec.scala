@@ -14,11 +14,19 @@ class Af3PipelineSpec extends SparkSpec {
     Af3Io.readPaeLong(spark, fixtureDir), Af3Pipeline.chainOffsets(chains), p).cache()
   private lazy val contacts = Af3Pipeline.contactPairs(model0, interacting, p).cache()
 
-  test("gate keeps the binder, drops weak and corrupt jobs") {
+  test("gate keeps binders (incl. latin-1 fallback), drops weak and corrupt jobs") {
     val binders = Af3Pipeline.gate(summaries, p)
-      .select("job_dir").collect().map(_.getString(0)).toSeq
-    assert(binders === Seq("job_binder"))
-    assert(summaries.count() === 3) // all three discovered
+      .select("job_dir").collect().map(_.getString(0)).toSeq.sorted
+    assert(binders === Seq("job_binder", "job_latin1"))
+    assert(summaries.count() === 4) // all four discovered, one row each
+  }
+
+  test("latin-1 summary parses via the encoding fallback (py:68-73)") {
+    val row = summaries.filter(org.apache.spark.sql.functions.col("job_dir") === "job_latin1")
+      .collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[Double]("iptm") === 0.9)
+    assert(row.head.getAs[String]("_corrupt") == null)
   }
 
   test("gate with unknown chain id passes nothing (py:93-94)") {

@@ -142,6 +142,15 @@ def main():
     with open(os.path.join(jc, "job_corrupt_summary_confidences_0.json"), "w") as f:
         f.write('{"iptm": 0.9, "ptm": ')  # truncated JSON
 
+    # --- job_latin1: latin-1-encoded summary (py:71-73 fallback) --------
+    jl = os.path.join(ROOT, "job_latin1")
+    os.makedirs(jl, exist_ok=True)
+    with open(os.path.join(jl, "job_latin1_summary_confidences_0.json"), "w",
+              encoding="latin-1") as f:
+        json.dump({"iptm": 0.9, "ptm": 0.85,
+                   "chain_pair_pae_min": [[0.4, 2.5], [2.6, 0.5]],
+                   "note": "café résumé"}, f, ensure_ascii=False)
+
     # --- expected outputs (independent computation) ---------------------
     # atoms of job_binder model_0
     with open(os.path.join(ROOT, "expected_atoms_model0.csv"), "w", newline="") as f:
