@@ -130,6 +130,26 @@ object ExtrasQueries {
         ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""")),
 
     QDef(
+      "agg_percentile_exact",
+      (s, dir) =>
+        // exact (sort-based) quantiles at power-of-two fractions over
+        // integer-valued quantities: linear interpolation is exact FP in
+        // both engines, so the compare is bit-precise
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("q25"),
+            expr("percentile(l_quantity, 0.5)").as("median"),
+            expr("percentile(l_quantity, 0.75)").as("q75"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.5) AS median,
+               quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
       "join_outer_nulls",
       (s, dir) => {
         // full outer join + null-default semantics (the relational
