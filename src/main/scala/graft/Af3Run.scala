@@ -36,7 +36,7 @@ object Af3Run {
     val spark = GraftSession.build("graft-af3-run")
 
     val binders = Af3Pipeline.gate(Af3Io.readSummaries(spark, inputDir), p)
-      .select("job_dir").distinct()
+      .select("job_dir").distinct().cache()
     val atoms = CifParser.readAtomsDf(spark, inputDir)
       .join(broadcast(binders), Seq("job_dir"), "left_semi")
       .cache()
@@ -54,8 +54,9 @@ object Af3Run {
     val interactionDir = s"$outBase/Interaction_cif_files_PAE_${p.maxPaeCutoff}_maxdist_${p.maxDist}"
     val overlayDir = s"$outBase/Overlays_Interaction_cif_files_PAE_${p.maxPaeCutoff}_maxdist_${p.maxDist}"
 
-    // 1. CSV report (py:578)
+    // 1. CSV report (py:578) — cached: counted again for the summary line
     val report = Af3Pipeline.report(Af3Pipeline.interactionIslands(contacts), info, p)
+      .cache()
     CifWriter.writeReportCsv(report, outBase, p)
 
     // 2. interaction CIFs: POI chain + island partner residues, model 0

@@ -61,7 +61,13 @@ object CifParser {
 
     def emit(l: String): Unit = {
       val t = l.split("\\s+")
-      if (iGrp >= 0 && t.length > iGrp && (t(iGrp) == "ATOM" || t(iGrp) == "HETATM")) {
+      // a row is usable only if the coordinate fields exist and the line
+      // is long enough for every bound index — truncated rows and loops
+      // missing Cartn_* are skipped, never fatal (≙ the reference's
+      // per-file error tolerance, py:40-64)
+      val maxIdx = Seq(iGrp, iChain, iRes, iResName, iAtom, iX, iY, iZ).max
+      if (iGrp >= 0 && iX >= 0 && iY >= 0 && iZ >= 0 && t.length > maxIdx &&
+          (t(iGrp) == "ATOM" || t(iGrp) == "HETATM")) {
         try {
           out += CifAtom(
             jobDir, modelIdx,

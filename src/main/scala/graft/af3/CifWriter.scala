@@ -19,11 +19,14 @@ object CifWriter {
     * job_dir/model_idx) and feed [[writeKeyedText]].
     */
   def renderCif(atoms: DataFrame, fileKey: org.apache.spark.sql.Column): DataFrame = {
+    // format_string, NOT format_number: the latter inserts thousands
+    // separators ("1,234.500") which no CIF consumer can read back
+    def coord(c: org.apache.spark.sql.Column) = format_string("%.3f", c)
     val line = concat_ws(" ",
       lit("ATOM"), col("atom_serial"), col("atom_name"), lit("."), col("res_name"),
       col("chain"), col("res_id"),
-      format_number(col("x"), 3), format_number(col("y"), 3), format_number(col("z"), 3),
-      col("chain"), col("res_id"))
+      coord(col("x")), coord(col("y")), coord(col("z")),
+      col("chain"), lit(1)) // auth_asym_id, pdbx_PDB_model_num
     atoms
       .withColumn("atom_serial",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -83,8 +86,31 @@ object CifWriter {
       }
   }
 
-  /** The reference's dynamic-named CSV report sink (py:304-318). */
-  def writeReportCsv(report: DataFrame, outDir: String, p: Af3Params): Unit =
-    report.coalesce(1).write.mode("overwrite").option("header", "true")
-      .csv(s"$outDir/interaction_analysis_PAE_${p.maxPaeCutoff}_max_dist_${p.maxDist}")
+  /** The reference's dynamic-named CSV report sink (py:304-318): exact
+    * reference headers (chain ids interpolated into column names,
+    * py:306-312) and a single file named
+    * `interaction_analysis_PAE_{pae}_max_dist_{d}.csv`, not a part-file
+    * directory — so downstream tooling written for the reference reads it
+    * unchanged.
+    */
+  def writeReportCsv(report: DataFrame, outDir: String, p: Af3Params): Unit = {
+    val renamed = report
+      .withColumnRenamed("folder_name", "Folder_name")
+      .withColumnRenamed("contact_residues_poi",
+        s"Contact_residues_POI_chain_${p.poiChain}")
+      .withColumnRenamed("contact_sequence", "Contact_sequence")
+      .withColumnRenamed("interacting_residues_partner",
+        s"Interacting_residues_Partner_chain_${p.partnerChain}")
+      .withColumnRenamed("interacting_sequence", "Interacting_sequence")
+    val name = s"interaction_analysis_PAE_${p.maxPaeCutoff}_max_dist_${p.maxDist}"
+    val tmp = s"$outDir/.$name.tmp"
+    renamed.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val dir = new java.io.File(tmp)
+    val part = dir.listFiles().find(_.getName.endsWith(".csv"))
+      .getOrElse(sys.error(s"no csv part written under $tmp"))
+    val target = new java.io.File(outDir, s"$name.csv")
+    if (target.exists()) target.delete()
+    java.nio.file.Files.move(part.toPath, target.toPath)
+    dir.listFiles().foreach(_.delete()); dir.delete()
+  }
 }

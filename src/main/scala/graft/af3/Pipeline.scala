@@ -73,13 +73,9 @@ object Af3Pipeline {
     * (py:186-188), which for AF3 outputs coincides with file insertion
     * order (chains are emitted alphabetically).
     */
-  def chainOffsets(chainInfoDf: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("job_dir")).orderBy(col("chain"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    chainInfoDf
-      .withColumn("start_off", coalesce(sum(col("residue_length")).over(w), lit(0L)))
-      .withColumn("end_off", col("start_off") + col("residue_length"))
-  }
+  def chainOffsets(chainInfoDf: DataFrame): DataFrame =
+    graft.operators.Windows.prefixOffsets(
+      chainInfoDf, Seq("job_dir"), "chain", "residue_length")
 
   /** agg_pae_threshold_count + project_rebase_index (py:185-224): partner
     * tokens j with `count_{i in POI}(pae[i][j] < cutoff) >= min_residues`,

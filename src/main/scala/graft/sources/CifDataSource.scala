@@ -76,10 +76,11 @@ class CifScan(root: String) extends Scan with Batch {
   override def readSchema(): StructType = CifDataSource.schema
   override def toBatch: Batch = this
 
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    val fs = new Path(root).getFileSystem(conf)
+    val fs = new Path(root).getFileSystem(hadoopConf)
     val it = fs.listFiles(new Path(root), true)
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     while (it.hasNext) {
@@ -91,20 +92,37 @@ class CifScan(root: String) extends Scan with Batch {
     parts.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new CifReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session's Hadoop settings (fs credentials, custom
+    // schemes) to executors — a fresh Configuration() there would drop
+    // every spark.hadoop.* setting
+    val props = {
+      val c = hadoopConf
+      val b = Map.newBuilder[String, String]
+      val it = c.iterator()
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    new CifReaderFactory(props)
+  }
 }
 
 case class CifFilePartition(path: String) extends InputPartition
 
-class CifReaderFactory extends PartitionReaderFactory {
+class CifReaderFactory(confProps: Map[String, String]) extends PartitionReaderFactory {
+  private def rebuildConf(): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    confProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CifFilePartition].path
     new PartitionReader[InternalRow] {
       private val atoms: Iterator[graft.af3.CifAtom] = p match {
         case CifDataSource.pathRe(job, m) =>
           val hp = new Path(p)
-          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = hp.getFileSystem(rebuildConf())
           val in = fs.open(hp)
           val bytes =
             try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)

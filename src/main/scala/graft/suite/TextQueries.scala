@@ -56,10 +56,11 @@ object TextQueries {
           s"len(list_filter(toks, x -> list_contains([$list], x))) AS s_$lang"
         }.mkString(", ")
         val langs = TextFunctions.langMarkers.map(_._1)
-        val cases = langs.map { l =>
+        val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+        val cases = (s"WHEN $allZero THEN 'und'" +: langs.map { l =>
           val geAll = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
           s"WHEN $geAll THEN '$l'"
-        }.mkString(" ")
+        }).mkString(" ")
         s"""WITH t AS (SELECT doc_id,
               string_split_regex(text, '\\s+') AS toks FROM documents),
             sc AS (SELECT doc_id, $scores FROM t)

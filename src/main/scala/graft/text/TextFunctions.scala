@@ -59,11 +59,14 @@ object TextFunctions {
 
   def langId(text: Column): Column = {
     val scores = langMarkers.map { case (lang, ws) => lang -> countHits(text, ws) }
-    // first lang (alphabetical) whose score >= every other score
-    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+    // no marker hit at all -> "und"; else the first lang (alphabetical)
+    // whose score >= every other score
+    val anyHit = scores.map(_._2).map(_ > 0).reduce(_ || _)
+    val argmax = scores.foldRight(lit("und")) { case ((lang, s), els) =>
       val isMax = scores.map(_._2).map(o => s >= o).reduce(_ && _)
       when(isMax, lit(lang)).otherwise(els)
     }
+    when(anyHit, argmax).otherwise(lit("und"))
   }
 
   /** Document fingerprint: polynomial rolling hash over characters
