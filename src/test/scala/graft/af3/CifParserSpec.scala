@@ -58,6 +58,32 @@ class CifParserSpec extends SparkSpec {
     assert(out === List(CifAtom("j", 0, "Z", 7, "GLY", "CA", 1.5, 2.5, 3.5)))
   }
 
+  test("truncated rows and loops without coordinates are skipped, not fatal") {
+    val truncated =
+      """loop_
+        |_atom_site.group_PDB
+        |_atom_site.auth_asym_id
+        |_atom_site.auth_seq_id
+        |_atom_site.auth_comp_id
+        |_atom_site.label_atom_id
+        |_atom_site.Cartn_x
+        |_atom_site.Cartn_y
+        |_atom_site.Cartn_z
+        |ATOM A 1 ALA N 1.0 2.0 3.0
+        |ATOM A 2
+        |ATOM A 3 GLY CA 4.0 5.0 6.0
+        |""".stripMargin
+    assert(CifParser.parseAtomSite("j", 0, truncated).map(_.res_id).toList === List(1, 3))
+
+    val noCoords =
+      """loop_
+        |_atom_site.group_PDB
+        |_atom_site.auth_asym_id
+        |ATOM A
+        |""".stripMargin
+    assert(CifParser.parseAtomSite("j", 0, noCoords).isEmpty)
+  }
+
   test("malformed numeric rows are skipped, not fatal") {
     val cif =
       """loop_
