@@ -88,9 +88,12 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Bucketed ANN top-k: rank by exact integer dot product within each
-    * LSH bucket. The scale path: per-bucket work is |bucket|^2 with
-    * buckets ~ N/2^planes; add planes to shrink buckets.
+  /** Bucketed ANN top-k: candidates from the query's own LSH bucket plus
+    * (with `multiProbe`) every bucket at Hamming distance 1 — the
+    * standard multi-probe trick that recovers neighbors lost to a single
+    * hyperplane flip. Candidates rank by exact integer dot product.
+    * The scale path: per-bucket work is |bucket|^2 with buckets ~
+    * N/2^planes; add planes to shrink buckets, probes to regain recall.
     */
   def annTopK(
       vectors: DataFrame,
@@ -98,14 +101,21 @@ object Similarity {
       embCol: String,
       numPlanes: Int,
       dims: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      multiProbe: Boolean = false): DataFrame = {
     val v = vectors.select(col(idCol).as("v_id"),
       intEmbedding(col(embCol)).as("ie"),
       lshBucket(col(embCol), numPlanes, dims).as("bucket"))
-    val pairs = v.as("q").join(v.as("c"), Seq("bucket"))
+    val masks: Seq[Long] =
+      if (multiProbe) 0L +: (0 until numPlanes).map(1L << _).toSeq else Seq(0L)
+    val q = v.withColumn("probe", explode(typedLit(masks)))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("probe")))
+      .drop("probe")
+    val pairs = q.as("q").join(v.as("c"), Seq("bucket"))
       .filter(col("q.v_id") =!= col("c.v_id"))
-      .select(col("bucket"), col("q.v_id").as("q_id"), col("c.v_id").as("c_id"),
+      .select(col("q.v_id").as("q_id"), col("c.v_id").as("c_id"),
         graft.functions.VectorExpressions.dotLong(col("q.ie"), col("c.ie")).as("idot"))
+      .distinct() // a candidate can surface via several probes
     pairs
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("c_id"))))

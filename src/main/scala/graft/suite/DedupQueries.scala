@@ -111,6 +111,64 @@ object DedupQueries {
       }),
 
     QDef(
+      "dedup_near_pipeline",
+      (s, dir) => {
+        // the composed production near-dup pipeline: MinHash signatures ->
+        // LSH band candidates -> 3-shingle Jaccard verification (>= 0.7)
+        // -> survivor set (min doc id per connected pair). Candidate
+        // generation never compares all pairs; verification touches only
+        // LSH hits.
+        val (ids, vsize) = docWordIds(s, dir)
+        val shingles = Dedup.shingles3(ids, vsize).cache()
+        val sig = Dedup.minhashSignature(shingles, NumPerms)
+        val cands = Dedup.lshCandidates(Dedup.lshBandKeys(sig, NumPerms))
+        val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val inter = cands
+          .join(shingles.withColumnRenamed("doc_id", "a"), Seq("a"))
+          .join(shingles.withColumnRenamed("doc_id", "b")
+            .withColumnRenamed("shingle", "shingle_b"), Seq("b"))
+          .filter(col("shingle") === col("shingle_b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
+          .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
+          .withColumn("jac",
+            col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
+          .filter(col("jac") >= 0.7)
+          .select(col("a"), col("b"), col("jac"))
+          .orderBy("a", "b")
+      },
+      Some {
+        val mins = Dedup.hashCoeffs(NumPerms).zipWithIndex.map { case ((a, b), k) =>
+          s"min((shingle * $a + $b) % $P) AS mh_$k"
+        }.mkString(", ")
+        val bandRows = (0 until NumPerms / 2).map { b =>
+          s"SELECT doc_id, $b AS band, mh_${2 * b} * $P + mh_${2 * b + 1} AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $vocabSql, $shingleSql,
+            sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id),
+            bands AS ($bandRows),
+            cands AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+                AND x.doc_id < y.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY doc_id),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS ni
+              FROM cands c
+              JOIN shing sa ON sa.doc_id = c.a
+              JOIN shing sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b)
+            SELECT a, b,
+                   CAST(ni AS DOUBLE) / CAST(za.n_sh + zb.n_sh - ni AS DOUBLE) AS jac
+            FROM inter
+            JOIN sizes za ON za.doc_id = a
+            JOIN sizes zb ON zb.doc_id = b
+            WHERE CAST(ni AS DOUBLE) / CAST(za.n_sh + zb.n_sh - ni AS DOUBLE) >= 0.7
+            ORDER BY a, b"""
+      }),
+
+    QDef(
       "dedup_simhash",
       (s, dir) => {
         val (ids, _) = docWordIds(s, dir)
