@@ -37,28 +37,27 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
       .select(col("survivor_id"), col("n_copies"))
 
-  // ---- shared vocabulary ------------------------------------------------
-
-  /** Global word vocabulary with dense 0-based ids (deterministic: sorted
-    * by word). One shuffle; at scale this is a broadcast-able dimension
-    * (distinct words grow ~log of corpus).
-    */
-  def vocab(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .distinct()
-      .withColumn("word_id",
-        row_number().over(Window.orderBy(col("word"))).cast("long") - 1)
-
-  /** (id, pos, word_id) triples per document, in token order. */
-  def docWordIds(docs: DataFrame, idCol: String, textCol: String, vocabDf: DataFrame): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "word")))
-      .join(broadcast(vocabDf), Seq("word"))
-      .select(col("doc_id"), col("pos"), col("word_id"))
-
-  // ---- MinHash + LSH ----------------------------------------------------
+  // ---- hash-based word ids ---------------------------------------------
 
   val MinhashP: Long = 2147483647L // 2^31 - 1, prime
+
+  /** Word id by explicit polynomial hash reduced mod p — a pure
+    * projection: no vocabulary frame, no global window, no join. At
+    * 100 TB the id assignment is embarrassingly parallel (the round-1
+    * dense-id vocab funneled every distinct word through a single
+    * unpartitioned `row_number` window task). The fold is plain integer
+    * arithmetic, so the DuckDB oracle reproduces ids bit-for-bit.
+    */
+  def wordId(word: Column): Column =
+    graft.functions.Scalars.polyHash(word) % MinhashP
+
+  /** (id, pos, word_id) triples per document, in token order. */
+  def docWordIds(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos"), wordId(col("word")).as("word_id"))
+
+  // ---- MinHash + LSH ----------------------------------------------------
 
   /** Deterministic per-permutation coefficients (all < MinhashP; products
     * stay < 2^63 given shingle ids are reduced mod p first).
@@ -66,18 +65,23 @@ object Dedup {
   def hashCoeffs(numPerms: Int): Seq[(Long, Long)] =
     (1 to numPerms).map(k => (1000003L * k + 12345L, 777767L * k + 13L))
 
-  /** 3-word shingle ids: (w0*V + w1)*V + w2 reduced mod p. Requires the
-    * vocabulary size V to keep shingles injective below p-collisions.
+  /** Base for chaining word hashes into a 3-shingle hash (prime < p). */
+  val ShingleBase: Long = 1000003L
+
+  /** 3-word shingle ids: hash chain ((w0*B + w1) % p * B + w2) % p over
+    * the per-word hashes. B and p are fixed constants, so products stay
+    * < 2^31 * 2^20 < 2^52 — no overflow, and no corpus-dependent state
+    * (the round-1 form multiplied by the vocabulary size, which required
+    * a driver-side count of the global vocab).
     */
-  def shingles3(wordIds: DataFrame, vocabSize: Long): DataFrame = {
+  def shingles3(wordIds: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     wordIds
       .withColumn("w1", lead(col("word_id"), 1).over(w))
       .withColumn("w2", lead(col("word_id"), 2).over(w))
       .filter(col("w2").isNotNull)
-      // ((w0*V + w1) % p * V + w2) % p — stays < 2^63 for V <= ~4e9
       .withColumn("shingle",
-        ((col("word_id") * vocabSize + col("w1")) % MinhashP * vocabSize + col("w2"))
+        ((col("word_id") * ShingleBase + col("w1")) % MinhashP * ShingleBase + col("w2"))
           % MinhashP)
       .select(col("doc_id"), col("shingle")).distinct()
   }
@@ -150,24 +154,28 @@ object Dedup {
       textCol: String,
       blockCol: String,
       minJaccard: Double): DataFrame = {
-    // Per-doc distinct word-id set as one compact long array, then a
-    // block-key join (broadcast-able: one row per doc) with hash-based
-    // array_intersect per pair. Avoids the 25M-row word-level join shape
-    // (explode + equi-join on (block, word)) that dominates at scale —
-    // pair count is bounded by the blocking, intersection is O(n+m).
-    val v = vocab(docs, textCol)
+    // Per-doc distinct word-hash set as one compact long array, then a
+    // shuffle join on the block key with array_intersect per pair.
+    // Avoids the 25M-row word-level join shape (explode + equi-join on
+    // (block, word)) that dominates at scale — pair count is bounded by
+    // the blocking, intersection is O(n+m). The block join is a plain
+    // shuffle hash join: both sides are unbounded at 100 TB, so no
+    // broadcast hint (the round-1 broadcast of the full word-set frame
+    // was an OOM at scale).
     val wordSets = docs
       .select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .join(broadcast(v), Seq("word"))
       .groupBy(col("blk"), col("doc_id"))
-      .agg(collect_set(col("word_id")).as("words"))
+      .agg(collect_set(wordId(col("word"))).as("words"))
       .withColumn("n_words", size(col("words")))
     val x = wordSets.select(col("blk"), col("doc_id").as("a"),
       col("words").as("wa"), col("n_words").as("na"))
     val y = wordSets.select(col("blk"), col("doc_id").as("b"),
       col("words").as("wb"), col("n_words").as("nb"))
-    x.join(broadcast(y), Seq("blk"))
+    // shuffle_hash (not broadcast: the word-set side is unbounded at
+    // 100 TB; not sort-merge: no ordering needed, per-partition hash
+    // build on the bounded block is cheaper than sorting both sides)
+    x.join(y.hint("shuffle_hash"), Seq("blk"))
       .filter(col("a") < col("b"))
       .withColumn("n_inter", size(array_intersect(col("wa"), col("wb"))))
       .withColumn("jaccard",

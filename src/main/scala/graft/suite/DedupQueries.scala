@@ -17,39 +17,40 @@ object DedupQueries {
   private val P = Dedup.MinhashP
   private val NumPerms = 8
 
-  /** Shared SQL prelude: tokenized docs + global vocab + word ids. */
+  /** Polynomial rolling hash of `word` reduced mod p — the exact DuckDB
+    * mirror of Dedup.wordId (Scalars.polyHash % MinhashP).
+    */
+  private def wordHashSql(wordExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($wordExpr, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, c) -> (acc * 131 + c) % ${graft.functions.Scalars.polyHashP}) % $P"""
+
+  /** Shared SQL prelude: tokenized docs + hash-based word ids (no vocab
+    * table — ids are a pure projection, mirroring Dedup.docWordIds).
+    */
   private val vocabSql =
-    """words AS (
-         SELECT DISTINCT unnest(string_split_regex(text, '\s+')) AS word
-         FROM documents),
-       vocab AS (
-         SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) - 1 AS word_id
-         FROM words),
-       vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
-       toks AS (
+    s"""toks AS (
          SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos, ts
-         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents)),
+         FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents)),
        ids AS (
-         SELECT t.doc_id, t.pos, v.word_id
-         FROM (SELECT doc_id, pos, ts[pos] AS word FROM toks) t
-         JOIN vocab v USING (word))"""
+         SELECT doc_id, pos, ${wordHashSql("word")} AS word_id
+         FROM (SELECT doc_id, pos, ts[pos] AS word FROM toks))"""
+
+  private val B = Dedup.ShingleBase
 
   private val shingleSql =
     s"""shing AS (
          SELECT DISTINCT doc_id,
-           ((w0 * v + w1) % $P * v + w2) % $P AS shingle
+           ((w0 * $B + w1) % $P * $B + w2) % $P AS shingle
          FROM (
            SELECT doc_id, word_id AS w0,
                   lead(word_id, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
                   lead(word_id, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-           FROM ids), vsize
+           FROM ids)
          WHERE w2 IS NOT NULL)"""
 
-  private def docWordIds(s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, Long) = {
-    val docs = tbl(s, dir, "documents")
-    val v = Dedup.vocab(docs, "text").cache()
-    (Dedup.docWordIds(docs, "doc_id", "text", v), v.count())
-  }
+  private def docWordIds(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Dedup.docWordIds(tbl(s, dir, "documents"), "doc_id", "text")
 
   def all: Seq[QDef] = Seq(
 
@@ -74,8 +75,8 @@ object DedupQueries {
     QDef(
       "dedup_minhash_signature",
       (s, dir) => {
-        val (ids, vsize) = docWordIds(s, dir)
-        Dedup.minhashSignature(Dedup.shingles3(ids, vsize), NumPerms)
+        val ids = docWordIds(s, dir)
+        Dedup.minhashSignature(Dedup.shingles3(ids), NumPerms)
           .orderBy("doc_id")
       },
       Some {
@@ -89,8 +90,8 @@ object DedupQueries {
     QDef(
       "dedup_lsh_candidates",
       (s, dir) => {
-        val (ids, vsize) = docWordIds(s, dir)
-        val sig = Dedup.minhashSignature(Dedup.shingles3(ids, vsize), NumPerms)
+        val ids = docWordIds(s, dir)
+        val sig = Dedup.minhashSignature(Dedup.shingles3(ids), NumPerms)
         Dedup.lshCandidates(Dedup.lshBandKeys(sig, NumPerms))
           .orderBy("a", "b")
       },
@@ -118,8 +119,8 @@ object DedupQueries {
         // -> survivor set (min doc id per connected pair). Candidate
         // generation never compares all pairs; verification touches only
         // LSH hits.
-        val (ids, vsize) = docWordIds(s, dir)
-        val shingles = Dedup.shingles3(ids, vsize).cache()
+        val ids = docWordIds(s, dir)
+        val shingles = Dedup.shingles3(ids).cache()
         val sig = Dedup.minhashSignature(shingles, NumPerms)
         val cands = Dedup.lshCandidates(Dedup.lshBandKeys(sig, NumPerms))
         val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -171,8 +172,7 @@ object DedupQueries {
     QDef(
       "dedup_simhash",
       (s, dir) => {
-        val (ids, _) = docWordIds(s, dir)
-        Dedup.simhash(ids).orderBy("doc_id")
+        Dedup.simhash(docWordIds(s, dir)).orderBy("doc_id")
       },
       Some {
         val bitSums = (0 until 16).map { k =>
@@ -193,11 +193,14 @@ object DedupQueries {
       (s, dir) =>
         Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", "source", 0.5)
           .orderBy("a", "b"),
-      Some("""
-        WITH w AS (
-          SELECT DISTINCT source AS blk, doc_id,
-            unnest(string_split_regex(text, '\s+')) AS word
+      Some(s"""
+        WITH raw AS (
+          SELECT source AS blk, doc_id,
+            unnest(string_split_regex(text, '\\s+')) AS word
           FROM documents),
+        w AS (
+          SELECT DISTINCT blk, doc_id, ${wordHashSql("word")} AS word
+          FROM raw),
         sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
         inter AS (
           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni

@@ -23,18 +23,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("identical texts share the full minhash signature; disjoint texts do not") {
-    val v = Dedup.vocab(docs, "text")
-    val ids = Dedup.docWordIds(docs, "doc_id", "text", v)
-    val sig = Dedup.minhashSignature(Dedup.shingles3(ids, v.count()), 8)
+    val ids = Dedup.docWordIds(docs, "doc_id", "text")
+    val sig = Dedup.minhashSignature(Dedup.shingles3(ids), 8)
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(sig(1L) === sig(2L))
     assert(sig(1L) !== sig(4L))
   }
 
   test("LSH candidates contain the exact-dup pair, not the disjoint pair") {
-    val v = Dedup.vocab(docs, "text")
-    val ids = Dedup.docWordIds(docs, "doc_id", "text", v)
-    val sig = Dedup.minhashSignature(Dedup.shingles3(ids, v.count()), 8)
+    val ids = Dedup.docWordIds(docs, "doc_id", "text")
+    val sig = Dedup.minhashSignature(Dedup.shingles3(ids), 8)
     val pairs = Dedup.lshCandidates(Dedup.lshBandKeys(sig, 8))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
@@ -42,8 +40,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical texts equal; hamming(near-dup) < hamming(disjoint)") {
-    val v = Dedup.vocab(docs, "text")
-    val ids = Dedup.docWordIds(docs, "doc_id", "text", v)
+    val ids = Dedup.docWordIds(docs, "doc_id", "text")
     val sh = Dedup.simhash(ids).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) === sh(2L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
