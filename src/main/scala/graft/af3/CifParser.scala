@@ -3,10 +3,14 @@ package graft.af3
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One parsed `_atom_site` row (the fields the reference consumes via
-  * BioPython: chain = auth_asym_id, res_id = auth_seq_id -> residue.id[1],
-  * res_name -> residue.resname, atom coords -> atom.coord; cite
-  * process_af3_outputs.py:146, 156-174, 227-251).
+/** One parsed `_atom_site` row. Core fields are what the reference
+  * consumes via BioPython (chain = auth_asym_id, res_id = auth_seq_id ->
+  * residue.id[1], res_name -> residue.resname, atom coords -> atom.coord;
+  * cite process_af3_outputs.py:146, 156-174, 227-251). The fidelity
+  * fields (`ordinal` through `b_iso`) preserve the rest of the record the
+  * way BioPython's MMCIFIO round-trips it (py:341-345, 423-427):
+  * element/type_symbol, occupancy, B-factor, label_* ids, insertion code,
+  * and the source row order within the file.
   */
 final case class CifAtom(
     job_dir: String,
@@ -17,7 +21,17 @@ final case class CifAtom(
     atom_name: String,
     x: Double,
     y: Double,
-    z: Double)
+    z: Double,
+    ordinal: Int = 0,
+    group_pdb: String = "ATOM",
+    type_symbol: String = "?",
+    alt_id: String = ".",
+    label_asym_id: String = "?",
+    entity_id: String = "?",
+    label_seq_id: String = "?",
+    ins_code: String = "?",
+    occupancy: Option[Double] = None,
+    b_iso: Option[Double] = None)
 
 /** mmCIF `_atom_site` reader, Spark-native.
   *
@@ -28,12 +42,63 @@ final case class CifAtom(
   * dependency, no driver-side work; the parse runs inside executors and
   * feeds straight into columnar DataFrames.
   *
-  * Limitations (fine for AF3 output bundles): values containing whitespace
-  * inside quotes are not un-quoted; multi-model files take the row's
-  * `pdbx_PDB_model_num` only through the filename convention
+  * Tokenization follows the CIF quoting rule BioPython implements
+  * (py:146 via MMCIF2Dict): a `'` or `"` at token start opens a quoted
+  * value that closes only at the matching quote followed by whitespace or
+  * end of line — so nucleic-acid atom names like `"C1'"` parse as `C1'`.
+  * Multi-model files take the row's model through the filename convention
   * `*_model_{k}.cif` (the reference does the same, py:349, 440-441).
   */
 object CifParser {
+
+  /** Decode CIF/JSON bytes: strict UTF-8 first, ISO-8859-1 on malformed
+    * input — the reference's encoding fallback applied to CIF reads too
+    * (read_cif_file, py:36-64: utf-8 then iso-8859-1).
+    */
+  def decodeText(bytes: Array[Byte]): String = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try utf8.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+  }
+
+  /** Split one data line into CIF tokens, honoring quoted values: a
+    * quote char at token start opens, and closes only when the same
+    * quote is followed by whitespace or line end (so `'C1''` and
+    * `"C1'"` both yield `C1'`-style names with embedded quotes intact).
+    */
+  def tokenize(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = line.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(line.charAt(i))) i += 1
+      if (i < n) {
+        val c = line.charAt(i)
+        if (c == '\'' || c == '"') {
+          val start = i + 1
+          var j = start
+          var end = -1
+          while (j < n && end < 0) {
+            if (line.charAt(j) == c && (j + 1 >= n || Character.isWhitespace(line.charAt(j + 1))))
+              end = j
+            j += 1
+          }
+          if (end >= 0) { out += line.substring(start, end); i = end + 1 }
+          else { out += line.substring(start); i = n } // unterminated: rest of line
+        } else {
+          val start = i
+          while (i < n && !Character.isWhitespace(line.charAt(i))) i += 1
+          out += line.substring(start, i)
+        }
+      }
+    }
+    out.toArray
+  }
 
   /** Parse the `_atom_site` loop of one mmCIF text. Tolerant of field
     * order: positions come from the `_atom_site.*` header lines.
@@ -43,12 +108,14 @@ object CifParser {
     val fields = scala.collection.mutable.ArrayBuffer.empty[String]
     var inHeader = false
     var inData = false
+    var ordinal = 0
     val out = scala.collection.mutable.ArrayBuffer.empty[CifAtom]
 
     def idx(names: String*): Int =
       names.map(fields.indexOf).find(_ >= 0).getOrElse(-1)
 
     var iGrp, iChain, iRes, iResName, iAtom, iX, iY, iZ = -1
+    var iType, iAlt, iLabAsym, iEntity, iLabSeq, iIns, iOcc, iB = -1
 
     def bindIndices(): Unit = {
       iGrp = idx("group_PDB")
@@ -57,26 +124,51 @@ object CifParser {
       iResName = idx("auth_comp_id", "label_comp_id")
       iAtom = idx("label_atom_id", "auth_atom_id")
       iX = idx("Cartn_x"); iY = idx("Cartn_y"); iZ = idx("Cartn_z")
+      iType = idx("type_symbol")
+      iAlt = idx("label_alt_id")
+      iLabAsym = idx("label_asym_id")
+      iEntity = idx("label_entity_id")
+      iLabSeq = idx("label_seq_id")
+      iIns = idx("pdbx_PDB_ins_code")
+      iOcc = idx("occupancy")
+      iB = idx("B_iso_or_equiv")
     }
 
+    def opt(t: Array[String], i: Int, dflt: String): String =
+      if (i >= 0 && i < t.length) t(i) else dflt
+
+    def optD(t: Array[String], i: Int): Option[Double] =
+      if (i >= 0 && i < t.length) t(i).toDoubleOption else None
+
     def emit(l: String): Unit = {
-      val t = l.split("\\s+")
+      val t = tokenize(l)
       // a row is usable only if the coordinate fields exist and the line
-      // is long enough for every bound index — truncated rows and loops
-      // missing Cartn_* are skipped, never fatal (≙ the reference's
+      // is long enough for every *required* index — truncated rows and
+      // loops missing Cartn_* are skipped, never fatal (≙ the reference's
       // per-file error tolerance, py:40-64)
       val maxIdx = Seq(iGrp, iChain, iRes, iResName, iAtom, iX, iY, iZ).max
       if (iGrp >= 0 && iX >= 0 && iY >= 0 && iZ >= 0 && t.length > maxIdx &&
           (t(iGrp) == "ATOM" || t(iGrp) == "HETATM")) {
         try {
+          ordinal += 1
           out += CifAtom(
             jobDir, modelIdx,
             if (iChain >= 0) t(iChain) else "",
             if (iRes >= 0) t(iRes).toInt else -1,
             if (iResName >= 0) t(iResName) else "",
             if (iAtom >= 0) t(iAtom) else "",
-            t(iX).toDouble, t(iY).toDouble, t(iZ).toDouble)
-        } catch { case _: NumberFormatException => () } // malformed row: skip
+            t(iX).toDouble, t(iY).toDouble, t(iZ).toDouble,
+            ordinal = ordinal,
+            group_pdb = t(iGrp),
+            type_symbol = opt(t, iType, "?"),
+            alt_id = opt(t, iAlt, "."),
+            label_asym_id = opt(t, iLabAsym, "?"),
+            entity_id = opt(t, iEntity, "?"),
+            label_seq_id = opt(t, iLabSeq, "?"),
+            ins_code = opt(t, iIns, "?"),
+            occupancy = optD(t, iOcc),
+            b_iso = optD(t, iB))
+        } catch { case _: NumberFormatException => ordinal -= 1 } // malformed row: skip
       }
     }
 
@@ -123,7 +215,7 @@ object CifParser {
       .flatMap { case (path, content) =>
         path match {
           case pathRe(job, m) =>
-            parseAtomSite(job, m.toInt, new String(content, java.nio.charset.StandardCharsets.UTF_8))
+            parseAtomSite(job, m.toInt, decodeText(content))
           case _ => Iterator.empty
         }
       }

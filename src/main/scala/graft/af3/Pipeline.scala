@@ -205,11 +205,14 @@ object Af3Pipeline {
     */
   def modelExtractAtoms(atoms: DataFrame, islandMembers: DataFrame, p: Af3Params): DataFrame = {
     val members = islandMembers.select(col("job_dir"), col("partner_res").as("res_id")).distinct()
-    atoms.filter(col("chain") === p.poiChain).withColumn("chain", lit("A"))
+    // relabel both the auth and the label chain id, as BioPython does when
+    // it writes the extracted structure's chains as 'A'/'B' (py:398-405)
+    def relabel(df: DataFrame, id: String) =
+      df.withColumn("chain", lit(id)).withColumn("label_asym_id", lit(id))
+    relabel(atoms.filter(col("chain") === p.poiChain), "A")
       .unionByName(
-        atoms.filter(col("chain") === p.partnerChain)
-          .join(members, Seq("job_dir", "res_id"), "left_semi")
-          .withColumn("chain", lit("B")))
+        relabel(atoms.filter(col("chain") === p.partnerChain)
+          .join(members, Seq("job_dir", "res_id"), "left_semi"), "B"))
   }
 
   /** Partner-island members (keys of consecutive_interactions, py:383,

@@ -57,7 +57,17 @@ object CifDataSource {
     StructField("atom_name", StringType),
     StructField("x", DoubleType),
     StructField("y", DoubleType),
-    StructField("z", DoubleType)))
+    StructField("z", DoubleType),
+    StructField("ordinal", IntegerType),
+    StructField("group_pdb", StringType),
+    StructField("type_symbol", StringType),
+    StructField("alt_id", StringType),
+    StructField("label_asym_id", StringType),
+    StructField("entity_id", StringType),
+    StructField("label_seq_id", StringType),
+    StructField("ins_code", StringType),
+    StructField("occupancy", DoubleType),
+    StructField("b_iso", DoubleType)))
 
   private[sources] val pathRe = ".*/([^/]+)/[^/]+_model_(\\d+)\\.cif$".r
 }
@@ -127,8 +137,7 @@ class CifReaderFactory(confProps: Map[String, String]) extends PartitionReaderFa
           val bytes =
             try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
             finally in.close()
-          CifParser.parseAtomSite(job, m.toInt,
-            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          CifParser.parseAtomSite(job, m.toInt, CifParser.decodeText(bytes))
         case _ => Iterator.empty
       }
       private var current: graft.af3.CifAtom = _
@@ -142,7 +151,17 @@ class CifReaderFactory(confProps: Map[String, String]) extends PartitionReaderFa
           UTF8String.fromString(current.chain), current.res_id,
           UTF8String.fromString(current.res_name),
           UTF8String.fromString(current.atom_name),
-          current.x, current.y, current.z)
+          current.x, current.y, current.z,
+          current.ordinal,
+          UTF8String.fromString(current.group_pdb),
+          UTF8String.fromString(current.type_symbol),
+          UTF8String.fromString(current.alt_id),
+          UTF8String.fromString(current.label_asym_id),
+          UTF8String.fromString(current.entity_id),
+          UTF8String.fromString(current.label_seq_id),
+          UTF8String.fromString(current.ins_code),
+          current.occupancy.map(Double.box).orNull,
+          current.b_iso.map(Double.box).orNull)
 
       override def close(): Unit = ()
     }

@@ -23,10 +23,18 @@ object Af3Queries {
         CifParser.readAtomsDf(s, fx)
           .filter(col("job_dir") === "job_binder" && col("model_idx") === 0)
           .select(col("chain"), col("res_id").cast("long").as("res_id"),
-            col("res_name"), col("atom_name"), col("x"), col("y"), col("z"))
+            col("res_name"), col("atom_name"), col("x"), col("y"), col("z"),
+            col("ordinal").cast("long").as("ordinal"), col("group_pdb"),
+            col("type_symbol"), col("alt_id"), col("label_asym_id"),
+            col("entity_id"), col("label_seq_id"), col("ins_code"),
+            col("occupancy"), col("b_iso"))
           .orderBy("chain", "res_id", "atom_name"),
       Some(s"""
-        SELECT chain, res_id, res_name, atom_name, x, y, z
+        SELECT chain, res_id, res_name, atom_name, x, y, z, ordinal,
+               group_pdb, type_symbol, alt_id, label_asym_id,
+               CAST(entity_id AS VARCHAR) AS entity_id,
+               CAST(label_seq_id AS VARCHAR) AS label_seq_id, ins_code,
+               occupancy, b_iso
         FROM read_csv('$fx/expected_atoms_model0.csv', header=true)
         ORDER BY chain, res_id, atom_name""")),
 

@@ -71,18 +71,28 @@ def atoms_for_model(jitter: float):
         for k, an in enumerate(["N", "CA"]):
             atoms.append(dict(grp="ATOM", atom=an, res=AA3[aa], chain="B",
                               res_id=i, x=x + 0.1 * k, y=y, z=0.0))
-    # one non-AA ligand in chain B, 4 atoms, far away
+    # one non-AA ligand in chain B, 4 atoms, far away; primed atom names
+    # (C1'..C4') exercise the CIF quoted-token path ("C1'" in the file)
     for k in range(4):
-        atoms.append(dict(grp="HETATM", atom=f"C{k+1}", res="LIG", chain="B",
+        atoms.append(dict(grp="HETATM", atom=f"C{k+1}'", res="LIG", chain="B",
                           res_id=15, x=200.0 + k, y=200.0, z=0.0))
     return atoms
+
+
+def cif_token(t):
+    """Quote a CIF token the way mmCIF requires (BioPython MMCIFIO)."""
+    if "'" in t:
+        return f'"{t}"'
+    if any(c.isspace() for c in t) or t == "":
+        return f"'{t}'"
+    return t
 
 
 def write_cif(path, name, jitter):
     lines = [HEADER.format(name=name)]
     for n, a in enumerate(atoms_for_model(jitter), start=1):
         lines.append(
-            f"{a['grp']} {n} {a['atom'][0]} {a['atom']} . {a['res']} {a['chain']} 1 "
+            f"{a['grp']} {n} {a['atom'][0]} {cif_token(a['atom'])} . {a['res']} {a['chain']} 1 "
             f"{a['res_id']} ? {a['x']:.3f} {a['y']:.3f} {a['z']:.3f} 1.00 50.00 "
             f"{a['res_id']} {a['chain']} 1\n")
     lines.append("#\n")
@@ -155,10 +165,15 @@ def main():
     # atoms of job_binder model_0
     with open(os.path.join(ROOT, "expected_atoms_model0.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["chain", "res_id", "res_name", "atom_name", "x", "y", "z"])
-        for a in atoms_for_model(0.0):
+        w.writerow(["chain", "res_id", "res_name", "atom_name", "x", "y", "z",
+                    "ordinal", "group_pdb", "type_symbol", "alt_id",
+                    "label_asym_id", "entity_id", "label_seq_id", "ins_code",
+                    "occupancy", "b_iso"])
+        for n, a in enumerate(atoms_for_model(0.0), start=1):
             w.writerow([a["chain"], a["res_id"], a["res"], a["atom"],
-                        f"{a['x']:.3f}", f"{a['y']:.3f}", f"{a['z']:.3f}"])
+                        f"{a['x']:.3f}", f"{a['y']:.3f}", f"{a['z']:.3f}",
+                        n, a["grp"], a["atom"][0], ".", a["chain"], 1,
+                        a["res_id"], "?", "1.00", "50.00"])
 
     # chain info
     with open(os.path.join(ROOT, "expected_chain_info.csv"), "w", newline="") as f:
