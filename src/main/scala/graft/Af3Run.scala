@@ -20,8 +20,20 @@ import graft.af3._
   *    `{job}/align_and_save.pml` PyMOL scripts
   */
 object Af3Run {
+  private val knownFlags = Seq("input_dir", "output_dir", "poi_chain",
+    "partner_chain", "max_pae_cutoff", "min_iptm_cutoff", "min_ptm_cutoff",
+    "min_residues_cutoff", "max_dist")
+
   def main(args: Array[String]): Unit = {
+    // fail fast like the reference's argparse (py:581-592): odd arg count
+    // or an unknown/typo'd flag must not silently run with defaults
+    if (args.length % 2 != 0)
+      sys.error(s"dangling argument '${args.last}'; expected --flag value pairs")
     val a = args.sliding(2, 2).collect { case Array(k, v) => k.stripPrefix("--") -> v }.toMap
+    val unknown = a.keySet.diff(knownFlags.toSet)
+    if (unknown.nonEmpty)
+      sys.error(s"unknown flag(s) ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"accepted: ${knownFlags.map("--" + _).mkString(" ")}")
     val inputDir = a.getOrElse("input_dir", sys.error("--input_dir required"))
     val outBase = a.getOrElse("output_dir", ".")
     val p = Af3Params(

@@ -80,6 +80,94 @@ object Af3Io {
       .drop("__path")
   }
 
+  /** side_logging (reference py:16-21 + its ~40 call sites): the
+    * reference logs one status line per file it touches; here the same
+    * information is an observability DataFrame — per-file status
+    * collected as data, queryable/joinable/sinkable like any other frame
+    * (and shardable at 100 TB, unlike a log file).
+    *
+    * One row per discovered bundle file:
+    * (job_dir, file, kind, status) with
+    * kind ∈ summary | full_data | cif | hidden and status ∈
+    * parsed | parsed_latin1 (summary re-read fallback, py:71-73) |
+    * corrupt_json (py:74-77) | missing_keys (py:111-113) |
+    * no_atoms | skipped_hidden (py:560-566).
+    */
+  def runLog(spark: SparkSession, inputDir: String): DataFrame = {
+    val base = Scalars.baseName(col("__path"))
+
+    def paths(glob: String): DataFrame =
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", glob)
+        .load(inputDir)
+        .select(col("path").as("__path"))
+
+    // hidden AppleDouble files of any kind: reported, never parsed.
+    // Spark's file index hides dot-files from every source, so this
+    // branch lists them through the Hadoop FileSystem directly — pure
+    // file metadata, the same driver-side listing any Spark scan does.
+    val hidden = {
+      import spark.implicits._
+      val fs = new org.apache.hadoop.fs.Path(inputDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(inputDir), true)
+      val found = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.startsWith("._"))
+          found += ((p.getParent.getName, p.getName))
+      }
+      found.toSeq.toDF("job_dir", "file")
+        .select(col("job_dir"), col("file"),
+          lit("hidden").as("kind"), lit("skipped_hidden").as("status"))
+    }
+
+    // summaries: utf-8 parse, latin-1 retry, corrupt marker
+    val utf8 = rawSummaries(spark, inputDir, "UTF-8").cache()
+    val latin1Ok = rawSummaries(spark, inputDir, "ISO-8859-1").cache()
+      .filter(col("_corrupt").isNull).select(col("__path"))
+    val summaries = utf8
+      .join(latin1Ok.withColumn("__latin1_ok", lit(true)), Seq("__path"), "left")
+      .select(Scalars.parentDirName(col("__path")).as("job_dir"), base.as("file"),
+        lit("summary").as("kind"),
+        when(col("_corrupt").isNull, "parsed")
+          .when(col("__latin1_ok"), "parsed_latin1")
+          .otherwise("corrupt_json").as("status"))
+
+    // full_data: corrupt vs missing pae/token_res_ids vs parsed
+    val full = spark.read.schema(fullDataSchema)
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*_full_data_0.json")
+      .json(inputDir)
+      .withColumn("__path", input_file_name())
+      .filter(!base.startsWith("._"))
+      .cache()
+      .select(Scalars.parentDirName(col("__path")).as("job_dir"), base.as("file"),
+        lit("full_data").as("kind"),
+        when(col("_corrupt").isNotNull, "corrupt_json")
+          .when(col("pae").isNull || col("token_res_ids").isNull, "missing_keys")
+          .otherwise("parsed").as("status"))
+
+    // cif model files: parsed iff the _atom_site loop yielded atoms
+    val cifCounts = CifParser.readAtomsDf(spark, inputDir)
+      .groupBy(col("job_dir"), col("model_idx"))
+      .agg(count(lit(1)).as("__n"))
+    val cifRe = "^(.*)_model_(\\d+)\\.cif$"
+    val cifs = paths("*.cif")
+      .filter(!base.startsWith("._"))
+      .select(Scalars.parentDirName(col("__path")).as("job_dir"), base.as("file"))
+      .withColumn("model_idx", regexp_extract(col("file"), cifRe, 2).cast("int"))
+      .join(cifCounts, Seq("job_dir", "model_idx"), "left")
+      .select(col("job_dir"), col("file"), lit("cif").as("kind"),
+        when(col("__n") > 0, "parsed").otherwise("no_atoms").as("status"))
+
+    summaries.unionByName(full).unionByName(cifs).unionByName(hidden)
+  }
+
   /** Read all full_data files under `inputDir`, exploded to long/COO form
     * `(job_dir, i, j, pae)` — the transpose of py:215 is a no-op here, and
     * the explode shards the N^2 matrix across the cluster instead of

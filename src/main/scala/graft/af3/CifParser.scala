@@ -210,6 +210,8 @@ object CifParser {
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.cif")
       .load(inputDir)
+      // AppleDouble siblings are junk, not structures (py:560-566)
+      .filter(!col("path").rlike("/\\._[^/]*$"))
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>

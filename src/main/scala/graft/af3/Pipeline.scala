@@ -57,7 +57,8 @@ object Af3Pipeline {
     val perResidue = atoms
       .groupBy(col("job_dir"), col("chain"), col("res_id"), col("res_name"))
       .agg(count(lit(1)).as("atom_count"))
-    val isAA = col("res_name").isin(Scalars.standardAA: _*)
+    // BioPython is_aa default standard=False: extended set (py:163-165)
+    val isAA = col("res_name").isin(Scalars.extendedAA: _*)
     perResidue
       .groupBy(col("job_dir"), col("chain"))
       .agg(
@@ -83,15 +84,38 @@ object Af3Pipeline {
     * broadcast-joins the tiny per-job offset table into the big exploded
     * matrix; ranges out of bounds simply select nothing (≙ py's empty
     * returns at 209-211).
+    *
+    * Offsets are POSITIONAL, exactly as the reference indexes its
+    * chain_lengths list (py:197-211): chain X's token range is
+    * `[sum(lens[:idx(X)]), sum(lens[:idx(X)]) + lens[idx(X)])` where
+    * `idx` is the fixed A-E map and `lens` is the per-job length list in
+    * file (alphabetical) order — NOT a lookup by chain identity. A job
+    * whose chain list is shorter than the fixed index (e.g. chains A and
+    * C only, partner C -> idx 2 >= 2 lengths) yields no rows, mirroring
+    * the reference's IndexError -> [] path.
     */
   def interactingResidues(paeLong: DataFrame, offsets: DataFrame, p: Af3Params): DataFrame = {
+    val (poiIdx, partnerIdx) =
+      (Scalars.chainToIdx.get(p.poiChain), Scalars.chainToIdx.get(p.partnerChain)) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ => return paeLong.sparkSession.emptyDataFrame
+          .withColumn("job_dir", lit("")).withColumn("partner_res", lit(0))
+          .limit(0) // invalid chain letter: nothing interacts (py:93-94)
+      }
+    def startOf(lens: Column, idx: Int): Column =
+      aggregate(slice(lens, 1, idx), lit(0L), _ + _)
     val off = offsets
       .groupBy(col("job_dir"))
-      .agg(
-        max(when(col("chain") === p.poiChain, col("start_off"))).as("start_poi"),
-        max(when(col("chain") === p.poiChain, col("end_off"))).as("end_poi"),
-        max(when(col("chain") === p.partnerChain, col("start_off"))).as("start_partner"),
-        max(when(col("chain") === p.partnerChain, col("end_off"))).as("end_partner"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("chain"), col("residue_length")))),
+        _.getField("residue_length")).as("lens"))
+      .filter(size(col("lens")) > math.max(poiIdx, partnerIdx))
+      .select(col("job_dir"),
+        startOf(col("lens"), poiIdx).as("start_poi"),
+        (startOf(col("lens"), poiIdx) + element_at(col("lens"), poiIdx + 1)).as("end_poi"),
+        startOf(col("lens"), partnerIdx).as("start_partner"),
+        (startOf(col("lens"), partnerIdx) + element_at(col("lens"), partnerIdx + 1))
+          .as("end_partner"))
     paeLong
       .join(broadcast(off), Seq("job_dir"))
       .filter(
@@ -111,7 +135,8 @@ object Af3Pipeline {
     * of the reference's per-job KD-tree).
     */
   def contactPairs(atoms: DataFrame, interacting: DataFrame, p: Af3Params): DataFrame = {
-    val isAA = col("res_name").isin(Scalars.standardAA: _*)
+    // is_aa(standard=False) also admits modified residues (py:230-231)
+    val isAA = col("res_name").isin(Scalars.extendedAA: _*)
     val poiAtoms = atoms
       .filter(col("chain") === p.poiChain && isAA)
       .select(col("job_dir"), col("res_id").as("poi_res"), col("x"), col("y"), col("z"))

@@ -18,8 +18,20 @@ object Scalars {
     "LEU" -> "L", "LYS" -> "K", "MET" -> "M", "PHE" -> "F", "PRO" -> "P",
     "SER" -> "S", "THR" -> "T", "TRP" -> "W", "TYR" -> "Y", "VAL" -> "V")
 
-  /** The 20 standard amino acids — `is_aa` membership (py:230, 165). */
+  /** The 20 standard amino acids. */
   val standardAA: Seq[String] = seq1Map.keys.toSeq.sorted
+
+  /** `is_aa` membership (py:230, 165): BioPython's default is
+    * `standard=False`, which also accepts modified/non-standard residues.
+    * This is the commonly-occurring subset of BioPython's extended
+    * 3-letter table (the full table is a data file of hundreds of exotic
+    * PDB chemical components; these cover AF3-realistic structures —
+    * selenomethionine, phosphorylated S/T/Y, UNK placeholders, etc.).
+    */
+  val extendedAA: Seq[String] = (standardAA ++ Seq(
+    "MSE", "SEC", "PYL", "UNK", "ASX", "GLX", "XLE",
+    "SEP", "TPO", "PTR", "HYP", "CSO", "CSD", "CME", "OCS",
+    "PCA", "KCX", "MLY", "M3L", "FME", "NLE", "AIB", "HIC")).sorted
 
   /** Closed chain-id → 0-based index map (py:89–91, 186–188). */
   val chainToIdx: Map[String, Int] =

@@ -7,6 +7,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Running per-user state for [[Sessions.statefulCounts]]. */
 final case class UserSpanState(n: Long, lo: Long, hi: Long)
 
+/** One merged island `[lo, hi]` holding `n` events. */
+final case class IslandSpan(lo: Long, hi: Long, n: Long)
+
+/** Per-user island set for [[Sessions.statefulIslands]], kept sorted by
+  * `lo`. Bounded: the span count is the number of >gap holes in the
+  * user's history, and adjacent spans merge as events bridge them.
+  */
+final case class IslandsState(spans: List[IslandSpan])
+
 /** Structured Streaming reading of the reference's batch pipeline
   * (SURVEY §2.8): "new job folders arrive, process incrementally". The
   * gaps-and-islands semantic (py:253-286) maps to `session_window`; the
@@ -55,6 +64,46 @@ object Sessions {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Merge one event second into a user's island set: every span within
+    * `gap` of `sec` (including spans the new value bridges) collapses
+    * into one. Pure function — the same result for any arrival order,
+    * which is what makes the streaming operator batch-equivalent.
+    */
+  def insertSpan(spans: List[IslandSpan], sec: Long, gap: Long): List[IslandSpan] = {
+    val (touch, rest) = spans.partition(s => sec >= s.lo - gap && sec <= s.hi + gap)
+    val merged = IslandSpan(
+      (sec :: touch.map(_.lo)).min,
+      (sec :: touch.map(_.hi)).max,
+      touch.map(_.n).sum + 1)
+    (merged :: rest).sortBy(_.lo)
+  }
+
+  /** The reference's gaps-and-islands (py:253-286) as an *incremental*
+    * stateful operator: per user, the state is the merged island set, and
+    * each micro-batch folds its events in and emits the user's current
+    * islands (id = position in lo-order, matching the batch window
+    * numbering). Runs identically over a batch Dataset (one fold) and a
+    * readStream source (many folds) — SessionsSpec proves the
+    * AvailableNow multi-batch run converges to the batch answer.
+    */
+  def statefulIslands(spark: SparkSession, events: DataFrame, maxGapSec: Long): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[IslandsState, (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[IslandsState]) =>
+          val prev = state.getOption.map(_.spans).getOrElse(Nil)
+          val next = rows.foldLeft(prev)((sp, r) => insertSpan(sp, r._2, maxGapSec))
+          state.update(IslandsState(next))
+          next.iterator.zipWithIndex.map { case (s, i) =>
+            (uid, i.toLong, s.lo, s.hi, s.n)
+          }
+      }
+      .toDF("user_id", "island_id", "island_start", "island_end", "island_size")
   }
 
   /** Custom sessionization state: event count + span per user via

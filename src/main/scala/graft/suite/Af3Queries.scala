@@ -39,6 +39,26 @@ object Af3Queries {
         ORDER BY chain, res_id, atom_name""")),
 
     QDef(
+      "af3_run_log",
+      (s, _) =>
+        Af3Io.runLog(s, fx).orderBy("job_dir", "kind", "file"),
+      Some("""
+        SELECT * FROM (VALUES
+          ('job_binder', '._job_binder_summary_confidences_0.json', 'hidden', 'skipped_hidden'),
+          ('job_binder', 'job_binder_model_0.cif', 'cif', 'parsed'),
+          ('job_binder', 'job_binder_model_1.cif', 'cif', 'parsed'),
+          ('job_binder', 'job_binder_model_2.cif', 'cif', 'parsed'),
+          ('job_binder', 'job_binder_model_3.cif', 'cif', 'parsed'),
+          ('job_binder', 'job_binder_model_4.cif', 'cif', 'parsed'),
+          ('job_binder', 'job_binder_full_data_0.json', 'full_data', 'parsed'),
+          ('job_binder', 'job_binder_summary_confidences_0.json', 'summary', 'parsed'),
+          ('job_corrupt', 'job_corrupt_summary_confidences_0.json', 'summary', 'corrupt_json'),
+          ('job_latin1', 'job_latin1_summary_confidences_0.json', 'summary', 'parsed'),
+          ('job_weak', 'job_weak_summary_confidences_0.json', 'summary', 'parsed')
+        ) AS t(job_dir, file, kind, status)
+        ORDER BY job_dir, kind, file""")),
+
+    QDef(
       "af3_filter_confidence_gate",
       (s, _) =>
         Af3Pipeline.gate(Af3Io.readSummaries(s, fx), p)
@@ -138,14 +158,17 @@ object Af3Queries {
         // chain + partner residues in kept islands, rendered + written;
         // the oracle recomputes the expected atom set from the fixture
         // CSVs (atoms x contact-island membership).
-        val atoms = CifParser.readAtomsDf(s, fx)
+        // shared stages cached the way Af3Run caches them: this query
+        // fires two actions (the file sink + the returned frame), and
+        // without the cache the full parse->contacts chain runs twice
+        val atoms = CifParser.readAtomsDf(s, fx).cache()
         val offsets = Af3Pipeline.chainOffsets(
           Af3Pipeline.chainInfo(atoms.filter(col("model_idx") === 0)))
         val interacting = Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), offsets, p)
         val contacts = Af3Pipeline.contactPairs(
           atoms.filter(col("model_idx") === 0), interacting, p)
         val members = Af3Pipeline.partnerIslandMembers(contacts)
-        val sel = Af3Pipeline.interactionCifAtoms(atoms, members, p)
+        val sel = Af3Pipeline.interactionCifAtoms(atoms, members, p).cache()
         graft.af3.CifWriter.writeKeyedText(
           graft.af3.CifWriter.renderCif(sel, concat(col("job_dir"), lit("_interaction"))),
           sys.props("java.io.tmpdir") + "/graft_cif_filtered", ".cif",
@@ -170,7 +193,7 @@ object Af3Queries {
         // partner residues -> 'B', for every model 0..4. Oracle: the
         // per-model per-chain atom counts derived from the fixture CSVs
         // (identical across models; coordinates differ by jitter only).
-        val atoms = CifParser.readAtomsDf(s, fx)
+        val atoms = CifParser.readAtomsDf(s, fx).cache()
         val model0 = atoms.filter(col("model_idx") === 0)
         val offsets = Af3Pipeline.chainOffsets(Af3Pipeline.chainInfo(model0))
         val interacting = Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), offsets, p)

@@ -193,8 +193,10 @@ object ExtrasQueries {
                count(*) AS n
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
-    // approx sketch: no cross-engine oracle (HLL implementations differ);
-    // driver records the weaker rows-only check
+    // approx sketch: the raw HLL estimate differs between engines, so the
+    // oracle checks the exact count plus the sketch's error *bound*
+    // (default rsd 0.05; 3-sigma bound 15%) — DuckDB asserts the same
+    // exact counts and `true` for the bound column
     QDef(
       "agg_approx_count_distinct",
       (s, dir) =>
@@ -202,8 +204,14 @@ object ExtrasQueries {
           .groupBy(col("l_returnflag"))
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
             countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")) <=
+              col("exact_parts") * 0.15).as("approx_within_15pct"))
           .orderBy("l_returnflag"),
-      None),
+      Some("""
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS approx_within_15pct
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     QDef(
       "f_datetime_trunc",
@@ -261,9 +269,14 @@ object ExtrasQueries {
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy(col("l_orderkey"))
           .agg(sum(col("rev_c2")).as("revenue_c2"))
-        top.withColumn("rk", row_number().over(
+        // top-10 via sort+limit -> TakeOrderedAndProject (per-partition
+        // top-k + driver merge of 10-row heads), NOT a row_number over a
+        // global Window, which would funnel every group through a single
+        // partition. Ranks are attached after the limit: the window then
+        // sees only 10 rows.
+        top.orderBy(col("revenue_c2").desc, col("l_orderkey")).limit(10)
+          .withColumn("rk", row_number().over(
             Window.orderBy(col("revenue_c2").desc, col("l_orderkey"))))
-          .filter(col("rk") <= 10)
           .select("l_orderkey", "revenue_c2", "rk")
       },
       Some("""

@@ -37,6 +37,32 @@ object StreamingQueries {
                min(us) // 1000000 AS session_start,
                (max(us) + $GapUs) // 1000000 AS session_end,
                count(*) AS n_events
-        FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+        FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    QDef(
+      "stream_stateful_islands",
+      (s, dir) =>
+        // the incremental gaps-and-islands operator, run over the batch
+        // table (flatMapGroupsWithState folds each group once; the
+        // multi-micro-batch convergence is proven in SessionsSpec) —
+        // same semantics as the win_gaps_and_islands flagship: gap >
+        // 1800s breaks, islands numbered 0-based in lo-order, HAVING
+        // size >= 3 applied after numbering
+        Sessions.statefulIslands(s, tbl(s, dir, "events"), 1800L)
+          .filter(col("island_size") >= 3)
+          .orderBy("user_id", "island_id"),
+      Some("""
+        WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        b AS (SELECT user_id, sec,
+              CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+                   THEN 1 ELSE 0 END AS brk FROM e),
+        g AS (SELECT user_id, sec,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id
+              FROM b)
+        SELECT user_id, island_id, min(sec) AS island_start, max(sec) AS island_end,
+               count(*) AS island_size
+        FROM g GROUP BY user_id, island_id HAVING count(*) >= 3
+        ORDER BY user_id, island_id"""))
   )
 }

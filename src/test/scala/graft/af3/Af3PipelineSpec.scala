@@ -33,6 +33,32 @@ class Af3PipelineSpec extends SparkSpec {
     assert(Af3Pipeline.gate(summaries, p.copy(poiChain = "Z")).count() === 0)
   }
 
+  test("offsets are positional with the reference's bounds check (py:197-211)") {
+    import spark.implicits._
+    // job with chains A and C only: the fixed index of C is 2, but the
+    // length list has 2 entries -> reference raises IndexError -> [],
+    // so a partner_chain=C analysis must yield no interacting residues
+    val info = Seq(("jx", "A", 5L, "AAAAA"), ("jx", "C", 5L, "CCCCC"))
+      .toDF("job_dir", "chain", "residue_length", "sequence")
+    val pae = Seq.tabulate(10, 10)((i, j) => ("jx", i, j, 1.0))
+      .flatten.toDF("job_dir", "i", "j", "pae")
+    val out = Af3Pipeline.interactingResidues(
+      pae, Af3Pipeline.chainOffsets(info), p.copy(partnerChain = "C", minResidues = 1))
+    assert(out.count() === 0)
+
+    // chains B, C with poi A: positional read -> POI range is the FIRST
+    // length slot (B's tokens), exactly as the reference indexes the list
+    val info2 = Seq(("jy", "B", 4L, "BBBB"), ("jy", "C", 6L, "CCCCCC"))
+      .toDF("job_dir", "chain", "residue_length", "sequence")
+    val pae2 = Seq.tabulate(10, 10)((i, j) => ("jy", i, j, 1.0))
+      .flatten.toDF("job_dir", "i", "j", "pae")
+    val out2 = Af3Pipeline.interactingResidues(
+      pae2, Af3Pipeline.chainOffsets(info2), p.copy(partnerChain = "B", minResidues = 1))
+    // partner B -> idx 1 -> range [4, 10): residues 1..6
+    assert(out2.select("partner_res").collect().map(_.getInt(0)).sorted.toSeq ===
+      (1 to 6).toSeq)
+  }
+
   test("chain info: lengths and sequences (vs oracle CSV)") {
     val got = chains.filter(col("job_dir") === "job_binder")
       .select("chain", "residue_length", "sequence")

@@ -59,6 +59,47 @@ class SessionsSpec extends SparkSpec {
     assert(sessions.toSeq === Seq(1L, 2L))
   }
 
+  test("incremental islands over micro-batches converge to the batch islands") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_isl")
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // out-of-order arrival, including a value that bridges two islands
+    val batches = Seq(
+      Seq((1L, ts(1000)), (1L, ts(1200)), (2L, ts(50000))),
+      Seq((1L, ts(9000)), (1L, ts(9300)), (1L, ts(9600))),
+      Seq((1L, ts(5000)), (1L, ts(3000)), (1L, ts(7000)), (2L, ts(50060))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "ts").repartition(1).write.parquet(s"$dir/b$i")
+    }
+    val all = batches.flatten.toDF("user_id", "ts")
+    val expected = Sessions.statefulIslands(spark, all, 2000L)
+
+    val acc = scala.collection.concurrent.TrieMap.empty[Long, Seq[org.apache.spark.sql.Row]]
+    val q = Sessions.statefulIslands(spark,
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+          .option("recursiveFileLookup", "true")
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString),
+        2000L)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().groupBy(_.getLong(0)).foreach { case (u, rs) => acc(u) = rs.toSeq }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = acc.values.flatten.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted
+    val batch = expected.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    assert(streamed === batch)
+    // sanity: the bridge event merged user 1 into one island spanning 1000..9600
+    assert(streamed.filter(_._1 == 1L).map(t => (t._3, t._4, t._5)) ===
+      Seq((1000L, 9600L, 8L)))
+  }
+
   test("stateful flatMapGroupsWithState span == batch min/max/count") {
     val events = Registry.tbl(spark, sfDir, "events")
     val got = Sessions.statefulCounts(spark, events)

@@ -139,6 +139,10 @@ def main():
         write_cif(os.path.join(jb, f"job_binder_model_{m}.cif"),
                   f"job_binder_model_{m}", jitter=0.01 * m)
 
+    # AppleDouble junk sibling: discovered but always skipped (py:560-566)
+    with open(os.path.join(jb, "._job_binder_summary_confidences_0.json"), "wb") as f:
+        f.write(b"\x00\x05\x16\x07 appledouble junk")
+
     # --- job_weak -------------------------------------------------------
     jw = os.path.join(ROOT, "job_weak")
     os.makedirs(jw, exist_ok=True)
