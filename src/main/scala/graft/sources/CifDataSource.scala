@@ -131,13 +131,23 @@ class CifReaderFactory(confProps: Map[String, String]) extends PartitionReaderFa
     new PartitionReader[InternalRow] {
       private val atoms: Iterator[graft.af3.CifAtom] = p match {
         case CifDataSource.pathRe(job, m) =>
-          val hp = new Path(p)
-          val fs = hp.getFileSystem(rebuildConf())
-          val in = fs.open(hp)
-          val bytes =
-            try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-            finally in.close()
-          CifParser.parseAtomSite(job, m.toInt, CifParser.decodeText(bytes))
+          // the reference's 3-attempt read retry for transient IO
+          // (read_cif_file, py:36-64); encoding fallback is inside
+          // decodeText
+          def readBytes(attempt: Int): Array[Byte] = {
+            val hp = new Path(p)
+            val fs = hp.getFileSystem(rebuildConf())
+            try {
+              val in = fs.open(hp)
+              try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+              finally in.close()
+            } catch {
+              case e: java.io.IOException if attempt < 3 =>
+                Thread.sleep(50L * attempt)
+                readBytes(attempt + 1)
+            }
+          }
+          CifParser.parseAtomSite(job, m.toInt, CifParser.decodeText(readBytes(1)))
         case _ => Iterator.empty
       }
       private var current: graft.af3.CifAtom = _

@@ -98,7 +98,9 @@ object Af3Queries {
     QDef(
       "af3_contact_map",
       (s, _) => {
-        val atoms = CifParser.readAtomsDf(s, fx).filter(col("model_idx") === 0)
+        // atoms feed two branches (offsets + contact pairs): cache so the
+        // CIF parse runs once
+        val atoms = CifParser.readAtomsDf(s, fx).filter(col("model_idx") === 0).cache()
         val offsets = Af3Pipeline.chainOffsets(Af3Pipeline.chainInfo(atoms))
         val interacting =
           Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), offsets, p)
