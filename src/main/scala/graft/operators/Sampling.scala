@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Scalars
+
+/** Deterministic sampling / splitting for the training-data pipeline
+  * extension: train/dev/test splits, per-stratum rate sampling, and
+  * per-stratum fixed-size samples. Everything keys off the explicit
+  * polynomial hash ([[Scalars.polyHash]]), so:
+  *  - the same row lands in the same split on every run, any cluster
+  *    size, any partitioning (no RNG, no seed plumbing);
+  *  - membership is a pure projection — no shuffle at all for the rate
+  *    forms — and the DuckDB oracle reproduces it bit-for-bit;
+  *  - at 100 TB the split is embarrassingly parallel and composes with
+  *    any downstream operator without re-shuffling.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, buckets) for a key column (cast to its canonical
+    * string form first, so numeric and string keys hash identically in
+    * Spark and the SQL oracle).
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    Scalars.polyHash(key.cast("string")) % buckets
+
+  /** Assign each row a split label from cumulative percentage cut
+    * points, e.g. `Seq(("train", 80), ("dev", 10), ("test", 10))`.
+    * Pure projection (no shuffle); weights must sum to 100.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split weights must sum to 100")
+    val b = hashBucket(col(keyCol), 100)
+    val cuts = splits.scanLeft(0)(_ + _._2).tail
+    val label = splits.zip(cuts).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), els) => when(b < cut, lit(name)).otherwise(els)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Keep ~`permille`/1000 of each stratum, deterministically: the key
+    * is hashed together with its stratum so the same document can land
+    * in different strata's samples independently. Pure projection.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      permille: Int): DataFrame =
+    df.filter(
+      hashBucket(concat_ws("|", col(stratumCol), col(keyCol)), 1000) < permille)
+
+  /** Exactly-n-per-stratum sample: the n rows with the smallest
+    * (hash, key) per stratum — a deterministic reservoir. One shuffle on
+    * the stratum; per-stratum work is a partitioned window (never a
+    * global sort).
+    */
+  def topNPerStratum(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      n: Int): DataFrame = {
+    val h = hashBucket(col(keyCol), 1000000000)
+    df.withColumn("__h", h)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("__h"), col(keyCol))))
+      .filter(col("__rn") <= n)
+      .drop("__h", "__rn")
+  }
+}

@@ -88,6 +88,81 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF cell assignment: a coarse quantizer maps every vector to its
+    * nearest centroid cell. The codebook here is training-free and
+    * deterministic — the `numCells` lowest-id vectors are the centroids
+    * (production swaps in k-means centroids; the partition/probe
+    * machinery is identical, and a learned codebook would only change
+    * this one frame). Distances are exact integers on the
+    * floor(x*1000) embedding: d2 = |a|^2 - 2*a.c + |c|^2, ties broken
+    * by centroid id — reproducible in SQL verbatim.
+    *
+    * Returns (v_id, ie, aa, cell). Scale shape: centroids are a
+    * broadcast dimension (numCells rows); assignment is one map-side
+    * join + one groupBy(v_id) with partial min_by.
+    */
+  def ivfAssign(
+      vectors: DataFrame,
+      idCol: String,
+      embCol: String,
+      numCells: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("v_id"), intEmbedding(col(embCol)).as("ie"))
+      .withColumn("aa", graft.functions.VectorExpressions.dotLong(col("ie"), col("ie")))
+    val cents = v.orderBy(col("v_id")).limit(numCells)
+      .select(col("v_id").as("cid"), col("ie").as("ce"), col("aa").as("cc"))
+    v.join(broadcast(cents))
+      .withColumn("d2",
+        col("aa") - lit(2L) * graft.functions.VectorExpressions.dotLong(col("ie"), col("ce"))
+          + col("cc"))
+      .groupBy(col("v_id"))
+      .agg(
+        first(col("ie")).as("ie"),
+        first(col("aa")).as("aa"),
+        min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
+  }
+
+  /** IVF ANN top-k: queries probe their `nprobe` nearest cells and rank
+    * only the vectors assigned there — the inverted-file analogue of
+    * [[annTopK]]'s hash buckets. Per-query candidate count is bounded by
+    * the probed cells' population (~ nprobe * N / numCells), never N.
+    */
+  def ivfTopK(
+      vectors: DataFrame,
+      idCol: String,
+      embCol: String,
+      numCells: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("v_id"), intEmbedding(col(embCol)).as("ie"))
+      .withColumn("aa", graft.functions.VectorExpressions.dotLong(col("ie"), col("ie")))
+    val cents = v.orderBy(col("v_id")).limit(numCells)
+      .select(col("v_id").as("cid"), col("ie").as("ce"), col("aa").as("cc"))
+    val dists = v.join(broadcast(cents))
+      .withColumn("d2",
+        col("aa") - lit(2L) * graft.functions.VectorExpressions.dotLong(col("ie"), col("ce"))
+          + col("cc"))
+    val assign = dists
+      .groupBy(col("v_id"))
+      .agg(first(col("ie")).as("ie"),
+        min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
+    val probes = dists
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("v_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("v_id").as("q_id"), col("ie").as("q_ie"), col("cid").as("cell"))
+    val candidates = probes
+      .join(assign.select(col("v_id").as("c_id"), col("ie").as("c_ie"), col("cell")),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorExpressions.dotLong(col("q_ie"), col("c_ie")).as("idot"))
+    candidates
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("idot"), col("rank"))
+  }
+
   /** Bucketed ANN top-k: candidates from the query's own LSH bucket plus
     * (with `multiProbe`) every bucket at Hamming distance 1 — the
     * standard multi-probe trick that recovers neighbors lost to a single

@@ -34,5 +34,5 @@ object Registry {
     CoreQueries.all ++ RelationalQueries.all ++ Af3Queries.all ++
       DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ StreamingQueries.all ++ ExtrasQueries.all ++
-      WindowExtraQueries.all
+      WindowExtraQueries.all ++ SamplingQueries.all
 }

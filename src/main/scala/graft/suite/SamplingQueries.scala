@@ -1,0 +1,104 @@
+package graft.suite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.text.TextFunctions
+import graft.functions.Scalars
+import Registry.tbl
+
+/** Deterministic sampling / splitting suite plus the composed
+  * corpus-cleaning pipeline — the training-data operations a 100 TB
+  * pretraining run needs between raw documents and a training set.
+  * All membership decisions are explicit integer hashes, so every query
+  * has an exact DuckDB oracle and every row's fate is reproducible on
+  * any cluster.
+  */
+object SamplingQueries {
+
+  /** polyHash(expr) % buckets, DuckDB form — mirror of Sampling.hashBucket. */
+  private def hashSql(expr: String, buckets: Int): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, c) -> (acc * 131 + c) % ${Scalars.polyHashP}) % $buckets)"""
+
+  def all: Seq[QDef] = Seq(
+
+    QDef(
+      "sample_hash_split",
+      (s, dir) =>
+        Sampling.hashSplit(tbl(s, dir, "documents"), "doc_id",
+            Seq(("train", 80), ("dev", 10), ("test", 10)))
+          .select(col("doc_id"), col("split"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+          CASE WHEN ${hashSql("CAST(doc_id AS VARCHAR)", 100)} < 80 THEN 'train'
+               WHEN ${hashSql("CAST(doc_id AS VARCHAR)", 100)} < 90 THEN 'dev'
+               ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""")),
+
+    QDef(
+      "sample_stratified",
+      (s, dir) =>
+        Sampling.stratifiedSample(tbl(s, dir, "documents"), "source", "doc_id", 200)
+          .select(col("source"), col("doc_id"))
+          .orderBy("source", "doc_id"),
+      Some(s"""
+        SELECT source, doc_id FROM documents
+        WHERE ${hashSql("source || '|' || CAST(doc_id AS VARCHAR)", 1000)} < 200
+        ORDER BY source, doc_id""")),
+
+    QDef(
+      "sample_reservoir_n",
+      (s, dir) =>
+        Sampling.topNPerStratum(tbl(s, dir, "documents"), "source", "doc_id", 5)
+          .select(col("source"), col("doc_id"))
+          .orderBy("source", "doc_id"),
+      Some(s"""
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source
+              ORDER BY ${hashSql("CAST(doc_id AS VARCHAR)", 1000000000)}, doc_id) AS rn
+          FROM documents) t
+        WHERE rn <= 5 ORDER BY source, doc_id""")),
+
+    QDef(
+      "pipeline_clean_corpus",
+      (s, dir) => {
+        // the composed cleaning pipeline: language gate -> quality gate ->
+        // token-length band -> exact dedup (min-id survivor). Every stage
+        // is a pure projection/filter except the final dedup groupBy —
+        // one shuffle end to end.
+        val docs = tbl(s, dir, "documents")
+        val enriched = docs.select(col("doc_id"), col("text"),
+          TextFunctions.langId(col("text")).as("lang"),
+          TextFunctions.qualityScore(col("text")).as("score"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        enriched
+          .filter(col("lang") === "en" && col("score") >= 6.0 &&
+            col("n_tokens").between(20, 90))
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"),
+            max(col("n_tokens")).as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("n_copies"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val (scores, caseExpr) = TextQueries.langSql("toks")
+        s"""WITH t AS (SELECT doc_id, text,
+              string_split_regex(text, '\\s+') AS toks FROM documents),
+            m AS (SELECT doc_id, text,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              ${TextQueries.qualitySql("text", "toks")} AS score,
+              $scores FROM t),
+            kept AS (SELECT doc_id, text, n_tokens FROM m
+              WHERE $caseExpr = 'en' AND score >= 6.0
+                AND n_tokens BETWEEN 20 AND 90)
+            SELECT min(doc_id) AS doc_id, max(n_tokens) AS n_tokens,
+                   count(*) AS n_copies
+            FROM kept GROUP BY text ORDER BY doc_id"""
+      })
+  )
+}

@@ -40,7 +40,63 @@ object SimilarityQueries {
           list_transform(list_zip($a.emb, $a.emb), z -> z[1] * z[2])),
           (acc, x) -> acc + x))"""
 
+  private val IvfCells = 16
+  private val IvfProbe = 2
+
+  private def intDotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_zip($a, $b), z -> z[1] * z[2])),
+          (acc, x) -> acc + x)"""
+
+  /** Shared IVF prelude: integer embeddings, self-norms, the
+    * deterministic lowest-id codebook, all pairwise cell distances, and
+    * the argmin cell assignment (mirrors Similarity.ivfAssign).
+    */
+  private val ivfPreludeSql =
+    s"""iv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
+        av AS (SELECT vec_id, ie, ${intDotSql("ie", "ie")} AS aa FROM iv),
+        cents AS (SELECT vec_id AS cid, ie AS ce, aa AS cc
+                  FROM av ORDER BY vec_id LIMIT $IvfCells),
+        dists AS (SELECT a.vec_id, a.ie, c.cid,
+                    a.aa - 2 * ${intDotSql("a.ie", "c.ce")} + c.cc AS d2
+                  FROM av a, cents c),
+        assign AS (SELECT vec_id, ie, cid AS cell FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2, cid) AS rn FROM dists)
+                   WHERE rn = 1)"""
+
   def all: Seq[QDef] = Seq(
+
+    QDef(
+      "sim_ivf_cells",
+      (s, dir) =>
+        Similarity.ivfAssign(tbl(s, dir, "embeddings"), "vec_id", "embedding", IvfCells)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .orderBy("cell"),
+      Some(s"""
+        WITH $ivfPreludeSql
+        SELECT cell, count(*) AS n FROM assign GROUP BY cell ORDER BY cell""")),
+
+    QDef(
+      "sim_ivf_topk",
+      (s, dir) =>
+        Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+            IvfCells, IvfProbe, k = 3)
+          .orderBy("q_id", "rank"),
+      Some(s"""
+        WITH $ivfPreludeSql,
+        probes AS (SELECT vec_id AS q_id, ie AS q_ie, cid AS cell FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2, cid) AS pr FROM dists)
+                   WHERE pr <= $IvfProbe),
+        cand AS (SELECT p.q_id, s.vec_id AS c_id,
+                   ${intDotSql("p.q_ie", "s.ie")} AS idot
+                 FROM probes p JOIN assign s ON s.cell = p.cell
+                   AND s.vec_id != p.q_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY idot DESC, c_id) AS rank FROM cand)
+        SELECT q_id, c_id, idot, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     QDef(
       "sim_cosine_topk",

@@ -6,8 +6,42 @@ import graft.text.TextFunctions
 import graft.functions.Scalars
 import Registry.tbl
 
-/** Text-analysis extension suite over `documents`. */
+/** Text-analysis extension suite over `documents`. The SQL fragment
+  * helpers are shared with the composed corpus-cleaning pipeline
+  * (SamplingQueries), so Spark and oracle semantics can't drift apart.
+  */
 object TextQueries {
+
+  /** DuckDB mirror of TextFunctions.qualityScore over a `toks` list
+    * column and the raw `text` column.
+    */
+  def qualitySql(textCol: String, toksCol: String): String = {
+    val stops = TextFunctions.enStopwords.map(w => s"'$w'").mkString(", ")
+    s"""CASE WHEN len($toksCol) > 0
+             THEN CAST(length($textCol) AS DOUBLE) / CAST(len($toksCol) AS DOUBLE)
+             ELSE 0.0 END
+        + (CASE WHEN len($toksCol) > 0
+             THEN CAST(len(list_filter($toksCol, x -> list_contains([$stops], x))) AS DOUBLE)
+                  / CAST(len($toksCol) AS DOUBLE)
+             ELSE 0.0 END) * 10.0"""
+  }
+
+  /** DuckDB mirror of TextFunctions.langId: (select-list of per-language
+    * scores over `toksCol`, CASE expression over those scores).
+    */
+  def langSql(toksCol: String): (String, String) = {
+    val scores = TextFunctions.langMarkers.map { case (lang, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($toksCol, x -> list_contains([$list], x))) AS s_$lang"
+    }.mkString(", ")
+    val langs = TextFunctions.langMarkers.map(_._1)
+    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    val cases = (s"WHEN $allZero THEN 'und'" +: langs.map { l =>
+      val geAll = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }).mkString(" ")
+    (scores, s"CASE $cases ELSE 'und' END")
+  }
 
   def all: Seq[QDef] = Seq(
 
@@ -29,20 +63,11 @@ object TextQueries {
           .select(col("doc_id"),
             TextFunctions.qualityScore(col("text")).as("score"))
           .orderBy("doc_id"),
-      Some {
-        val stops = TextFunctions.enStopwords.map(w => s"'$w'").mkString(", ")
-        s"""WITH t AS (SELECT doc_id, text,
+      Some(s"""
+        WITH t AS (SELECT doc_id, text,
               string_split_regex(text, '\\s+') AS toks FROM documents)
-            SELECT doc_id,
-              CASE WHEN len(toks) > 0
-                   THEN CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-                   ELSE 0.0 END
-              + (CASE WHEN len(toks) > 0
-                   THEN CAST(len(list_filter(toks, x -> list_contains([$stops], x))) AS DOUBLE)
-                        / CAST(len(toks) AS DOUBLE)
-                   ELSE 0.0 END) * 10.0 AS score
-            FROM t ORDER BY doc_id"""
-      }),
+        SELECT doc_id, ${qualitySql("text", "toks")} AS score
+        FROM t ORDER BY doc_id""")),
 
     QDef(
       "text_lang_id",
@@ -51,20 +76,11 @@ object TextQueries {
           .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
           .orderBy("doc_id"),
       Some {
-        val scores = TextFunctions.langMarkers.map { case (lang, ws) =>
-          val list = ws.map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(toks, x -> list_contains([$list], x))) AS s_$lang"
-        }.mkString(", ")
-        val langs = TextFunctions.langMarkers.map(_._1)
-        val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
-        val cases = (s"WHEN $allZero THEN 'und'" +: langs.map { l =>
-          val geAll = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
-          s"WHEN $geAll THEN '$l'"
-        }).mkString(" ")
+        val (scores, caseExpr) = langSql("toks")
         s"""WITH t AS (SELECT doc_id,
               string_split_regex(text, '\\s+') AS toks FROM documents),
             sc AS (SELECT doc_id, $scores FROM t)
-            SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+            SELECT doc_id, $caseExpr AS lang_pred
             FROM sc ORDER BY doc_id"""
       }),
 

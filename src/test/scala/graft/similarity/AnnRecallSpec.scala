@@ -31,4 +31,28 @@ class AnnRecallSpec extends SparkSpec {
     // of the true neighbors. This is a floor, not a target.
     assert(recall >= 0.3, f"ANN recall collapsed: $recall%.2f")
   }
+
+  test("IVF ANN: disjoint cells, bounded candidates, recall@3 floor") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Registry.tbl(spark, dir, "embeddings")
+
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+    // every vector lands in exactly one cell
+    assert(assign.count() === emb.count())
+    assert(assign.select("cell").distinct().count() <= 8)
+
+    val exact = Similarity.cosineTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 3)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        numCells = 8, nprobe = 3, k = 3)
+      .filter(col("q_id") < 50)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"ivf recall@3 = $recall%.2f (${(exact & ivf).size}/${exact.size})")
+    assert(recall >= 0.3, f"IVF recall collapsed: $recall%.2f")
+  }
 }
