@@ -90,10 +90,15 @@ object Dedup {
     * (a_k * s + b_k) mod p. One groupBy(doc) with map-side partial mins —
     * a single cheap shuffle at any scale.
     */
-  def minhashSignature(shingleDf: DataFrame, numPerms: Int): DataFrame = {
+  def minhashSignature(
+      shingleDf: DataFrame,
+      numPerms: Int,
+      withCount: Boolean = false): DataFrame = {
     val aggs = hashCoeffs(numPerms).zipWithIndex.map { case ((a, b), k) =>
       min((col("shingle") * a + b) % MinhashP).as(s"mh_$k")
-    }
+    } ++ (if (withCount) Seq(count(lit(1)).as("n_sh")) else Nil)
+    // withCount rides the same groupBy: callers needing per-doc shingle
+    // counts (Jaccard denominators) get them without a second shuffle
     shingleDf.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 

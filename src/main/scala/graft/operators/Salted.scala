@@ -16,6 +16,32 @@ import org.apache.spark.sql.functions._
   */
 object Salted {
 
+  /** Salted equi-join for a skewed fact side: the fact's hot keys are
+    * spread over `buckets` salt values, and the (small-ish but not
+    * broadcast-able) dimension side is replicated once per salt value,
+    * so a hot key's rows land on `buckets` reducers instead of one.
+    * Result is exactly `fact JOIN dim ON keys` — the salt never leaks.
+    *
+    * When to use at 100 TB: AQE's skew-join split only fires for
+    * sort-merge joins after a shuffle is already materialized, and it
+    * cannot help when one key dominates a shuffled *hash* join build;
+    * explicit salting plans the spread from the start. Replication cost
+    * is |dim| x buckets — pick buckets so that stays shuffle-cheap.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      spreadCol: Column,
+      buckets: Int = 32): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", pmod(hash(spreadCol), lit(buckets)))
+    val repDim = dim.withColumn("__salt",
+      explode(typedLit((0 until buckets).toList)))
+    saltedFact
+      .join(repDim, keys :+ "__salt")
+      .drop("__salt")
+  }
+
   /** Salted sum+count per key. `spreadCol` should be high-cardinality
     * (e.g. a row id) so the salt distributes a hot key evenly.
     */

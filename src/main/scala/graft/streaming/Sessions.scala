@@ -106,6 +106,17 @@ object Sessions {
       .toDF("user_id", "island_id", "island_start", "island_end", "island_size")
   }
 
+  /** Streaming exact dedup: fingerprint the text and keep the first
+    * arrival per fingerprint. On a stream, `dropDuplicates` holds the
+    * seen-fingerprint set as state across micro-batches — the
+    * incremental form of the batch `dedup_exact_hash` survivor query
+    * (prod note: bound the state with `dropDuplicatesWithinWatermark`
+    * when the dup horizon is time-limited).
+    */
+  def dedupByFingerprint(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("fp", graft.text.TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicates("fp")
+
   /** Custom sessionization state: event count + span per user via
     * flatMapGroupsWithState — the template for stateful semantics beyond
     * session_window (e.g. the reference's two-level islands applied

@@ -121,9 +121,11 @@ object DedupQueries {
         // LSH hits.
         val ids = docWordIds(s, dir)
         val shingles = Dedup.shingles3(ids).cache()
-        val sig = Dedup.minhashSignature(shingles, NumPerms)
+        // n_sh rides the signature groupBy (one shuffle serves both the
+        // MinHash mins and the Jaccard denominators)
+        val sig = Dedup.minhashSignature(shingles, NumPerms, withCount = true).cache()
         val cands = Dedup.lshCandidates(Dedup.lshBandKeys(sig, NumPerms))
-        val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val sizes = sig.select(col("doc_id"), col("n_sh"))
         val inter = cands
           .join(shingles.withColumnRenamed("doc_id", "a"), Seq("a"))
           .join(shingles.withColumnRenamed("doc_id", "b")

@@ -48,6 +48,60 @@ object ExtrasQueries {
         WHERE rn = 1 ORDER BY event_id""")),
 
     QDef(
+      "join_salted_skew",
+      (s, dir) => {
+        // explicit salt-and-replicate equi-join: fact keys spread over 16
+        // reducers, dim replicated per salt (graft.operators.Salted) —
+        // the plan AQE cannot produce for hash-join build skew. Result
+        // identical to the plain join, proven by the oracle.
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_orderkey"), col("l_linenumber"))
+        val part = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+        graft.operators.Salted.saltedJoin(
+            li, part.withColumnRenamed("p_partkey", "l_partkey"),
+            Seq("l_partkey"),
+            spreadCol = col("l_orderkey") * 8 + col("l_linenumber"),
+            buckets = 16)
+          .groupBy(col("p_brand"))
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        SELECT p_brand, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
+      "join_bucketed_colocated",
+      (s, dir) => {
+        // co-located join: both sides written bucketed+sorted on the join
+        // key, so the join itself plans with no Exchange (asserted in
+        // BucketingSpec) — the write-once/join-many pattern for recurring
+        // fact-to-fact joins at scale
+        graft.operators.Bucketing.writeBucketed(
+          tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          "g_orders_bucketed", Seq("o_orderkey"), 8)
+        graft.operators.Bucketing.writeBucketed(
+          tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          "g_lineitem_bucketed", Seq("l_orderkey"), 8)
+        s.table("g_lineitem_bucketed")
+          .join(s.table("g_orders_bucketed"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
       "setop_intersect",
       (s, dir) => {
         val o = tbl(s, dir, "orders")

@@ -100,6 +100,36 @@ class SessionsSpec extends SparkSpec {
       Seq((1000L, 9600L, 8L)))
   }
 
+  test("streaming dedup keeps the first arrival across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+      .repartition(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100) // file source orders batches by mtime: force b0 < b1
+    Seq((3L, "alpha beta"), (4L, "delta")).toDF("doc_id", "text") // 3 dups 1
+      .repartition(1).write.parquet(s"$dir/b1")
+
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = Sessions.dedupByFingerprint(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("recursiveFileLookup", "true")
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString),
+        "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.synchronized {
+          acc ++= df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // doc 3 (late duplicate of doc 1's text) never surfaces
+    assert(acc.map(_._1).sorted.toSeq === Seq(1L, 2L, 4L))
+    assert(acc.map(_._2).toSet === Set("alpha beta", "gamma", "delta"))
+  }
+
   test("stateful flatMapGroupsWithState span == batch min/max/count") {
     val events = Registry.tbl(spark, sfDir, "events")
     val got = Sessions.statefulCounts(spark, events)
