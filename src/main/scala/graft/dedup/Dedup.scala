@@ -127,12 +127,15 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 16-bit SimHash over the document's distinct words: word w hashes to
-    * h = (a*word_id + b) mod 2^16; each bit contributes +1/-1; the
-    * signature bit is 1 iff the sum is positive.
+  /** SimHash over the document's distinct words: word w hashes to
+    * h = (a*word_id + b) mod 2^bits; each bit contributes +1/-1; the
+    * signature bit is 1 iff the sum is positive. `bits` up to 45 keeps
+    * every product within a signed long. At 100 TB use a wide signature
+    * (32-64 bits) so banded blocking keeps buckets small.
     */
   def simhash(wordIds: DataFrame, bits: Int = 16): DataFrame = {
-    val h = (col("word_id") * 40503L + 9973L) % 65536L
+    require(bits <= 45, "word_id * a must stay below 2^63")
+    val h = (col("word_id") * 40503L + 9973L) % (1L << bits)
     val perWord = wordIds.select(col("doc_id"), col("word_id")).distinct()
       .withColumn("h", h)
     val bitSums = (0 until bits).map { k =>
@@ -144,6 +147,35 @@ object Dedup {
     perWord.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates within Hamming distance `maxHam`:
+    * banded blocking (pigeonhole — with 4 bands, any pair at Hamming
+    * <= 3 shares at least one identical band), equi-join on
+    * (band, band-value), then exact popcount verification. Never
+    * all-pairs: the join shuffles on the band value only, and bucket
+    * population shrinks as 2^(-bits/4) — use a wide signature so blocks
+    * stay small at scale.
+    */
+  def simhashNear(sig: DataFrame, bits: Int, maxHam: Int = 3): DataFrame = {
+    require(maxHam < 4, "4-band blocking guarantees recall only for maxHam <= 3")
+    require(bits % 4 == 0, "signature must split into 4 equal bands")
+    val bandBits = bits / 4
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("simhash"), bandBits * b) % (1L << bandBits)).as("nib"))
+    }
+    val keyed = sig.select(col("doc_id"), col("simhash"),
+        explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.nib").as("nib"))
+    keyed.as("x")
+      .join(keyed.as("y"), Seq("band", "nib"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .distinct()
   }
 
   // ---- n-gram / unigram Jaccard ----------------------------------------

@@ -191,6 +191,38 @@ object DedupQueries {
       }),
 
     QDef(
+      "dedup_simhash_near",
+      (s, dir) =>
+        // 32-bit signature: 4 bands of 8 bits keep block populations at
+        // N/256 per band — the width/banding a 100 TB corpus needs
+        Dedup.simhashNear(Dedup.simhash(docWordIds(s, dir), bits = 32),
+            bits = 32, maxHam = 3)
+          .orderBy("a", "b"),
+      Some {
+        val bits = 32
+        val bitSums = (0 until bits).map { k =>
+          s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s_$k"
+        }.mkString(", ")
+        val sig = (0 until bits).map { k =>
+          s"CASE WHEN s_$k > 0 THEN ${1L << k} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH $vocabSql,
+            pw AS (SELECT DISTINCT doc_id, word_id FROM ids),
+            hs AS (SELECT doc_id, (word_id * 40503 + 9973) % ${1L << bits} AS h FROM pw),
+            bs AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id),
+            sh AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bs),
+            keyed AS (
+              SELECT doc_id, simhash, band, (simhash >> (8 * band)) % 256 AS nib
+              FROM sh, (VALUES (0), (1), (2), (3)) AS bands(band))
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+            FROM keyed x JOIN keyed y
+              ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+            ORDER BY a, b"""
+      }),
+
+    QDef(
       "dedup_ngram_jaccard",
       (s, dir) =>
         Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", "source", 0.5)

@@ -47,6 +47,13 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(3L)) <= hamming(sh(1L), sh(4L)))
   }
 
+  test("simhashNear: identical docs pair at hamming 0; banding finds them without all-pairs") {
+    val ids = Dedup.docWordIds(docs, "doc_id", "text")
+    val near = Dedup.simhashNear(Dedup.simhash(ids, bits = 32), bits = 32, maxHam = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(near((1L, 2L)) === 0) // exact dup: identical signature
+  }
+
   test("jaccard pairs: dup pair = 1.0, near pair = 5/6, cross-block pair absent") {
     val got = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
