@@ -131,6 +131,9 @@ object CifWriter {
               close(); current = key
               val path = new org.apache.hadoop.fs.Path(outDir, key + suffix)
               val fs = path.getFileSystem(conf)
+              // no .crc siblings next to user-facing output (local
+              // ChecksumFileSystem writes them by default)
+              try fs.setWriteChecksum(false) catch { case _: Exception => () }
               writer = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
                 fs.create(path, true), java.nio.charset.StandardCharsets.UTF_8))
               if (hdr.nonEmpty) { writer.write(s"data_$key\n"); writer.write(hdr) }
@@ -170,5 +173,9 @@ object CifWriter {
     if (fs.exists(target)) fs.delete(target, false)
     fs.rename(part, target)
     fs.delete(tmpPath, true)
+    // the local ChecksumFileSystem drags a .crc along with the rename;
+    // the reference's output dir has no such sibling
+    val crc = new org.apache.hadoop.fs.Path(outDir, s".$name.csv.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
   }
 }
