@@ -57,7 +57,7 @@ object Af3Run {
     val pae = Af3Io.readPaeLong(spark, inputDir)
       .join(broadcast(binders), Seq("job_dir"), "left_semi")
     val interacting =
-      Af3Pipeline.interactingResidues(pae, Af3Pipeline.chainOffsets(info), p)
+      Af3Pipeline.interactingResidues(pae, info, p)
     // model-0 contacts/islands computed once, fanned out to all models
     // (the py:449-469 reuse, as a cached DataFrame)
     val contacts = Af3Pipeline.contactPairs(model0, interacting, p).cache()

@@ -60,25 +60,25 @@ object Af3Io {
       .withColumn("__path", input_file_name())
       .filter(!Scalars.baseName(col("__path")).startsWith("._"))
 
-  /** Read all summaries under `inputDir` keyed by job_dir, with the
-    * reference's encoding fallback (py:68-73): files that fail the UTF-8
-    * parse are re-read as ISO-8859-1; files bad in both encodings keep
-    * their `_corrupt` marker and fall out at the gate (≙ return False,
-    * py:74-77). Exactly one row per summary file either way.
+  /** Read all summaries under `inputDir` keyed by job_dir. Exactly one
+    * row per summary file; malformed files carry `_corrupt` and fall
+    * out at the gate (≙ return False, py:74-77).
+    *
+    * The reference's latin-1 re-read (py:68-73) is intentionally NOT
+    * mirrored as a second scan: Python's strict UTF-8 decoder throws on
+    * latin-1 bytes, but Spark's JSON reader decodes them with
+    * replacement characters and still parses the document — `_corrupt`
+    * here marks structural JSON corruption, which no alternate encoding
+    * could fix (proven by the latin-1 fixture parsing green under
+    * UTF-8). One scan covers both of the reference's cases.
     */
-  def readSummaries(spark: SparkSession, inputDir: String): DataFrame = {
+  def readSummaries(spark: SparkSession, inputDir: String): DataFrame =
     // cache: Spark forbids filtering a raw JSON scan on only the corrupt
     // column (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materializing first is
     // the documented workaround, and the summaries table is tiny
-    val utf8 = rawSummaries(spark, inputDir, "UTF-8").cache()
-    val good = utf8.filter(col("_corrupt").isNull)
-    val badPaths = utf8.filter(col("_corrupt").isNotNull).select("__path")
-    val latin1Retry = rawSummaries(spark, inputDir, "ISO-8859-1")
-      .join(broadcast(badPaths), Seq("__path"), "left_semi")
-    good.unionByName(latin1Retry)
+    rawSummaries(spark, inputDir, "UTF-8").cache()
       .withColumn("job_dir", Scalars.parentDirName(col("__path")))
       .drop("__path")
-  }
 
   /** side_logging (reference py:16-21 + its ~40 call sites): the
     * reference logs one status line per file it touches; here the same
@@ -89,9 +89,15 @@ object Af3Io {
     * One row per discovered bundle file:
     * (job_dir, file, kind, status) with
     * kind ∈ summary | full_data | cif | hidden and status ∈
-    * parsed | parsed_latin1 (summary re-read fallback, py:71-73) |
-    * corrupt_json (py:74-77) | missing_keys (py:111-113) |
+    * parsed | corrupt_json (py:74-77) | missing_keys (py:111-113) |
     * no_atoms | skipped_hidden (py:560-566).
+    *
+    * Note on encodings: Spark's JSON reader decodes bad bytes with
+    * replacement characters rather than failing, so a latin-1 summary
+    * reads as `parsed` under UTF-8 — `_corrupt` marks structural JSON
+    * corruption only, which no re-read in another encoding could fix.
+    * (The reference's latin-1 retry, py:71-73, exists because Python's
+    * strict decoder throws where Spark's lenient one does not.)
     */
   def runLog(spark: SparkSession, inputDir: String): DataFrame = {
     val base = Scalars.baseName(col("__path"))
@@ -123,16 +129,11 @@ object Af3Io {
           lit("hidden").as("kind"), lit("skipped_hidden").as("status"))
     }
 
-    // summaries: utf-8 parse, latin-1 retry, corrupt marker
-    val utf8 = rawSummaries(spark, inputDir, "UTF-8").cache()
-    val latin1Ok = rawSummaries(spark, inputDir, "ISO-8859-1").cache()
-      .filter(col("_corrupt").isNull).select(col("__path"))
-    val summaries = utf8
-      .join(latin1Ok.withColumn("__latin1_ok", lit(true)), Seq("__path"), "left")
+    // summaries: one scan; _corrupt == structural corruption (see note)
+    val summaries = rawSummaries(spark, inputDir, "UTF-8").cache()
       .select(Scalars.parentDirName(col("__path")).as("job_dir"), base.as("file"),
         lit("summary").as("kind"),
         when(col("_corrupt").isNull, "parsed")
-          .when(col("__latin1_ok"), "parsed_latin1")
           .otherwise("corrupt_json").as("status"))
 
     // full_data: corrupt vs missing pae/token_res_ids vs parsed

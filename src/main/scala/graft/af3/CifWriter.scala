@@ -44,16 +44,21 @@ object CifWriter {
       fileKey: Column,
       modelNum: Column = lit(1)): DataFrame = {
     // format_string, NOT format_number: the latter inserts thousands
-    // separators ("1,234.500") which no CIF consumer can read back
-    def coord(c: Column) = format_string("%.3f", c)
+    // separators ("1,234.500") which no CIF consumer can read back.
+    // Every field is null-coalesced to its CIF unknown marker:
+    // concat_ws silently DROPS null columns, which would shift all
+    // subsequent fields left and misalign the whole row.
+    def coord(c: Column) = coalesce(format_string("%.3f", c), lit("?"))
+    def f(name: String, dflt: String) = coalesce(col(name), lit(dflt))
     val line = concat_ws(" ",
-      col("group_pdb"), col("atom_serial"), col("type_symbol"),
-      cifQuote(col("atom_name")), col("alt_id"), col("res_name"),
-      col("label_asym_id"), col("entity_id"), col("label_seq_id"),
-      col("ins_code"),
+      f("group_pdb", "ATOM"), col("atom_serial"), f("type_symbol", "?"),
+      cifQuote(f("atom_name", "?")), f("alt_id", "."), f("res_name", "?"),
+      f("label_asym_id", "?"), f("entity_id", "?"), f("label_seq_id", "?"),
+      f("ins_code", "?"),
       coord(col("x")), coord(col("y")), coord(col("z")),
       num2(col("occupancy")), num2(col("b_iso")),
-      col("res_id"), col("chain"), modelNum)
+      coalesce(col("res_id").cast("string"), lit("?")),
+      f("chain", "?"), modelNum)
     atoms
       .withColumn("atom_serial",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -108,6 +113,19 @@ object CifWriter {
     * Scales: keys are hash-distributed across tasks; each task writes only
     * its partition's keys, through the cluster filesystem.
     */
+  /** A filesystem view that writes no .crc siblings next to user-facing
+    * output: unwrap the local ChecksumFileSystem to its raw form rather
+    * than flipping setWriteChecksum on the JVM-shared cached instance
+    * (which would silently change behavior for every other writer in
+    * the executor). HDFS/object stores pass through unchanged.
+    */
+  private def rawFs(path: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.hadoop.fs.FileSystem =
+    path.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case o => o
+    }
+
   def writeKeyedText(
       rendered: DataFrame,
       outDir: String,
@@ -121,26 +139,45 @@ object CifWriter {
       .select("file_key", "line")
       .foreachPartition { (rows: Iterator[Row]) =>
         val conf = rebuildConf(props)
+        // task-attempt-scoped temp file + rename on close: a retried or
+        // speculative attempt never truncates the final path mid-write;
+        // the last attempt to finish a key wins with a complete file
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var current: String = null
         var writer: java.io.BufferedWriter = null
-        def close(): Unit = if (writer != null) { writer.close(); writer = null }
+        var tmpPath: org.apache.hadoop.fs.Path = null
+        var finalPath: org.apache.hadoop.fs.Path = null
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        def commit(): Unit = if (writer != null) {
+          writer.close(); writer = null
+          fs.mkdirs(finalPath.getParent) // keys may carry subdirs (job/model_k)
+          if (fs.exists(finalPath)) fs.delete(finalPath, false)
+          fs.rename(tmpPath, finalPath)
+        }
         try {
           rows.foreach { r =>
             val key = r.getString(0)
             if (key != current) {
-              close(); current = key
-              val path = new org.apache.hadoop.fs.Path(outDir, key + suffix)
-              val fs = path.getFileSystem(conf)
-              // no .crc siblings next to user-facing output (local
-              // ChecksumFileSystem writes them by default)
-              try fs.setWriteChecksum(false) catch { case _: Exception => () }
+              commit(); current = key
+              finalPath = new org.apache.hadoop.fs.Path(outDir, key + suffix)
+              tmpPath = new org.apache.hadoop.fs.Path(outDir,
+                s".${key.replace('/', '_')}$suffix.__attempt_$attempt")
+              fs = rawFs(finalPath, conf)
               writer = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-                fs.create(path, true), java.nio.charset.StandardCharsets.UTF_8))
+                fs.create(tmpPath, true), java.nio.charset.StandardCharsets.UTF_8))
               if (hdr.nonEmpty) { writer.write(s"data_$key\n"); writer.write(hdr) }
             }
             writer.write(r.getString(1)); writer.write("\n")
           }
-        } finally close()
+          commit()
+        } finally {
+          if (writer != null) { // failure path: drop the partial temp
+            writer.close()
+            if (fs != null && tmpPath != null && fs.exists(tmpPath))
+              fs.delete(tmpPath, false)
+          }
+        }
       }
   }
 
@@ -166,16 +203,14 @@ object CifWriter {
     renamed.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
     val conf = report.sparkSession.sparkContext.hadoopConfiguration
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val fs = tmpPath.getFileSystem(conf)
+    // raw fs: the rename moves only the csv, leaving any .crc sibling
+    // behind in the temp dir, which is deleted wholesale below
+    val fs = rawFs(tmpPath, conf)
     val part = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*.csv"))
       .headOption.getOrElse(sys.error(s"no csv part written under $tmp")).getPath
     val target = new org.apache.hadoop.fs.Path(outDir, s"$name.csv")
     if (fs.exists(target)) fs.delete(target, false)
     fs.rename(part, target)
     fs.delete(tmpPath, true)
-    // the local ChecksumFileSystem drags a .crc along with the rename;
-    // the reference's output dir has no such sibling
-    val crc = new org.apache.hadoop.fs.Path(outDir, s".$name.csv.crc")
-    if (fs.exists(crc)) fs.delete(crc, false)
   }
 }

@@ -70,9 +70,10 @@ object Af3Pipeline {
   }
 
   /** win_prefix_sum_offsets (py:197-204): per job, token start/end offsets
-    * per chain. Chain position = the reference's fixed A..E index map
-    * (py:186-188), which for AF3 outputs coincides with file insertion
-    * order (chains are emitted alphabetically).
+    * per chain, as a standalone queryable frame. NOTE: interactingResidues
+    * no longer consumes this — it derives positional offsets from
+    * chainInfo directly (fixed A-E index + bounds check); this stays as
+    * the registered prefix-sum operator surface.
     */
   def chainOffsets(chainInfoDf: DataFrame): DataFrame =
     graft.operators.Windows.prefixOffsets(
@@ -94,7 +95,7 @@ object Af3Pipeline {
     * C only, partner C -> idx 2 >= 2 lengths) yields no rows, mirroring
     * the reference's IndexError -> [] path.
     */
-  def interactingResidues(paeLong: DataFrame, offsets: DataFrame, p: Af3Params): DataFrame = {
+  def interactingResidues(paeLong: DataFrame, chainInfoDf: DataFrame, p: Af3Params): DataFrame = {
     val (poiIdx, partnerIdx) =
       (Scalars.chainToIdx.get(p.poiChain), Scalars.chainToIdx.get(p.partnerChain)) match {
         case (Some(a), Some(b)) => (a, b)
@@ -104,7 +105,7 @@ object Af3Pipeline {
       }
     def startOf(lens: Column, idx: Int): Column =
       aggregate(slice(lens, 1, idx), lit(0L), _ + _)
-    val off = offsets
+    val off = chainInfoDf
       .groupBy(col("job_dir"))
       .agg(transform(
         array_sort(collect_list(struct(col("chain"), col("residue_length")))),
@@ -292,10 +293,9 @@ object Af3Pipeline {
       .join(broadcast(binders), Seq("job_dir"), "left_semi")
     val model0 = atoms.filter(col("model_idx") === 0).cache()
     val info = chainInfo(model0)
-    val offsets = chainOffsets(info)
     val pae = Af3Io.readPaeLong(spark, inputDir)
       .join(broadcast(binders), Seq("job_dir"), "left_semi")
-    val interacting = interactingResidues(pae, offsets, p)
+    val interacting = interactingResidues(pae, info, p)
     val contacts = contactPairs(model0, interacting, p)
     report(interactionIslands(contacts), info, p)
   }

@@ -23,6 +23,11 @@ object Bucketing {
       table: String,
       bucketCols: Seq[String],
       buckets: Int): Unit = {
+    // unqualified names only: a db-qualified table lives under
+    // <warehouse>/<db>.db/<table>, which the stale-location cleanup
+    // below would miss — fail loudly instead of cleaning the wrong path
+    require(!table.contains("."),
+      s"writeBucketed takes an unqualified table name, got '$table'")
     val spark = df.sparkSession
     // a previous session's table dir survives the in-memory catalog;
     // clear both so overwrite is truly idempotent

@@ -101,7 +101,10 @@ object Similarity {
     * broadcast dimension (numCells rows); assignment is one map-side
     * join + one groupBy(v_id) with partial min_by.
     */
-  def ivfAssign(
+  /** (v_id, ie, aa, cid, d2) for every vector x centroid pair — the one
+    * frame both the argmin assignment and the probe ranking derive from.
+    */
+  private def ivfDists(
       vectors: DataFrame,
       idCol: String,
       embCol: String,
@@ -114,12 +117,22 @@ object Similarity {
       .withColumn("d2",
         col("aa") - lit(2L) * graft.functions.VectorExpressions.dotLong(col("ie"), col("ce"))
           + col("cc"))
-      .groupBy(col("v_id"))
+      .drop("ce", "cc")
+  }
+
+  private def ivfArgmin(dists: DataFrame): DataFrame =
+    dists.groupBy(col("v_id"))
       .agg(
         first(col("ie")).as("ie"),
         first(col("aa")).as("aa"),
         min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
-  }
+
+  def ivfAssign(
+      vectors: DataFrame,
+      idCol: String,
+      embCol: String,
+      numCells: Int): DataFrame =
+    ivfArgmin(ivfDists(vectors, idCol, embCol, numCells))
 
   /** IVF ANN top-k: queries probe their `nprobe` nearest cells and rank
     * only the vectors assigned there — the inverted-file analogue of
@@ -133,18 +146,10 @@ object Similarity {
       numCells: Int,
       nprobe: Int,
       k: Int): DataFrame = {
-    val v = vectors.select(col(idCol).as("v_id"), intEmbedding(col(embCol)).as("ie"))
-      .withColumn("aa", graft.functions.VectorExpressions.dotLong(col("ie"), col("ie")))
-    val cents = v.orderBy(col("v_id")).limit(numCells)
-      .select(col("v_id").as("cid"), col("ie").as("ce"), col("aa").as("cc"))
-    val dists = v.join(broadcast(cents))
-      .withColumn("d2",
-        col("aa") - lit(2L) * graft.functions.VectorExpressions.dotLong(col("ie"), col("ce"))
-          + col("cc"))
-    val assign = dists
-      .groupBy(col("v_id"))
-      .agg(first(col("ie")).as("ie"),
-        min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
+    // one distance frame feeds both the assignment argmin and the probe
+    // ranking; cached so the scan + N*numCells dot products run once
+    val dists = ivfDists(vectors, idCol, embCol, numCells).cache()
+    val assign = ivfArgmin(dists)
     val probes = dists
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("v_id")).orderBy(col("d2"), col("cid"))))

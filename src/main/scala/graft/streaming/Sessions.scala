@@ -87,6 +87,12 @@ object Sessions {
     * numbering). Runs identically over a batch Dataset (one fold) and a
     * readStream source (many folds) — SessionsSpec proves the
     * AvailableNow multi-batch run converges to the batch answer.
+    *
+    * Output contract: UPDATE semantics — each emission is the user's
+    * current island snapshot, an upsert keyed by (user_id, island_id).
+    * Consume with a keyed sink (foreachBatch merge, memory/complete,
+    * a KV store); an append-only sink would accumulate superseded
+    * snapshots as islands grow or get bridged by late events.
     */
   def statefulIslands(spark: SparkSession, events: DataFrame, maxGapSec: Long): DataFrame = {
     import spark.implicits._
@@ -94,7 +100,7 @@ object Sessions {
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[IslandsState, (Long, Long, Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[IslandsState]) =>
           val prev = state.getOption.map(_.spans).getOrElse(Nil)
           val next = rows.foldLeft(prev)((sp, r) => insertSpan(sp, r._2, maxGapSec))

@@ -84,8 +84,8 @@ object Af3Queries {
       "af3_interacting_residues",
       (s, _) => {
         val atoms = CifParser.readAtomsDf(s, fx).filter(col("model_idx") === 0)
-        val offsets = Af3Pipeline.chainOffsets(Af3Pipeline.chainInfo(atoms))
-        Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), offsets, p)
+        val info = Af3Pipeline.chainInfo(atoms)
+        Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), info, p)
           .filter(col("job_dir") === "job_binder")
           .select(col("partner_res").cast("long").as("partner_res"))
           .orderBy("partner_res")
@@ -101,9 +101,9 @@ object Af3Queries {
         // atoms feed two branches (offsets + contact pairs): cache so the
         // CIF parse runs once
         val atoms = CifParser.readAtomsDf(s, fx).filter(col("model_idx") === 0).cache()
-        val offsets = Af3Pipeline.chainOffsets(Af3Pipeline.chainInfo(atoms))
+        val info = Af3Pipeline.chainInfo(atoms)
         val interacting =
-          Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), offsets, p)
+          Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), info, p)
         Af3Pipeline.contactPairs(atoms, interacting, p)
           .select(col("partner_res").cast("long").as("partner_res"),
             col("poi_res").cast("long").as("poi_res"))
@@ -164,9 +164,8 @@ object Af3Queries {
         // fires two actions (the file sink + the returned frame), and
         // without the cache the full parse->contacts chain runs twice
         val atoms = CifParser.readAtomsDf(s, fx).cache()
-        val offsets = Af3Pipeline.chainOffsets(
-          Af3Pipeline.chainInfo(atoms.filter(col("model_idx") === 0)))
-        val interacting = Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), offsets, p)
+        val info = Af3Pipeline.chainInfo(atoms.filter(col("model_idx") === 0))
+        val interacting = Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), info, p)
         val contacts = Af3Pipeline.contactPairs(
           atoms.filter(col("model_idx") === 0), interacting, p)
         val members = Af3Pipeline.partnerIslandMembers(contacts)
@@ -197,8 +196,8 @@ object Af3Queries {
         // (identical across models; coordinates differ by jitter only).
         val atoms = CifParser.readAtomsDf(s, fx).cache()
         val model0 = atoms.filter(col("model_idx") === 0)
-        val offsets = Af3Pipeline.chainOffsets(Af3Pipeline.chainInfo(model0))
-        val interacting = Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), offsets, p)
+        val info = Af3Pipeline.chainInfo(model0)
+        val interacting = Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), info, p)
         val members = Af3Pipeline.partnerIslandMembers(
           Af3Pipeline.contactPairs(model0, interacting, p))
         Af3Pipeline.modelExtractAtoms(atoms, members, p)

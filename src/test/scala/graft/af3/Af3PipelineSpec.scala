@@ -11,7 +11,7 @@ class Af3PipelineSpec extends SparkSpec {
   private lazy val model0 = atoms.filter(col("model_idx") === 0)
   private lazy val chains = Af3Pipeline.chainInfo(model0).cache()
   private lazy val interacting = Af3Pipeline.interactingResidues(
-    Af3Io.readPaeLong(spark, fixtureDir), Af3Pipeline.chainOffsets(chains), p).cache()
+    Af3Io.readPaeLong(spark, fixtureDir), chains, p).cache()
   private lazy val contacts = Af3Pipeline.contactPairs(model0, interacting, p).cache()
 
   test("gate keeps binders (incl. latin-1 fallback), drops weak and corrupt jobs") {
@@ -21,7 +21,7 @@ class Af3PipelineSpec extends SparkSpec {
     assert(summaries.count() === 4) // all four discovered, one row each
   }
 
-  test("latin-1 summary parses via the encoding fallback (py:68-73)") {
+  test("latin-1 summary parses (lenient decode covers py:68-73's retry case)") {
     val row = summaries.filter(org.apache.spark.sql.functions.col("job_dir") === "job_latin1")
       .collect()
     assert(row.length === 1)
@@ -43,7 +43,7 @@ class Af3PipelineSpec extends SparkSpec {
     val pae = Seq.tabulate(10, 10)((i, j) => ("jx", i, j, 1.0))
       .flatten.toDF("job_dir", "i", "j", "pae")
     val out = Af3Pipeline.interactingResidues(
-      pae, Af3Pipeline.chainOffsets(info), p.copy(partnerChain = "C", minResidues = 1))
+      pae, info, p.copy(partnerChain = "C", minResidues = 1))
     assert(out.count() === 0)
 
     // chains B, C with poi A: positional read -> POI range is the FIRST
@@ -53,7 +53,7 @@ class Af3PipelineSpec extends SparkSpec {
     val pae2 = Seq.tabulate(10, 10)((i, j) => ("jy", i, j, 1.0))
       .flatten.toDF("job_dir", "i", "j", "pae")
     val out2 = Af3Pipeline.interactingResidues(
-      pae2, Af3Pipeline.chainOffsets(info2), p.copy(partnerChain = "B", minResidues = 1))
+      pae2, info2, p.copy(partnerChain = "B", minResidues = 1))
     // partner B -> idx 1 -> range [4, 10): residues 1..6
     assert(out2.select("partner_res").collect().map(_.getInt(0)).sorted.toSeq ===
       (1 to 6).toSeq)

@@ -81,6 +81,7 @@ class SessionsSpec extends SparkSpec {
           .option("maxFilesPerTrigger", "1").parquet(dir.toString),
         2000L)
       .writeStream
+      .outputMode("update") // the operator emits keyed snapshot upserts
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         df.collect().groupBy(_.getLong(0)).foreach { case (u, rs) => acc(u) = rs.toSeq }
         ()
