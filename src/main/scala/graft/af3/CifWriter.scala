@@ -23,7 +23,10 @@ object CifWriter {
     */
   private def cifQuote(c: Column): Column =
     when(c.contains("'"), concat(lit("\""), c, lit("\"")))
-      .when(c.rlike("\\s") || c === "", concat(lit("'"), c, lit("'")))
+      // a bare token may not START with a quote char (the reader would
+      // treat it as an opening quote), nor contain whitespace
+      .when(c.rlike("\\s") || c === "" || c.startsWith("\""),
+        concat(lit("'"), c, lit("'")))
       .otherwise(c)
 
   private def num2(c: Column): Column =

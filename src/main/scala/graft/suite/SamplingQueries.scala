@@ -64,6 +64,35 @@ object SamplingQueries {
         WHERE rn <= 5 ORDER BY source, doc_id""")),
 
     QDef(
+      "pipeline_pack_sequences",
+      (s, dir) => {
+        // concat-and-chunk packing into 512-token context windows, per
+        // source, docs in id order — each doc's global offsets + the
+        // window span it occupies
+        val docs = tbl(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.Packing.packOffsets(docs, "source", "doc_id", "n_tokens", 512L)
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            col("start_off"), col("end_off"),
+            col("first_window"), col("last_window"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT source, doc_id,
+          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        o AS (SELECT source, doc_id, n_tokens,
+          COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+          FROM t)
+        SELECT source, doc_id, n_tokens, start_off,
+               start_off + n_tokens AS end_off,
+               start_off // 512 AS first_window,
+               (start_off + n_tokens - 1) // 512 AS last_window
+        FROM o ORDER BY source, doc_id""")),
+
+    QDef(
       "pipeline_clean_corpus",
       (s, dir) => {
         // the composed cleaning pipeline: language gate -> quality gate ->

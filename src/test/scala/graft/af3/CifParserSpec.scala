@@ -102,6 +102,28 @@ class CifParserSpec extends SparkSpec {
       orig.collect().map(key).sortBy(_.ordinal).toSeq)
   }
 
+  test("tokenize/quote round-trip holds for randomized atom names (seeded)") {
+    // mirror of CifWriter.cifQuote, at the token level
+    def quote(t: String): String =
+      if (t.contains("'")) "\"" + t + "\""
+      else if (t.isEmpty || t.exists(_.isWhitespace) || t.startsWith("\"")) "'" + t + "'"
+      else t
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ABCDEFGab12'? .*"
+    (1 to 500).foreach { _ =>
+      val toks = (1 to (1 + rnd.nextInt(6))).map { _ =>
+        val n = 1 + rnd.nextInt(6)
+        (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.filter(t => !(t.contains("'") && t.contains("\""))) // CIF can't quote both
+        .filter(t => t.nonEmpty && !t.head.isWhitespace && !t.last.isWhitespace)
+      if (toks.nonEmpty) {
+        val line = toks.map(quote).mkString(" ")
+        assert(CifParser.tokenize(line).toSeq === toks,
+          s"line <$line> tokens ${toks.mkString("|")}")
+      }
+    }
+  }
+
   test("tolerates reordered fields and unknown categories") {
     val cif =
       """data_x
