@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DotProductExpr, LongDotProductExpr}
+import org.apache.spark.sql.graft.{DotProductExpr, LongDotProductExpr, PolyHashExpr}
 
 /** SparkSessionExtensions hook: registers the graft native expressions in
   * the SQL function registry, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_dot_long"),
         new ExpressionInfo(classOf[LongDotProductExpr].getName, "graft_dot_long"),
         (children: Seq[Expression]) => LongDotProductExpr(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_polyhash"),
+        new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
+        (children: Seq[Expression]) => PolyHashExpr(children(0))))
   }
 }

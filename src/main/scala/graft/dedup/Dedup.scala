@@ -86,6 +86,26 @@ object Dedup {
       .select(col("doc_id"), col("shingle")).distinct()
   }
 
+  /** Same shingles, computed array-side per document: tokenize, hash
+    * each token, and chain consecutive triples with `transform` over an
+    * index sequence — all narrow operations, so the only shuffle is the
+    * final distinct (the window form pays an extra sort+shuffle for the
+    * `lead` ordering). Identical values to [[shingles3]].
+    */
+  def shingles3FromText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wid = transform(TextFunctions.tokens(col(textCol)), w => wordId(w))
+    val n = size(col("__wid"))
+    def at(i: Column) = element_at(col("__wid"), i)
+    val sh = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i =>
+        ((at(i) * ShingleBase + at(i + 1)) % MinhashP * ShingleBase + at(i + 2))
+          % MinhashP))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col(idCol).as("doc_id"), wid.as("__wid"))
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .distinct()
+  }
+
   /** MinHash signature: for each permutation k, min over shingles of
     * (a_k * s + b_k) mod p. One groupBy(doc) with map-side partial mins —
     * a single cheap shuffle at any scale.

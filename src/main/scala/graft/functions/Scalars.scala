@@ -89,7 +89,13 @@ object Scalars {
     * friendly, and exactly reproducible in ANSI SQL via a left fold.
     */
   val polyHashP: Long = 9007199254740881L
-  def polyHash(s: Column): Column =
+
+  /** Native codegen'd form (PolyHashExpr) — the HOF fold below is kept
+    * as the reference implementation the spec equates against.
+    */
+  def polyHash(s: Column): Column = VectorExpressions.polyHash(s)
+
+  def polyHashFold(s: Column): Column =
     aggregate(
       split(s, ""),
       lit(0L),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductExpr, LongDotProductExpr}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductExpr, LongDotProductExpr, PolyHashExpr}
 
 /** Column-level entry points for the native vector expressions
   * (implemented in org.apache.spark.sql.graft — they need the
@@ -13,4 +13,7 @@ object VectorExpressions {
 
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(LongDotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def polyHash(s: Column): Column =
+    ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(s)))
 }

@@ -74,11 +74,11 @@ object DedupQueries {
 
     QDef(
       "dedup_minhash_signature",
-      (s, dir) => {
-        val ids = docWordIds(s, dir)
-        Dedup.minhashSignature(Dedup.shingles3(ids), NumPerms)
-          .orderBy("doc_id")
-      },
+      (s, dir) =>
+        Dedup.minhashSignature(
+            Dedup.shingles3FromText(tbl(s, dir, "documents"), "doc_id", "text"),
+            NumPerms)
+          .orderBy("doc_id"),
       Some {
         val mins = Dedup.hashCoeffs(NumPerms).zipWithIndex.map { case ((a, b), k) =>
           s"min((shingle * $a + $b) % $P) AS mh_$k"
@@ -90,8 +90,8 @@ object DedupQueries {
     QDef(
       "dedup_lsh_candidates",
       (s, dir) => {
-        val ids = docWordIds(s, dir)
-        val sig = Dedup.minhashSignature(Dedup.shingles3(ids), NumPerms)
+        val sig = Dedup.minhashSignature(
+          Dedup.shingles3FromText(tbl(s, dir, "documents"), "doc_id", "text"), NumPerms)
         Dedup.lshCandidates(Dedup.lshBandKeys(sig, NumPerms))
           .orderBy("a", "b")
       },
@@ -119,8 +119,8 @@ object DedupQueries {
         // -> survivor set (min doc id per connected pair). Candidate
         // generation never compares all pairs; verification touches only
         // LSH hits.
-        val ids = docWordIds(s, dir)
-        val shingles = Dedup.shingles3(ids).cache()
+        val shingles = Dedup.shingles3FromText(
+          tbl(s, dir, "documents"), "doc_id", "text").cache()
         // n_sh rides the signature groupBy (one shuffle serves both the
         // MinHash mins and the Jaccard denominators)
         val sig = Dedup.minhashSignature(shingles, NumPerms, withCount = true).cache()

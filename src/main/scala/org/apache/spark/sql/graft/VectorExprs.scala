@@ -91,3 +91,57 @@ case class LongDotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Native codegen'd polynomial rolling hash of a string:
+  * acc = (acc * 131 + codepoint) mod 9007199254740881 over the string's
+  * codepoints — bit-identical to the `aggregate(split(s, ''), ...)`
+  * higher-order fold (and DuckDB's list_reduce mirror), but compiled as
+  * a primitive loop instead of an interpreted per-character lambda with
+  * a materialized one-char-string array. This hash keys the entire
+  * dedup/sampling family (word ids, fingerprints, split buckets), so it
+  * is the hottest scalar in the corpus pipelines.
+  */
+case class PolyHashExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  private val P = 9007199254740881L
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 131L + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 131L + $cp) % ${P}L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}

@@ -47,6 +47,13 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(3L)) <= hamming(sh(1L), sh(4L)))
   }
 
+  test("array-side shingles equal the window-form shingles") {
+    val ids = Dedup.docWordIds(docs, "doc_id", "text")
+    val viaWindow = Dedup.shingles3(ids)
+    val viaArray = Dedup.shingles3FromText(docs, "doc_id", "text")
+    assert(viaWindow.exceptAll(viaArray).isEmpty && viaArray.exceptAll(viaWindow).isEmpty)
+  }
+
   test("simhashNear: identical docs pair at hamming 0; banding finds them without all-pairs") {
     val ids = Dedup.docWordIds(docs, "doc_id", "text")
     val near = Dedup.simhashNear(Dedup.simhash(ids, bits = 32), bits = 32, maxHam = 3)
