@@ -39,6 +39,49 @@ object Multimodal {
       sha2(col(binCol), 256).as("sha"),
       hex(expr(s"substring($binCol, 1, 4)")).as("magic"))
 
+  /** Real header parsing for the formats whose dimensions live in plain
+    * bytes — no codec library needed: PNG IHDR (big-endian at offset
+    * 16), GIF logical screen descriptor (little-endian at 6), JPEG SOFn
+    * segment scan. Returns None for payloads that aren't recognizable
+    * images; pixel decoding (which WOULD need a codec) stays stubbed.
+    */
+  def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    if (b.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G') {
+      val w = (u8(16) << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19)
+      val h = (u8(20) << 24) | (u8(21) << 16) | (u8(22) << 8) | u8(23)
+      Some(("png", w, h))
+    } else if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F') {
+      Some(("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length) {
+        if (u8(i) == 0xff && u8(i + 1) != 0xff) {
+          val m = u8(i + 1)
+          val isSof = (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            val h = (u8(i + 5) << 8) | u8(i + 6)
+            val w = (u8(i + 7) << 8) | u8(i + 8)
+            return Some(("jpeg", w, h))
+          }
+          i += 2 + ((u8(i + 2) << 8) | u8(i + 3)) // skip this segment
+        } else i += 1
+      }
+      None
+    } else None
+  }
+
+  /** Decode one blob: real header parse when the bytes are a
+    * recognizable image, deterministic stub otherwise (this container
+    * ships no pixel codecs; a libjpeg/ffmpeg call slots in here).
+    */
+  def decodeOne(b: MediaBlob): MediaMeta =
+    parseImageHeader(b.content) match {
+      case Some((fmt, w, h)) =>
+        MediaMeta(b.doc_id, fmt, b.content.length.toLong, w, h, n_frames = 1)
+      case None => decodeStub(b)
+    }
+
   /** STUB decoder: a real codec call goes here (e.g. libjpeg/ffmpeg via
     * JNI). The fake derives width/height/frames deterministically from
     * the payload size so tests and oracles can check the plumbing.
@@ -60,7 +103,7 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       // real impl: open codec context once per partition here
-      it.map(decodeStub)
+      it.map(decodeOne)
     }
   }
 

@@ -1,0 +1,54 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = Array.fill[Byte](33)(0)
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R')                  // IHDR length + tag
+      .zipWithIndex.foreach { case (b, i) => out(i) = b.toByte }
+    out(16) = (w >> 24).toByte; out(17) = (w >> 16).toByte
+    out(18) = (w >> 8).toByte; out(19) = w.toByte
+    out(20) = (h >> 24).toByte; out(21) = (h >> 16).toByte
+    out(22) = (h >> 8).toByte; out(23) = h.toByte
+    out
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val out = Array.fill[Byte](13)(0)
+    "GIF89a".getBytes.zipWithIndex.foreach { case (b, i) => out(i) = b }
+    out(6) = (w & 0xff).toByte; out(7) = (w >> 8).toByte
+    out(8) = (h & 0xff).toByte; out(9) = (h >> 8).toByte
+    out
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    // SOI, APP0 (length 4, empty), SOF0 with the dimensions
+    val app0 = Array(0xff, 0xe0, 0x00, 0x04, 0x00, 0x00)
+    val sof0 = Array(0xff, 0xc0, 0x00, 0x0b, 0x08,
+      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, 0x01, 0x00)
+    (Array(0xff, 0xd8) ++ app0 ++ sof0).map(_.toByte)
+  }
+
+  test("image header parsing: PNG/GIF/JPEG dimensions from raw bytes") {
+    assert(Multimodal.parseImageHeader(pngBytes(640, 480)) === Some(("png", 640, 480)))
+    assert(Multimodal.parseImageHeader(gifBytes(320, 200)) === Some(("gif", 320, 200)))
+    assert(Multimodal.parseImageHeader(jpegBytes(1920, 1080)) === Some(("jpeg", 1920, 1080)))
+    assert(Multimodal.parseImageHeader("plain text".getBytes) === None)
+    assert(Multimodal.parseImageHeader(Array[Byte]()) === None)
+  }
+
+  test("decode uses real headers for images, stub otherwise") {
+    import spark.implicits._
+    val blobs = Seq(
+      MediaBlob(1L, "image", pngBytes(100, 50)),
+      MediaBlob(2L, "image", "not an image".getBytes)).toDS()
+    val metas = Multimodal.decode(blobs).collect().sortBy(_.doc_id)
+    assert(metas(0).fmt === "png" && metas(0).width === 100 && metas(0).height === 50)
+    // non-image falls back to the deterministic stub
+    assert(metas(1) === Multimodal.decodeStub(
+      MediaBlob(2L, "image", "not an image".getBytes)))
+  }
+}
