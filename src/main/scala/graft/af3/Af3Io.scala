@@ -48,10 +48,10 @@ object Af3Io {
   private def stripScheme(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^file:/*", "/")
 
-  private def rawSummaries(spark: SparkSession, inputDir: String, enc: String): DataFrame =
+  private def rawSummaries(spark: SparkSession, inputDir: String): DataFrame =
     spark.read.schema(summarySchema)
       .option("multiLine", "true")
-      .option("encoding", enc)
+      .option("encoding", "UTF-8")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .option("recursiveFileLookup", "true")
@@ -76,7 +76,7 @@ object Af3Io {
     // cache: Spark forbids filtering a raw JSON scan on only the corrupt
     // column (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materializing first is
     // the documented workaround, and the summaries table is tiny
-    rawSummaries(spark, inputDir, "UTF-8").cache()
+    rawSummaries(spark, inputDir).cache()
       .withColumn("job_dir", Scalars.parentDirName(col("__path")))
       .drop("__path")
 
@@ -130,7 +130,7 @@ object Af3Io {
     }
 
     // summaries: one scan; _corrupt == structural corruption (see note)
-    val summaries = rawSummaries(spark, inputDir, "UTF-8").cache()
+    val summaries = rawSummaries(spark, inputDir).cache()
       .select(Scalars.parentDirName(col("__path")).as("job_dir"), base.as("file"),
         lit("summary").as("kind"),
         when(col("_corrupt").isNull, "parsed")

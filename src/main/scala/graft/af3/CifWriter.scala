@@ -29,8 +29,11 @@ object CifWriter {
         concat(lit("'"), c, lit("'")))
       .otherwise(c)
 
+  // format_string renders a null argument as the literal "null"
+  // (java.util.Formatter), never SQL NULL — the null check must come
+  // BEFORE formatting, or missing values would emit "null" tokens
   private def num2(c: Column): Column =
-    coalesce(format_string("%.2f", c), lit("?"))
+    when(c.isNull, lit("?")).otherwise(format_string("%.2f", c))
 
   /** Render atoms as full-fidelity `_atom_site` mmCIF rows (the same
     * field set BioPython's MMCIFIO preserves: type_symbol, alt id,
@@ -51,7 +54,7 @@ object CifWriter {
     // Every field is null-coalesced to its CIF unknown marker:
     // concat_ws silently DROPS null columns, which would shift all
     // subsequent fields left and misalign the whole row.
-    def coord(c: Column) = coalesce(format_string("%.3f", c), lit("?"))
+    def coord(c: Column) = when(c.isNull, lit("?")).otherwise(format_string("%.3f", c))
     def f(name: String, dflt: String) = coalesce(col(name), lit(dflt))
     val line = concat_ws(" ",
       f("group_pdb", "ATOM"), col("atom_serial"), f("type_symbol", "?"),
@@ -156,7 +159,10 @@ object CifWriter {
           writer.close(); writer = null
           fs.mkdirs(finalPath.getParent) // keys may carry subdirs (job/model_k)
           if (fs.exists(finalPath)) fs.delete(finalPath, false)
-          fs.rename(tmpPath, finalPath)
+          // Hadoop rename reports most failures via `false`, not an
+          // exception — an unchecked rename would drop output silently
+          if (!fs.rename(tmpPath, finalPath))
+            sys.error(s"rename $tmpPath -> $finalPath failed")
         }
         try {
           rows.foreach { r =>

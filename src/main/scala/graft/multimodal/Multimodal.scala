@@ -51,20 +51,30 @@ object Multimodal {
       val w = (u8(16) << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19)
       val h = (u8(20) << 24) | (u8(21) << 16) | (u8(22) << 8) | u8(23)
       Some(("png", w, h))
-    } else if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F') {
+    } else if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+        u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
+      // full GIF87a/GIF89a signature: "GIF" alone also matches ordinary
+      // text ("GIFs are..."), which must fall through to the stub
       Some(("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
     } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
-      while (i + 9 < b.length) {
+      while (i + 1 < b.length) {
         if (u8(i) == 0xff && u8(i + 1) != 0xff) {
           val m = u8(i + 1)
-          val isSof = (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc
-          if (isSof) {
-            val h = (u8(i + 5) << 8) | u8(i + 6)
-            val w = (u8(i + 7) << 8) | u8(i + 8)
-            return Some(("jpeg", w, h))
+          // standalone markers carry no length field
+          if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) { i += 2 }
+          else {
+            val isSof = (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof) {
+              if (i + 8 < b.length) {
+                val h = (u8(i + 5) << 8) | u8(i + 6)
+                val w = (u8(i + 7) << 8) | u8(i + 8)
+                return Some(("jpeg", w, h))
+              } else return None // truncated before the dimension bytes
+            }
+            if (i + 3 >= b.length) return None
+            i += 2 + ((u8(i + 2) << 8) | u8(i + 3)) // skip this segment
           }
-          i += 2 + ((u8(i + 2) << 8) | u8(i + 3)) // skip this segment
         } else i += 1
       }
       None

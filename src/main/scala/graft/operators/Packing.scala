@@ -18,8 +18,14 @@ object Packing {
       stratumCol: String,
       keyCol: String,
       nTokensCol: String,
-      windowTokens: Long): DataFrame =
+      windowTokens: Long): DataFrame = {
+    require(windowTokens > 0, s"window size must be positive, got $windowTokens")
+    // greatest(start, end-1): a zero-length item occupies (only) its
+    // start window instead of producing last_window < first_window (and
+    // `div` of -1 would disagree with the oracle's floor division)
     Windows.prefixOffsets(df, Seq(stratumCol), keyCol, nTokensCol)
       .withColumn("first_window", expr(s"start_off div $windowTokens"))
-      .withColumn("last_window", expr(s"(end_off - 1) div $windowTokens"))
+      .withColumn("last_window",
+        expr(s"greatest(start_off, end_off - 1) div $windowTokens"))
+  }
 }

@@ -147,8 +147,13 @@ object Similarity {
       nprobe: Int,
       k: Int): DataFrame = {
     // one distance frame feeds both the assignment argmin and the probe
-    // ranking; cached so the scan + N*numCells dot products run once
-    val dists = ivfDists(vectors, idCol, embCol, numCells).cache()
+    // ranking (a self-join of derived frames — Spark evaluates each join
+    // child separately, so without persistence the scan + N*numCells dot
+    // products would run twice). MEMORY_AND_DISK: spill beats recompute.
+    // The entry stays resident until LRU eviction; callers running many
+    // sweeps can clear it via spark.catalog.clearCache().
+    val dists = ivfDists(vectors, idCol, embCol, numCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assign = ivfArgmin(dists)
     val probes = dists
       .withColumn("pr", row_number().over(

@@ -89,10 +89,12 @@ object Sessions {
     * AvailableNow multi-batch run converges to the batch answer.
     *
     * Output contract: UPDATE semantics — each emission is the user's
-    * current island snapshot, an upsert keyed by (user_id, island_id).
-    * Consume with a keyed sink (foreachBatch merge, memory/complete,
-    * a KV store); an append-only sink would accumulate superseded
-    * snapshots as islands grow or get bridged by late events.
+    * COMPLETE current island set, and the replacement unit is the whole
+    * user: a consumer must replace ALL previously-stored rows for an
+    * emitted user_id (as SessionsSpec's foreachBatch does). Island ids
+    * are positional and renumber when a late event bridges two islands,
+    * so merging per (user_id, island_id) would strand stale high-id
+    * rows; append-only sinks accumulate superseded snapshots.
     */
   def statefulIslands(spark: SparkSession, events: DataFrame, maxGapSec: Long): DataFrame = {
     import spark.implicits._

@@ -89,7 +89,7 @@ object SamplingQueries {
         SELECT source, doc_id, n_tokens, start_off,
                start_off + n_tokens AS end_off,
                start_off // 512 AS first_window,
-               (start_off + n_tokens - 1) // 512 AS last_window
+               greatest(start_off, start_off + n_tokens - 1) // 512 AS last_window
         FROM o ORDER BY source, doc_id""")),
 
     QDef(
