@@ -57,8 +57,11 @@ object Af3Pipeline {
     val perResidue = atoms
       .groupBy(col("job_dir"), col("chain"), col("res_id"), col("res_name"))
       .agg(count(lit(1)).as("atom_count"))
-    // BioPython is_aa default standard=False: extended set (py:163-165)
-    val isAA = col("res_name").isin(Scalars.extendedAA: _*)
+    // residue_length gates on `residue_name in seq1_dict` (py:165) — the 20
+    // standard AAs only; modified residues (MSE, SEP, ...) contribute their
+    // atom_count. The extended is_aa(standard=False) set belongs only to the
+    // contactPairs/modelExtract paths that mirror BioPython's is_aa.
+    val isAA = col("res_name").isin(Scalars.standardAA: _*)
     perResidue
       .groupBy(col("job_dir"), col("chain"))
       .agg(

@@ -83,13 +83,13 @@ object SamplingQueries {
           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
           FROM documents),
         o AS (SELECT source, doc_id, n_tokens,
-          COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+          CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
           FROM t)
         SELECT source, doc_id, n_tokens, start_off,
-               start_off + n_tokens AS end_off,
-               start_off // 512 AS first_window,
-               greatest(start_off, start_off + n_tokens - 1) // 512 AS last_window
+               CAST(start_off + n_tokens AS BIGINT) AS end_off,
+               CAST(start_off // 512 AS BIGINT) AS first_window,
+               CAST(greatest(start_off, start_off + n_tokens - 1) // 512 AS BIGINT) AS last_window
         FROM o ORDER BY source, doc_id""")),
 
     QDef(
