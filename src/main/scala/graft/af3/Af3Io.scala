@@ -154,7 +154,7 @@ object Af3Io {
           .otherwise("parsed").as("status"))
 
     // cif model files: parsed iff the _atom_site loop yielded atoms
-    val cifCounts = CifParser.readAtomsDf(spark, inputDir)
+    val cifCounts = CifParser.readAtomsLeanDf(spark, inputDir)
       .groupBy(col("job_dir"), col("model_idx"))
       .agg(count(lit(1)).as("__n"))
     val cifRe = "^(.*)_model_(\\d+)\\.cif$"

@@ -33,6 +33,24 @@ final case class CifAtom(
     occupancy: Option[Double] = None,
     b_iso: Option[Double] = None)
 
+/** The 9-field projection the analysis pipeline actually consumes
+  * (chainInfo/contacts/interacting need chain, residue identity and
+  * coordinates — py:156-174, 227-251). Parsing to this shape skips the
+  * fidelity-field extraction and halves the encoder row width; only the
+  * CIF-writing sinks (round-trip fidelity, py:341-345) pay for the full
+  * [[CifAtom]].
+  */
+final case class CifAtomLean(
+    job_dir: String,
+    model_idx: Int,
+    chain: String,
+    res_id: Int,
+    res_name: String,
+    atom_name: String,
+    x: Double,
+    y: Double,
+    z: Double)
+
 /** mmCIF `_atom_site` reader, Spark-native.
   *
   * Shape: `binaryFile` scan (one row per .cif, so the unit of parallelism
@@ -100,75 +118,61 @@ object CifParser {
     out.toArray
   }
 
-  /** Parse the `_atom_site` loop of one mmCIF text. Tolerant of field
-    * order: positions come from the `_atom_site.*` header lines.
-    */
-  def parseAtomSite(jobDir: String, modelIdx: Int, text: String): Iterator[CifAtom] = {
-    val lines = text.linesIterator
-    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
-    var inHeader = false
-    var inData = false
-    var ordinal = 0
-    val out = scala.collection.mutable.ArrayBuffer.empty[CifAtom]
-
-    def idx(names: String*): Int =
+  /** Bound positions of the `_atom_site.*` header fields of one loop. */
+  private final class FieldIdx(fields: collection.Seq[String]) {
+    private def idx(names: String*): Int =
       names.map(fields.indexOf).find(_ >= 0).getOrElse(-1)
-
-    var iGrp, iChain, iRes, iResName, iAtom, iX, iY, iZ = -1
-    var iType, iAlt, iLabAsym, iEntity, iLabSeq, iIns, iOcc, iB = -1
-
-    def bindIndices(): Unit = {
-      iGrp = idx("group_PDB")
-      iChain = idx("auth_asym_id", "label_asym_id")
-      iRes = idx("auth_seq_id", "label_seq_id")
-      iResName = idx("auth_comp_id", "label_comp_id")
-      iAtom = idx("label_atom_id", "auth_atom_id")
-      iX = idx("Cartn_x"); iY = idx("Cartn_y"); iZ = idx("Cartn_z")
-      iType = idx("type_symbol")
-      iAlt = idx("label_alt_id")
-      iLabAsym = idx("label_asym_id")
-      iEntity = idx("label_entity_id")
-      iLabSeq = idx("label_seq_id")
-      iIns = idx("pdbx_PDB_ins_code")
-      iOcc = idx("occupancy")
-      iB = idx("B_iso_or_equiv")
-    }
+    val iGrp = idx("group_PDB")
+    val iChain = idx("auth_asym_id", "label_asym_id")
+    val iRes = idx("auth_seq_id", "label_seq_id")
+    val iResName = idx("auth_comp_id", "label_comp_id")
+    val iAtom = idx("label_atom_id", "auth_atom_id")
+    val iX = idx("Cartn_x"); val iY = idx("Cartn_y"); val iZ = idx("Cartn_z")
+    val iType = idx("type_symbol")
+    val iAlt = idx("label_alt_id")
+    val iLabAsym = idx("label_asym_id")
+    val iEntity = idx("label_entity_id")
+    val iLabSeq = idx("label_seq_id")
+    val iIns = idx("pdbx_PDB_ins_code")
+    val iOcc = idx("occupancy")
+    val iB = idx("B_iso_or_equiv")
+    // a row is usable only if the coordinate fields exist and the line
+    // is long enough for every *required* index — truncated rows and
+    // loops missing Cartn_* are skipped, never fatal (≙ the reference's
+    // per-file error tolerance, py:40-64)
+    val maxRequired = Seq(iGrp, iChain, iRes, iResName, iAtom, iX, iY, iZ).max
+    def usable(t: Array[String]): Boolean =
+      iGrp >= 0 && iX >= 0 && iY >= 0 && iZ >= 0 && t.length > maxRequired &&
+        (t(iGrp) == "ATOM" || t(iGrp) == "HETATM")
 
     def opt(t: Array[String], i: Int, dflt: String): String =
       if (i >= 0 && i < t.length) t(i) else dflt
-
     def optD(t: Array[String], i: Int): Option[Double] =
       if (i >= 0 && i < t.length) t(i).toDoubleOption else None
+  }
+
+  /** Single-pass `_atom_site` loop scan shared by the full and lean
+    * parsers. `make(ix, tokens, ordinal)` builds a row from a gated data
+    * line; a NumberFormatException inside it skips the row (malformed,
+    * never fatal) without consuming the ordinal.
+    */
+  private def scanAtomSite[A](text: String)(
+      make: (FieldIdx, Array[String], Int) => A): Iterator[A] = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ix: FieldIdx = null
+    var inHeader = false
+    var inData = false
+    var ordinal = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[A]
 
     def emit(l: String): Unit = {
       val t = tokenize(l)
-      // a row is usable only if the coordinate fields exist and the line
-      // is long enough for every *required* index — truncated rows and
-      // loops missing Cartn_* are skipped, never fatal (≙ the reference's
-      // per-file error tolerance, py:40-64)
-      val maxIdx = Seq(iGrp, iChain, iRes, iResName, iAtom, iX, iY, iZ).max
-      if (iGrp >= 0 && iX >= 0 && iY >= 0 && iZ >= 0 && t.length > maxIdx &&
-          (t(iGrp) == "ATOM" || t(iGrp) == "HETATM")) {
+      if (ix.usable(t)) {
         try {
+          val row = make(ix, t, ordinal + 1)
           ordinal += 1
-          out += CifAtom(
-            jobDir, modelIdx,
-            if (iChain >= 0) t(iChain) else "",
-            if (iRes >= 0) t(iRes).toInt else -1,
-            if (iResName >= 0) t(iResName) else "",
-            if (iAtom >= 0) t(iAtom) else "",
-            t(iX).toDouble, t(iY).toDouble, t(iZ).toDouble,
-            ordinal = ordinal,
-            group_pdb = t(iGrp),
-            type_symbol = opt(t, iType, "?"),
-            alt_id = opt(t, iAlt, "."),
-            label_asym_id = opt(t, iLabAsym, "?"),
-            entity_id = opt(t, iEntity, "?"),
-            label_seq_id = opt(t, iLabSeq, "?"),
-            ins_code = opt(t, iIns, "?"),
-            occupancy = optD(t, iOcc),
-            b_iso = optD(t, iB))
-        } catch { case _: NumberFormatException => ordinal -= 1 } // malformed row: skip
+          out += row
+        } catch { case _: NumberFormatException => } // malformed row: skip
       }
     }
 
@@ -176,13 +180,13 @@ object CifParser {
       line.isEmpty || line.startsWith("#") || line.startsWith("_") ||
         line.startsWith("loop_") || line.startsWith("data_")
 
-    for (raw <- lines) {
+    for (raw <- text.linesIterator) {
       val line = raw.trim
       if (inHeader) {
         if (line.startsWith("_atom_site.")) {
           fields += line.stripPrefix("_atom_site.").trim
         } else if (fields.nonEmpty) {
-          inHeader = false; bindIndices()
+          inHeader = false; ix = new FieldIdx(fields)
           // this line is the first data row (or a terminator)
           if (!isTerminator(line)) { inData = true; emit(line) }
         } else if (!line.startsWith("_")) {
@@ -197,6 +201,46 @@ object CifParser {
     }
     out.iterator
   }
+
+  /** Parse the `_atom_site` loop of one mmCIF text, full fidelity.
+    * Tolerant of field order: positions come from the `_atom_site.*`
+    * header lines.
+    */
+  def parseAtomSite(jobDir: String, modelIdx: Int, text: String): Iterator[CifAtom] =
+    scanAtomSite(text) { (ix, t, ordinal) =>
+      CifAtom(
+        jobDir, modelIdx,
+        if (ix.iChain >= 0) t(ix.iChain) else "",
+        if (ix.iRes >= 0) t(ix.iRes).toInt else -1,
+        if (ix.iResName >= 0) t(ix.iResName) else "",
+        if (ix.iAtom >= 0) t(ix.iAtom) else "",
+        t(ix.iX).toDouble, t(ix.iY).toDouble, t(ix.iZ).toDouble,
+        ordinal = ordinal,
+        group_pdb = t(ix.iGrp),
+        type_symbol = ix.opt(t, ix.iType, "?"),
+        alt_id = ix.opt(t, ix.iAlt, "."),
+        label_asym_id = ix.opt(t, ix.iLabAsym, "?"),
+        entity_id = ix.opt(t, ix.iEntity, "?"),
+        label_seq_id = ix.opt(t, ix.iLabSeq, "?"),
+        ins_code = ix.opt(t, ix.iIns, "?"),
+        occupancy = ix.optD(t, ix.iOcc),
+        b_iso = ix.optD(t, ix.iB))
+    }
+
+  /** Parse only the analysis projection — no fidelity-field extraction,
+    * no Option boxing. Same row gate and ordinal semantics as
+    * [[parseAtomSite]], so the two paths see identical atom sets.
+    */
+  def parseAtomSiteLean(jobDir: String, modelIdx: Int, text: String): Iterator[CifAtomLean] =
+    scanAtomSite(text) { (ix, t, _) =>
+      CifAtomLean(
+        jobDir, modelIdx,
+        if (ix.iChain >= 0) t(ix.iChain) else "",
+        if (ix.iRes >= 0) t(ix.iRes).toInt else -1,
+        if (ix.iResName >= 0) t(ix.iResName) else "",
+        if (ix.iAtom >= 0) t(ix.iAtom) else "",
+        t(ix.iX).toDouble, t(ix.iY).toDouble, t(ix.iZ).toDouble)
+    }
 
   private val pathRe = ".*/([^/]+)/[^/]+_model_(\\d+)\\.cif$".r
 
@@ -225,4 +269,30 @@ object CifParser {
 
   def readAtomsDf(spark: SparkSession, inputDir: String): DataFrame =
     readAtoms(spark, inputDir).toDF()
+
+  /** Lean analysis-projection read: same discovery/decoding as
+    * [[readAtoms]], parsing only the 9 fields the pipeline consumes.
+    * This is manual scan-level column pruning — the narrow schema saves
+    * both parse CPU and encoder row width on every downstream exchange.
+    */
+  def readAtomsLean(spark: SparkSession, inputDir: String): Dataset[CifAtomLean] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.cif")
+      .load(inputDir)
+      .filter(!col("path").rlike("/\\._[^/]*$"))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        path match {
+          case pathRe(job, m) =>
+            parseAtomSiteLean(job, m.toInt, decodeText(content))
+          case _ => Iterator.empty
+        }
+      }
+  }
+
+  def readAtomsLeanDf(spark: SparkSession, inputDir: String): DataFrame =
+    readAtomsLean(spark, inputDir).toDF()
 }

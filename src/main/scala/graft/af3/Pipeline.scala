@@ -292,7 +292,9 @@ object Af3Pipeline {
   def run(spark: SparkSession, inputDir: String, p: Af3Params = Af3Params()): DataFrame = {
     val binders = gate(Af3Io.readSummaries(spark, inputDir), p)
       .select("job_dir").distinct().cache()
-    val atoms = CifParser.readAtomsDf(spark, inputDir)
+    // analysis consumes only the lean projection — never pay the
+    // fidelity-field parse here (that's for the CIF-writing sinks)
+    val atoms = CifParser.readAtomsLeanDf(spark, inputDir)
       .join(broadcast(binders), Seq("job_dir"), "left_semi")
     val model0 = atoms.filter(col("model_idx") === 0).cache()
     val info = chainInfo(model0)

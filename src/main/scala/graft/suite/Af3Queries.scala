@@ -71,7 +71,7 @@ object Af3Queries {
       "af3_agg_chain_info",
       (s, _) =>
         Af3Pipeline.chainInfo(
-          CifParser.readAtomsDf(s, fx)
+          CifParser.readAtomsLeanDf(s, fx)
             .filter(col("job_dir") === "job_binder" && col("model_idx") === 0))
           .select(col("chain"), col("residue_length"), col("sequence"))
           .orderBy("chain"),
@@ -83,7 +83,7 @@ object Af3Queries {
     QDef(
       "af3_interacting_residues",
       (s, _) => {
-        val atoms = CifParser.readAtomsDf(s, fx).filter(col("model_idx") === 0)
+        val atoms = CifParser.readAtomsLeanDf(s, fx).filter(col("model_idx") === 0)
         val info = Af3Pipeline.chainInfo(atoms)
         Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), info, p)
           .filter(col("job_dir") === "job_binder")
@@ -100,7 +100,7 @@ object Af3Queries {
       (s, _) => {
         // atoms feed two branches (offsets + contact pairs): cache so the
         // CIF parse runs once
-        val atoms = CifParser.readAtomsDf(s, fx).filter(col("model_idx") === 0).cache()
+        val atoms = CifParser.readAtomsLeanDf(s, fx).filter(col("model_idx") === 0).cache()
         val info = Af3Pipeline.chainInfo(atoms)
         val interacting =
           Af3Pipeline.interactingResidues(Af3Io.readPaeLong(s, fx), info, p)
@@ -223,7 +223,7 @@ object Af3Queries {
       "af3_pymol_script",
       (s, _) =>
         Af3Pipeline.pymolScripts(
-          CifParser.readAtomsDf(s, fx).filter(col("job_dir") === "job_binder"))
+          CifParser.readAtomsLeanDf(s, fx).filter(col("job_dir") === "job_binder"))
           .select(col("job_dir"), col("script")).orderBy("job_dir"),
       Some("""
         SELECT 'job_binder' AS job_dir,

@@ -124,6 +124,17 @@ class CifParserSpec extends SparkSpec {
     }
   }
 
+  test("lean parse equals the projection of the full parse on every file") {
+    val full = CifParser.readAtoms(spark, fixtureDir).collect()
+      .map(a => CifAtomLean(a.job_dir, a.model_idx, a.chain, a.res_id,
+        a.res_name, a.atom_name, a.x, a.y, a.z))
+      .sortBy(a => (a.job_dir, a.model_idx, a.chain, a.res_id, a.atom_name, a.x))
+    val lean = CifParser.readAtomsLean(spark, fixtureDir).collect()
+      .sortBy(a => (a.job_dir, a.model_idx, a.chain, a.res_id, a.atom_name, a.x))
+    assert(lean.toSeq === full.toSeq)
+    assert(lean.nonEmpty)
+  }
+
   test("tolerates reordered fields and unknown categories") {
     val cif =
       """data_x
