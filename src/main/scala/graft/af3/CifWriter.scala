@@ -163,6 +163,7 @@ object CifWriter {
           // exception — an unchecked rename would drop output silently
           if (!fs.rename(tmpPath, finalPath))
             sys.error(s"rename $tmpPath -> $finalPath failed")
+          tmpPath = null // renamed away: nothing for the failure path to clean
         }
         try {
           rows.foreach { r =>
@@ -181,11 +182,12 @@ object CifWriter {
           }
           commit()
         } finally {
-          if (writer != null) { // failure path: drop the partial temp
-            writer.close()
-            if (fs != null && tmpPath != null && fs.exists(tmpPath))
-              fs.delete(tmpPath, false)
-          }
+          // failure path: a temp that was never renamed (whether or not
+          // the writer reached close — e.g. commit()'s rename threw) must
+          // not survive as an orphan in outDir
+          if (writer != null) writer.close()
+          if (fs != null && tmpPath != null && fs.exists(tmpPath))
+            fs.delete(tmpPath, false)
         }
       }
   }

