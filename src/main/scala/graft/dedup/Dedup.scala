@@ -198,6 +198,66 @@ object Dedup {
       .distinct()
   }
 
+  // ---- connected components (survivor selection) -----------------------
+
+  /** Connected components over an undirected pair graph by iterative
+    * hash-min label propagation with path shortcutting: each round every
+    * node takes `min(own label, neighbors' labels, label-of-label)`.
+    * Returns `(node, label)` where `label` is the component's minimum
+    * node id — the canonical dedup survivor.
+    *
+    * Scale shape: each round is two equi-joins + one groupBy, all
+    * shuffle-partitioned on node id — no driver-side graph, no
+    * assumptions on component count. The label-of-label shortcut makes
+    * convergence O(log diameter) rounds instead of O(diameter), so even
+    * pathological near-dup chains (each doc similar only to its
+    * neighbor) settle in a handful of rounds. Convergence is detected
+    * with a scalar changed-count per round; `maxRounds` bounds the worst
+    * case. 2^maxRounds with the shortcut covers any diameter that could
+    * arise in practice (20 rounds ~ diameter 2^20).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .distinct().cache()
+    // lineage must be cut every round (localCheckpoint, not cache): the
+    // round's self-join doubles the logical plan, so an uncut loop goes
+    // exponential in plan size long before it goes wrong in data. On a
+    // cluster with reliable storage, sparkContext.setCheckpointDir +
+    // .checkpoint() is the fault-tolerant equivalent.
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val nbr = edges
+        .join(labels.select(col("node").as("v"), col("label").as("vl")), Seq("v"))
+        .groupBy(col("u").as("node")).agg(min(col("vl")).as("nl"))
+      val stepped = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // path shortcut: also take the label of my label-node this round
+      val next = stepped
+        .join(stepped.select(col("node").as("label"), col("label").as("__ll")),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "__old"), Seq("node"))
+        .filter(col("label") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0L
+      round += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
   // ---- n-gram / unigram Jaccard ----------------------------------------
 
   /** Pairwise Jaccard similarity over distinct-token sets, computed only

@@ -52,6 +52,68 @@ object DedupQueries {
   private def docWordIds(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Dedup.docWordIds(tbl(s, dir, "documents"), "doc_id", "text")
 
+  /** The composed production near-dup pipeline: MinHash signatures ->
+    * LSH band candidates -> 3-shingle Jaccard verification (>= 0.7).
+    * Candidate generation never compares all pairs; verification touches
+    * only LSH hits. Shared by `dedup_near_pipeline` (pair surface) and
+    * `dedup_survivors` (components over the pair graph).
+    */
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val shingles = Dedup.shingles3FromText(
+      tbl(s, dir, "documents"), "doc_id", "text").cache()
+    // n_sh rides the signature groupBy (one shuffle serves both the
+    // MinHash mins and the Jaccard denominators)
+    val sig = Dedup.minhashSignature(shingles, NumPerms, withCount = true).cache()
+    val cands = Dedup.lshCandidates(Dedup.lshBandKeys(sig, NumPerms))
+    val sizes = sig.select(col("doc_id"), col("n_sh"))
+    val inter = cands
+      .join(shingles.withColumnRenamed("doc_id", "a"), Seq("a"))
+      .join(shingles.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("shingle", "shingle_b"), Seq("b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
+      .withColumn("jac",
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
+      .filter(col("jac") >= 0.7)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
+  /** DuckDB CTE chain ending in `pairs(a, b, jac)` — the oracle mirror of
+    * [[nearDupPairs]].
+    */
+  private lazy val nearPairsCteSql: String = {
+    val mins = Dedup.hashCoeffs(NumPerms).zipWithIndex.map { case ((a, b), k) =>
+      s"min((shingle * $a + $b) % $P) AS mh_$k"
+    }.mkString(", ")
+    val bandRows = (0 until NumPerms / 2).map { b =>
+      s"SELECT doc_id, $b AS band, mh_${2 * b} * $P + mh_${2 * b + 1} AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$vocabSql, $shingleSql,
+        sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id),
+        bands AS ($bandRows),
+        cands AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+            AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY doc_id),
+        inter AS (
+          SELECT c.a, c.b, count(*) AS ni
+          FROM cands c
+          JOIN shing sa ON sa.doc_id = c.a
+          JOIN shing sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          GROUP BY c.a, c.b),
+        pairs AS (
+          SELECT a, b,
+                 CAST(ni AS DOUBLE) / CAST(za.n_sh + zb.n_sh - ni AS DOUBLE) AS jac
+          FROM inter
+          JOIN sizes za ON za.doc_id = a
+          JOIN sizes zb ON zb.doc_id = b
+          WHERE CAST(ni AS DOUBLE) / CAST(za.n_sh + zb.n_sh - ni AS DOUBLE) >= 0.7)"""
+  }
+
   def all: Seq[QDef] = Seq(
 
     QDef(
@@ -113,63 +175,38 @@ object DedupQueries {
 
     QDef(
       "dedup_near_pipeline",
+      (s, dir) => nearDupPairs(s, dir).orderBy("a", "b"),
+      Some(s"""WITH $nearPairsCteSql
+            SELECT a, b, jac FROM pairs ORDER BY a, b""")),
+
+    QDef(
+      "dedup_survivors",
       (s, dir) => {
-        // the composed production near-dup pipeline: MinHash signatures ->
-        // LSH band candidates -> 3-shingle Jaccard verification (>= 0.7)
-        // -> survivor set (min doc id per connected pair). Candidate
-        // generation never compares all pairs; verification touches only
-        // LSH hits.
-        val shingles = Dedup.shingles3FromText(
-          tbl(s, dir, "documents"), "doc_id", "text").cache()
-        // n_sh rides the signature groupBy (one shuffle serves both the
-        // MinHash mins and the Jaccard denominators)
-        val sig = Dedup.minhashSignature(shingles, NumPerms, withCount = true).cache()
-        val cands = Dedup.lshCandidates(Dedup.lshBandKeys(sig, NumPerms))
-        val sizes = sig.select(col("doc_id"), col("n_sh"))
-        val inter = cands
-          .join(shingles.withColumnRenamed("doc_id", "a"), Seq("a"))
-          .join(shingles.withColumnRenamed("doc_id", "b")
-            .withColumnRenamed("shingle", "shingle_b"), Seq("b"))
-          .filter(col("shingle") === col("shingle_b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
-          .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
-          .withColumn("jac",
-            col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
-          .filter(col("jac") >= 0.7)
-          .select(col("a"), col("b"), col("jac"))
-          .orderBy("a", "b")
+        // transitive survivor selection: verified near-dup pairs form a
+        // graph; hash-min connected components pick one survivor (min
+        // doc id) per cluster, so a chain A~B, B~C (A !~ C) still
+        // collapses to a single survivor. Every document gets a row:
+        // unpaired docs survive as themselves.
+        val comp = Dedup.connectedComponents(
+          nearDupPairs(s, dir).select(col("a"), col("b")), "a", "b")
+        tbl(s, dir, "documents").select(col("doc_id"))
+          .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("survivor_id"))
+          .orderBy("doc_id")
       },
-      Some {
-        val mins = Dedup.hashCoeffs(NumPerms).zipWithIndex.map { case ((a, b), k) =>
-          s"min((shingle * $a + $b) % $P) AS mh_$k"
-        }.mkString(", ")
-        val bandRows = (0 until NumPerms / 2).map { b =>
-          s"SELECT doc_id, $b AS band, mh_${2 * b} * $P + mh_${2 * b + 1} AS key FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH $vocabSql, $shingleSql,
-            sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id),
-            bands AS ($bandRows),
-            cands AS (
-              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-                AND x.doc_id < y.doc_id),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY doc_id),
-            inter AS (
-              SELECT c.a, c.b, count(*) AS ni
-              FROM cands c
-              JOIN shing sa ON sa.doc_id = c.a
-              JOIN shing sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-              GROUP BY c.a, c.b)
-            SELECT a, b,
-                   CAST(ni AS DOUBLE) / CAST(za.n_sh + zb.n_sh - ni AS DOUBLE) AS jac
-            FROM inter
-            JOIN sizes za ON za.doc_id = a
-            JOIN sizes zb ON zb.doc_id = b
-            WHERE CAST(ni AS DOUBLE) / CAST(za.n_sh + zb.n_sh - ni AS DOUBLE) >= 0.7
-            ORDER BY a, b"""
-      }),
+      Some(s"""WITH RECURSIVE $nearPairsCteSql,
+            e AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b AS u, a AS v FROM pairs),
+            reach(u, m) AS (
+              SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.u, e.v AS m FROM reach r JOIN e ON r.m = e.u),
+            comp AS (SELECT u AS doc_id, min(m) AS survivor_id
+                     FROM reach GROUP BY u)
+            SELECT d.doc_id, coalesce(c.survivor_id, d.doc_id) AS survivor_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+            ORDER BY doc_id""")),
 
     QDef(
       "dedup_simhash",

@@ -61,6 +61,21 @@ class DedupSpec extends SparkSpec {
     assert(near((1L, 2L)) === 0) // exact dup: identical signature
   }
 
+  test("connected components: chain A~B~C (A!~C) collapses to one survivor") {
+    val pairs = Seq((10L, 20L), (20L, 30L), (50L, 40L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+  }
+
+  test("connected components: long chain converges via path shortcut") {
+    // a 64-node path graph: diameter 63, must settle well inside maxRounds
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, "a", "b", maxRounds = 12)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(comp.toSeq === Seq(1L))
+  }
+
   test("jaccard pairs: dup pair = 1.0, near pair = 5/6, cross-block pair absent") {
     val got = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
