@@ -173,6 +173,39 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("idot"), col("rank"))
   }
 
+  /** Blocked near-duplicate pairs by cosine: candidate pairs come from
+    * LSH buckets (own bucket + every Hamming-1 probe, so any pair whose
+    * bucket ids differ in at most one plane bit is compared), and the
+    * exact cosine is verified only within those blocks. The join is an
+    * equi-join on the bucket id — never an all-pairs inequality join:
+    * at 100 TB the pair space is bounded by bucket populations
+    * (~N/2^planes per bucket), and adding planes shrinks it
+    * geometrically. Recall loss is confined to pairs >= 2 plane flips
+    * apart — the standard LSH trade, tunable via `numPlanes`.
+    */
+  def cosinePairsBlocked(
+      vectors: DataFrame,
+      idCol: String,
+      embCol: String,
+      numPlanes: Int,
+      dims: Int,
+      minCos: Double): DataFrame = {
+    val base = vectors.select(col(idCol).as("v_id"),
+        asDouble(col(embCol)).as("emb"),
+        lshBucket(col(embCol), numPlanes, dims).as("bucket"))
+      .withColumn("nrm", norm(col("emb")))
+    val masks: Seq[Long] = 0L +: (0 until numPlanes).map(1L << _).toSeq
+    val probed = base.withColumn("probe", explode(typedLit(masks)))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("probe")))
+      .drop("probe")
+    probed.as("x").join(base.as("y"), Seq("bucket"))
+      .filter(col("x.v_id") < col("y.v_id"))
+      .select(col("x.v_id").as("a"), col("y.v_id").as("b"),
+        (dot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .distinct() // a pair can surface via several probes
+      .filter(col("cos") >= minCos)
+  }
+
   /** Bucketed ANN top-k: candidates from the query's own LSH bucket plus
     * (with `multiProbe`) every bucket at Hamming distance 1 — the
     * standard multi-probe trick that recovers neighbors lost to a single

@@ -288,33 +288,35 @@ object DedupQueries {
 
     QDef(
       "dedup_embedding_cosine",
-      (s, dir) => {
-        // norms precomputed per vector (N sqrts), codegen'd dot per pair
-        val e = tbl(s, dir, "embeddings")
-          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
-          .withColumn("nrm", Similarity.norm(col("emb")))
-        e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-            (Similarity.dot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm")))
-              .as("cos"))
-          .filter(col("cos") >= 0.35)
-          .orderBy("a", "b")
-      },
-      Some("""
-        WITH p AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      (s, dir) =>
+        // LSH-blocked near-dup: candidates from hyperplane buckets
+        // (multi-probe Hamming-1), exact cosine verified within blocks —
+        // an equi-join on the bucket id, never an all-pairs inequality
+        // join (the r2 form was a BroadcastNestedLoop scale-killer).
+        Similarity.cosinePairsBlocked(tbl(s, dir, "embeddings"),
+            "vec_id", "embedding", SimilarityQueries.Planes,
+            SimilarityQueries.Dims, minCos = 0.35)
+          .orderBy("a", "b"),
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+            CAST(${SimilarityQueries.bucketSql} AS BIGINT) AS bucket
+          FROM (SELECT vec_id, embedding, ${SimilarityQueries.intEmbSql} AS ie
+                FROM embeddings)),
         dots AS (
-          SELECT a.vec_id AS a, b.vec_id AS b,
+          SELECT x.vec_id AS a, y.vec_id AS b,
             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-              list_transform(list_zip(a.emb, b.emb), z -> z[1] * z[2])),
+              list_transform(list_zip(x.emb, y.emb), z -> z[1] * z[2])),
               (acc, x) -> acc + x) AS dab,
             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-              list_transform(list_zip(a.emb, a.emb), z -> z[1] * z[2])),
+              list_transform(list_zip(x.emb, x.emb), z -> z[1] * z[2])),
               (acc, x) -> acc + x) AS daa,
             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-              list_transform(list_zip(b.emb, b.emb), z -> z[1] * z[2])),
+              list_transform(list_zip(y.emb, y.emb), z -> z[1] * z[2])),
               (acc, x) -> acc + x) AS dbb
-          FROM p a JOIN p b ON a.vec_id < b.vec_id)
+          FROM v x JOIN v y ON x.vec_id < y.vec_id
+            AND bit_count(xor(x.bucket, y.bucket)) <= 1)
         SELECT a, b, dab / (sqrt(daa) * sqrt(dbb)) AS cos
         FROM dots WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.35
         ORDER BY a, b"""))

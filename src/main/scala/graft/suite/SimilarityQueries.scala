@@ -8,13 +8,14 @@ import Registry.tbl
 /** Similarity-search extension suite over `embeddings`. */
 object SimilarityQueries {
 
-  private val Planes = 4
-  private val Dims = 64
+  private[suite] val Planes = 4
+  private[suite] val Dims = 64
 
   /** SQL fragments for the integer-exact LSH (mirrors
-    * Similarity.planeWeights / intEmbedding / lshBucket).
+    * Similarity.planeWeights / intEmbedding / lshBucket). Shared with
+    * DedupQueries' blocked embedding dedup.
     */
-  private val intEmbSql =
+  private[suite] val intEmbSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   private def planeDotSql(k: Int): String =
@@ -25,7 +26,7 @@ object SimilarityQueries {
             z -> z[1] * z[2])),
           (acc, x) -> acc + x)"""
 
-  private val bucketSql: String =
+  private[suite] val bucketSql: String =
     (0 until Planes).map { k =>
       s"CASE WHEN ${planeDotSql(k)} >= 0 THEN ${1L << k} ELSE 0 END"
     }.mkString(" + ")

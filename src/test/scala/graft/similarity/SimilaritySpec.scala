@@ -42,4 +42,22 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("q_id") === 0).collect()
     assert(got.nonEmpty && got.head.getLong(1) === 1L)
   }
+
+  test("cosinePairsBlocked: subset of brute force, finds the near pair, no nested-loop join") {
+    val blocked = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding",
+      numPlanes = 4, dims = 4, minCos = 0.9)
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L))) // same-direction pair survives blocking
+    // every blocked pair is a true >= minCos pair (verification is exact)
+    val brute = vecs.as("x").join(vecs.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        Similarity.cosine(transform(col("x.embedding"), _.cast("double")),
+          transform(col("y.embedding"), _.cast("double"))).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute))
+    // the plan is bucket-equi-join shaped: no all-pairs fallback
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
 }
