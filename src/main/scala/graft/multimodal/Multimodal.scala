@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   */
 final case class MediaBlob(doc_id: Long, fmt: String, content: Array[Byte])
 
-/** Output of the (stubbed) decoder. */
+/** Output of the decoder. `px_hash` is a CRC32 over the decoded ARGB
+  * pixels (row-major) when the payload really decoded; None on the
+  * stub/header-only paths.
+  */
 final case class MediaMeta(
     doc_id: Long,
     fmt: String,
     n_bytes: Long,
     width: Int,
     height: Int,
-    n_frames: Int)
+    n_frames: Int,
+    px_hash: Option[Long] = None)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded batch-wise inside executors.
@@ -81,20 +85,57 @@ object Multimodal {
     } else None
   }
 
-  /** Decode one blob: real header parse when the bytes are a
-    * recognizable image, deterministic stub otherwise (this container
-    * ships no pixel codecs; a libjpeg/ffmpeg call slots in here).
+  /** CRC32 over the ARGB ints of a decoded image, row-major big-endian —
+    * a deterministic pixel fingerprint (PNG/GIF/BMP decode losslessly,
+    * so the value is stable across JVMs).
+    */
+  def pixelCrc(im: java.awt.image.BufferedImage): Long = {
+    val c = new java.util.zip.CRC32()
+    val buf = new Array[Byte](4)
+    var y = 0
+    while (y < im.getHeight) {
+      var x = 0
+      while (x < im.getWidth) {
+        val p = im.getRGB(x, y)
+        buf(0) = (p >>> 24).toByte; buf(1) = (p >>> 16).toByte
+        buf(2) = (p >>> 8).toByte; buf(3) = p.toByte
+        c.update(buf, 0, 4)
+        x += 1
+      }
+      y += 1
+    }
+    c.getValue
+  }
+
+  /** Decode one blob. Images decode for REAL: the JDK's ImageIO reads
+    * PNG/JPEG/GIF/BMP pixels with no external codec, giving true
+    * dimensions plus a pixel fingerprint. A recognizable-but-corrupt
+    * image falls back to its header dimensions (no pixel hash); anything
+    * else (audio/video — genuinely codec-less here) takes the
+    * deterministic stub.
     */
   def decodeOne(b: MediaBlob): MediaMeta =
     parseImageHeader(b.content) match {
       case Some((fmt, w, h)) =>
-        MediaMeta(b.doc_id, fmt, b.content.length.toLong, w, h, n_frames = 1)
+        val decoded =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b.content)))
+          catch { case _: java.io.IOException => None }
+        decoded match {
+          case Some(im) =>
+            MediaMeta(b.doc_id, fmt, b.content.length.toLong,
+              im.getWidth, im.getHeight, n_frames = 1,
+              px_hash = Some(pixelCrc(im)))
+          case None =>
+            MediaMeta(b.doc_id, fmt, b.content.length.toLong, w, h, n_frames = 1)
+        }
       case None => decodeStub(b)
     }
 
-  /** STUB decoder: a real codec call goes here (e.g. libjpeg/ffmpeg via
-    * JNI). The fake derives width/height/frames deterministically from
-    * the payload size so tests and oracles can check the plumbing.
+  /** STUB decoder for the genuinely codec-less media kinds (audio,
+    * video): a real codec call goes here (e.g. ffmpeg via JNI). The fake
+    * derives width/height/frames deterministically from the payload size
+    * so tests and oracles can check the plumbing.
     */
   def decodeStub(b: MediaBlob): MediaMeta = {
     val n = b.content.length.toLong
@@ -136,5 +177,29 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
         encode(col("text"), "UTF-8").as("content"))
       .as[MediaBlob]
+  }
+
+  /** Deterministic real-image test vectors (ImageIO-encoded, so the
+    * decoded pixels — and therefore [[pixelCrc]] — are fixed): a 3x2 RGB
+    * PNG and a 2x2 GIF. Used by the decode oracle and specs; the
+    * expected constants live next to them.
+    */
+  val FixturePngB64: String =
+    "iVBORw0KGgoAAAANSUhEUgAAAAMAAAACCAIAAAASFvFNAAAAFUlEQVR4XmP4z8DAAMH//4PohoYGAEfPB3tHPST0AAAAAElFTkSuQmCC"
+  val FixturePngCrc: Long = 3823109364L // 3x2, 78 bytes
+  val FixtureGifB64: String =
+    "R0lGODlhAgACAPEAAAAA/wD/AP8AAP///ywAAAAAAgACAEEIBwAFBAAwICAAOw=="
+  val FixtureGifCrc: Long = 904861039L // 2x2, 46 bytes
+
+  /** The two real-image fixture blobs as a dataset (doc_id -1 = png,
+    * -2 = gif — ids that can never collide with the documents table).
+    */
+  def fixtureImageBlobs(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    val dec = java.util.Base64.getDecoder
+    Seq(
+      MediaBlob(-1L, "image", dec.decode(FixturePngB64)),
+      MediaBlob(-2L, "image", dec.decode(FixtureGifB64))
+    ).toDS()
   }
 }

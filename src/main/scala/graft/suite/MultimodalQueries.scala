@@ -30,15 +30,20 @@ object MultimodalQueries {
     QDef(
       "mm_decode_meta",
       (s, dir) =>
+        // documents-as-blobs (stub path: text bytes are no image) plus
+        // two REAL image blobs that exercise the ImageIO pixel decode —
+        // true dimensions + pixel CRC, constants mirrored in the oracle
         Multimodal.decode(
-          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents")))
+          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureImageBlobs(s)))
           .toDF()
           .select(col("doc_id"), col("fmt"), col("n_bytes"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),
-            col("n_frames").cast("long").as("n_frames"))
+            col("n_frames").cast("long").as("n_frames"),
+            col("px_hash"))
           .orderBy("doc_id"),
-      Some("""
+      Some(s"""
         WITH m AS (SELECT doc_id,
             (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS fmt,
             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -46,8 +51,19 @@ object MultimodalQueries {
         SELECT doc_id, fmt, n_bytes,
                64 + n_bytes % 1024 AS width,
                64 + (n_bytes * 7) % 768 AS height,
-               CASE WHEN fmt = 'video' THEN 1 + n_bytes % 240 ELSE 1 END AS n_frames
-        FROM m ORDER BY doc_id""")),
+               CASE WHEN fmt = 'video' THEN 1 + n_bytes % 240 ELSE 1 END AS n_frames,
+               CAST(NULL AS BIGINT) AS px_hash
+        FROM m
+        UNION ALL
+        SELECT * FROM (VALUES
+          (CAST(-1 AS BIGINT), 'png', CAST(78 AS BIGINT), CAST(3 AS BIGINT),
+           CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(${Multimodal.FixturePngCrc} AS BIGINT)),
+          (CAST(-2 AS BIGINT), 'gif', CAST(46 AS BIGINT), CAST(2 AS BIGINT),
+           CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(${Multimodal.FixtureGifCrc} AS BIGINT)))
+          AS t(doc_id, fmt, n_bytes, width, height, n_frames, px_hash)
+        ORDER BY doc_id""")),
 
     QDef(
       "mm_frame_sample",

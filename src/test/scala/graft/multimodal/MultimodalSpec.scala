@@ -46,9 +46,20 @@ class MultimodalSpec extends SparkSpec {
       MediaBlob(1L, "image", pngBytes(100, 50)),
       MediaBlob(2L, "image", "not an image".getBytes)).toDS()
     val metas = Multimodal.decode(blobs).collect().sortBy(_.doc_id)
+    // header-only synthetic PNG (no pixel data): dimensions from the
+    // header, no pixel hash
     assert(metas(0).fmt === "png" && metas(0).width === 100 && metas(0).height === 50)
+    assert(metas(0).px_hash === None)
     // non-image falls back to the deterministic stub
     assert(metas(1) === Multimodal.decodeStub(
       MediaBlob(2L, "image", "not an image".getBytes)))
+  }
+
+  test("real image blobs decode pixels via ImageIO: true dims + stable CRC") {
+    val metas = Multimodal.decode(Multimodal.fixtureImageBlobs(spark))
+      .collect().sortBy(-_.doc_id).toSeq
+    assert(metas.map(m => (m.doc_id, m.fmt, m.width, m.height, m.px_hash)) === Seq(
+      (-1L, "png", 3, 2, Some(Multimodal.FixturePngCrc)),
+      (-2L, "gif", 2, 2, Some(Multimodal.FixtureGifCrc))))
   }
 }
