@@ -114,16 +114,83 @@ object Sessions {
       .toDF("user_id", "island_id", "island_start", "island_end", "island_size")
   }
 
+  /** [[statefulIslands]] with BOUNDED state: an event-time timeout
+    * evicts a user's island set once the watermark passes
+    * `last event + horizonSec` — the production form for an unbounded
+    * stream (NoTimeout state grows with the key space forever). Within
+    * the horizon the emitted snapshots are identical to the unbounded
+    * operator's; a user whose state evicted and who then reappears
+    * starts a fresh island set (by construction — the old spans are
+    * outside the horizon). Streaming-only: the timeout needs the
+    * watermark this function installs on `ts`.
+    */
+  def statefulIslandsBounded(
+      spark: SparkSession,
+      events: DataFrame,
+      maxGapSec: Long,
+      horizonSec: Long,
+      lateness: String = "10 seconds"): DataFrame = {
+    import spark.implicits._
+    // the watermarked ts attribute must flow INTO the stateful operator
+    // (a projection that drops it fails analysis), so it rides along in
+    // the grouped tuple
+    events.withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), unix_timestamp(col("ts")).as("sec"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[IslandsState, (Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[IslandsState]) =>
+          if (state.hasTimedOut) {
+            // horizon passed with no new events: evict. Previously
+            // emitted snapshots stay valid; nothing new to emit.
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.map(_.spans).getOrElse(Nil)
+            val next = rows.foldLeft(prev)((sp, r) => insertSpan(sp, r._3, maxGapSec))
+            state.update(IslandsState(next))
+            // evict when the watermark passes the user's last activity +
+            // horizon (clamped above the watermark: late stragglers must
+            // not set a timeout in the past)
+            state.setTimeoutTimestamp(math.max(
+              (next.map(_.hi).max + horizonSec) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            next.iterator.zipWithIndex.map { case (s, i) =>
+              (uid, i.toLong, s.lo, s.hi, s.n)
+            }
+          }
+      }
+      .toDF("user_id", "island_id", "island_start", "island_end", "island_size")
+  }
+
   /** Streaming exact dedup: fingerprint the text and keep the first
     * arrival per fingerprint. On a stream, `dropDuplicates` holds the
     * seen-fingerprint set as state across micro-batches — the
-    * incremental form of the batch `dedup_exact_hash` survivor query
-    * (prod note: bound the state with `dropDuplicatesWithinWatermark`
-    * when the dup horizon is time-limited).
+    * incremental form of the batch `dedup_exact_hash` survivor query.
+    * State is UNBOUNDED (exact dedup over all history needs the full
+    * seen-set); when the duplicate horizon is time-limited, use
+    * [[dedupByFingerprintBounded]].
     */
   def dedupByFingerprint(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("fp", graft.text.TextFunctions.fingerprint(col(textCol)))
       .dropDuplicates("fp")
+
+  /** Bounded-state streaming dedup: duplicates are suppressed only
+    * within `horizon` of the first arrival's event time —
+    * `dropDuplicatesWithinWatermark` evicts each fingerprint's state as
+    * soon as the watermark passes it, so state size tracks the horizon,
+    * not the stream's history. The right production default when dups
+    * cluster in time (re-crawls, retries, replays).
+    */
+  def dedupByFingerprintBounded(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      horizon: String): DataFrame =
+    docs.withWatermark(tsCol, horizon)
+      .withColumn("fp", graft.text.TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Custom sessionization state: event count + span per user via
     * flatMapGroupsWithState — the template for stateful semantics beyond
@@ -145,6 +212,44 @@ object Sessions {
             math.max(prev.hi, if (secs.isEmpty) prev.hi else secs.max))
           state.update(next)
           Iterator((uid, next.n, next.lo, next.hi))
+      }
+      .toDF("user_id", "n_events", "first_sec", "last_sec")
+  }
+
+  /** [[statefulCounts]] with bounded state: event-time timeout evicts a
+    * user's running span once the watermark passes
+    * `last event + horizonSec` (same contract as
+    * [[statefulIslandsBounded]]). Streaming-only.
+    */
+  def statefulCountsBounded(
+      spark: SparkSession,
+      events: DataFrame,
+      horizonSec: Long,
+      lateness: String = "10 seconds"): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), unix_timestamp(col("ts")).as("sec"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserSpanState, (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[UserSpanState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val secs = rows.map(_._3).toSeq
+            val prev = state.getOption.getOrElse(
+              UserSpanState(0, Long.MaxValue, Long.MinValue))
+            val next = UserSpanState(prev.n + secs.size,
+              math.min(prev.lo, if (secs.isEmpty) prev.lo else secs.min),
+              math.max(prev.hi, if (secs.isEmpty) prev.hi else secs.max))
+            state.update(next)
+            state.setTimeoutTimestamp(math.max(
+              (next.hi + horizonSec) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator((uid, next.n, next.lo, next.hi))
+          }
       }
       .toDF("user_id", "n_events", "first_sec", "last_sec")
   }
