@@ -88,31 +88,62 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** IVF cell assignment: a coarse quantizer maps every vector to its
-    * nearest centroid cell. The codebook here is training-free and
-    * deterministic — the `numCells` lowest-id vectors are the centroids
-    * (production swaps in k-means centroids; the partition/probe
-    * machinery is identical, and a learned codebook would only change
-    * this one frame). Distances are exact integers on the
-    * floor(x*1000) embedding: d2 = |a|^2 - 2*a.c + |c|^2, ties broken
-    * by centroid id — reproducible in SQL verbatim.
+  /** Deterministic fixed-iteration k-means codebook over the integer
+    * embedding. Seed = the `numCells` lowest-id vectors; each iteration
+    * (1) assigns every vector to its nearest centroid (integer d2, ties
+    * by cid) and (2) recomputes each centroid as the per-dimension
+    * `floor(mean)` of its members — floor-of-double-division on sums
+    * < 2^52, so the arithmetic is bit-reproducible in SQL. Empty cells
+    * keep their previous centroid. `iters = 0` degenerates to the
+    * training-free lowest-id codebook.
     *
-    * Returns (v_id, ie, aa, cell). Scale shape: centroids are a
-    * broadcast dimension (numCells rows); assignment is one map-side
-    * join + one groupBy(v_id) with partial min_by.
+    * Scale shape: centroids are a broadcast dimension each round;
+    * assignment is map-side; the mean is one (cell, dim) groupBy — the
+    * classic Spark k-means sans MLlib, with every step a DataFrame op.
+    * Returns (cid, ce).
     */
+  def kmeansCodebook(v: DataFrame, numCells: Int, iters: Int): DataFrame = {
+    val dotL = graft.functions.VectorExpressions.dotLong _
+    var cents = v.orderBy(col("v_id")).limit(numCells)
+      .select(col("v_id").as("cid"), col("ie").as("ce"))
+    for (_ <- 1 to iters) {
+      val assigned = v
+        .join(broadcast(cents.withColumn("cc", dotL(col("ce"), col("ce")))))
+        .withColumn("d2", col("aa") - lit(2L) * dotL(col("ie"), col("ce")) + col("cc"))
+        .groupBy(col("v_id"))
+        .agg(first(col("ie")).as("ie"),
+          min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
+      val perDim = assigned
+        .select(col("cell"), posexplode(col("ie")).as(Seq("d", "v")))
+        .groupBy(col("cell"), col("d"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("mu"))
+      val means = perDim.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("mu")))),
+          _.getField("mu")).as("me"))
+      cents = cents
+        .join(means.withColumnRenamed("cell", "cid"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("me"), col("ce")).as("ce"))
+    }
+    cents
+  }
+
+  /** Default k-means refinement depth for the IVF codebook. */
+  val IvfKmeansIters: Int = 2
+
   /** (v_id, ie, aa, cid, d2) for every vector x centroid pair — the one
     * frame both the argmin assignment and the probe ranking derive from.
+    * The codebook is the deterministic k-means of [[kmeansCodebook]].
     */
   private def ivfDists(
       vectors: DataFrame,
       idCol: String,
       embCol: String,
-      numCells: Int): DataFrame = {
+      numCells: Int,
+      kmeansIters: Int = IvfKmeansIters): DataFrame = {
     val v = vectors.select(col(idCol).as("v_id"), intEmbedding(col(embCol)).as("ie"))
       .withColumn("aa", graft.functions.VectorExpressions.dotLong(col("ie"), col("ie")))
-    val cents = v.orderBy(col("v_id")).limit(numCells)
-      .select(col("v_id").as("cid"), col("ie").as("ce"), col("aa").as("cc"))
+    val cents = kmeansCodebook(v, numCells, kmeansIters)
+      .withColumn("cc", graft.functions.VectorExpressions.dotLong(col("ce"), col("ce")))
     v.join(broadcast(cents))
       .withColumn("d2",
         col("aa") - lit(2L) * graft.functions.VectorExpressions.dotLong(col("ie"), col("ce"))

@@ -49,15 +49,43 @@ object SimilarityQueries {
           list_transform(list_zip($a, $b), z -> z[1] * z[2])),
           (acc, x) -> acc + x)"""
 
+  /** The deterministic k-means iterations as CTEs: c0 is the lowest-id
+    * seed codebook; each step reassigns (integer d2, ties by cid) and
+    * takes per-dimension floor(mean), empty cells keeping their previous
+    * centroid — the exact mirror of Similarity.kmeansCodebook.
+    */
+  private def kmeansCteSql(iters: Int): String = {
+    val init =
+      s"c0 AS (SELECT vec_id AS cid, ie AS ce FROM av ORDER BY vec_id LIMIT $IvfCells)"
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, ie, cid AS cell FROM (
+              SELECT v.vec_id, v.ie, c.cid,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  v.aa - 2 * ${intDotSql("v.ie", "c.ce")}
+                    + ${intDotSql("c.ce", "c.ce")}, c.cid) AS rn
+              FROM av v, c${i - 1} c) WHERE rn = 1),
+          m$i AS (SELECT cell, d,
+                CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+              FROM (SELECT a.cell, dd.d, a.ie[dd.d] AS v
+                    FROM a$i a, (SELECT unnest(generate_series(1, $Dims)) AS d) dd)
+              GROUP BY cell, d),
+          mm$i AS (SELECT cell, list(mu ORDER BY d) AS me FROM m$i GROUP BY cell),
+          c$i AS (SELECT p.cid, coalesce(m.me, p.ce) AS ce
+                  FROM c${i - 1} p LEFT JOIN mm$i m ON m.cell = p.cid)"""
+    }
+    (init +: steps).mkString(",\n")
+  }
+
   /** Shared IVF prelude: integer embeddings, self-norms, the
-    * deterministic lowest-id codebook, all pairwise cell distances, and
+    * deterministic k-means codebook, all pairwise cell distances, and
     * the argmin cell assignment (mirrors Similarity.ivfAssign).
     */
   private val ivfPreludeSql =
     s"""iv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
         av AS (SELECT vec_id, ie, ${intDotSql("ie", "ie")} AS aa FROM iv),
-        cents AS (SELECT vec_id AS cid, ie AS ce, aa AS cc
-                  FROM av ORDER BY vec_id LIMIT $IvfCells),
+        ${kmeansCteSql(graft.similarity.Similarity.IvfKmeansIters)},
+        cents AS (SELECT cid, ce, ${intDotSql("ce", "ce")} AS cc
+                  FROM c${graft.similarity.Similarity.IvfKmeansIters}),
         dists AS (SELECT a.vec_id, a.ie, c.cid,
                     a.aa - 2 * ${intDotSql("a.ie", "c.ce")} + c.cc AS d2
                   FROM av a, cents c),

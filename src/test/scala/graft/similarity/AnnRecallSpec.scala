@@ -53,6 +53,8 @@ class AnnRecallSpec extends SparkSpec {
 
     val recall = (exact & ivf).size.toDouble / exact.size
     info(f"ivf recall@3 = $recall%.2f (${(exact & ivf).size}/${exact.size})")
-    assert(recall >= 0.3, f"IVF recall collapsed: $recall%.2f")
+    // learned (2-iter k-means) codebook: 0.69 on this data; the floor
+    // guards the training-free baseline's 0.62 against regressions
+    assert(recall >= 0.6, f"IVF recall collapsed: $recall%.2f")
   }
 }
