@@ -52,6 +52,22 @@ object Sampling {
     df.filter(
       hashBucket(concat_ws("|", col(stratumCol), col(keyCol)), 1000) < permille)
 
+  /** Quality-weighted deterministic sampling: row kept iff
+    * `hash(key) mod 1000 < clamp(floor(weight * scale), 0, 1000)` — the
+    * acceptance rate is proportional to the row's weight (curriculum /
+    * quality-biased sampling), yet membership stays a pure projection:
+    * no RNG, no shuffle, reproducible on any cluster and in the SQL
+    * oracle (floor of plain double arithmetic is IEEE-exact).
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weight: Column,
+      scale: Double): DataFrame = {
+    val cap = least(greatest(floor(weight * scale), lit(0.0)), lit(1000.0))
+    df.filter(hashBucket(col(keyCol), 1000) < cap)
+  }
+
   /** Exactly-n-per-stratum sample: the n rows with the smallest
     * (hash, key) per stratum — a deterministic reservoir. One shuffle on
     * the stratum; per-stratum work is a partitioned window (never a

@@ -66,6 +66,41 @@ object Sessions {
     q.awaitTermination()
   }
 
+  /** PRODUCTION streaming entry: Append-mode sessionization to a durable
+    * sink with a checkpoint. Sessions emit exactly once, when the
+    * watermark finalizes them — the scalable form ([[runAvailableNow]]
+    * with its Complete-mode memory sink is the spec/debug harness, not
+    * this). Any Spark sink format works ("parquet" default); state per
+    * in-flight session is bounded by the watermark.
+    */
+  def runToSink(
+      spark: SparkSession,
+      eventsDir: String,
+      schemaSource: DataFrame,
+      gap: String,
+      outDir: String,
+      checkpointDir: String,
+      lateness: String = "1 hour",
+      format: String = "parquet"): Unit = {
+    val stream = spark.readStream
+      .schema(schemaSource.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(eventsDir)
+    val withTs =
+      if (schemaSource.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    val q = sessionize(withTs.withWatermark("ts", lateness), gap)
+      .writeStream
+      .format(format)
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Merge one event second into a user's island set: every span within
     * `gap` of `sec` (including spans the new value bridges) collapses
     * into one. Pure function — the same result for any arrival order,

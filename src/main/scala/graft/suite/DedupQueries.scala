@@ -20,7 +20,7 @@ object DedupQueries {
   /** Polynomial rolling hash of `word` reduced mod p — the exact DuckDB
     * mirror of Dedup.wordId (Scalars.polyHash % MinhashP).
     */
-  private def wordHashSql(wordExpr: String): String =
+  private[suite] def wordHashSql(wordExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(string_split($wordExpr, ''), c -> CAST(ascii(c) AS BIGINT))),
           (acc, c) -> (acc * 131 + c) % ${graft.functions.Scalars.polyHashP}) % $P"""
@@ -28,7 +28,7 @@ object DedupQueries {
   /** Shared SQL prelude: tokenized docs + hash-based word ids (no vocab
     * table — ids are a pure projection, mirroring Dedup.docWordIds).
     */
-  private val vocabSql =
+  private[suite] val vocabSql =
     s"""toks AS (
          SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos, ts
          FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents)),
@@ -38,7 +38,7 @@ object DedupQueries {
 
   private val B = Dedup.ShingleBase
 
-  private val shingleSql =
+  private[suite] val shingleSql =
     s"""shing AS (
          SELECT DISTINCT doc_id,
            ((w0 * $B + w1) % $P * $B + w2) % $P AS shingle

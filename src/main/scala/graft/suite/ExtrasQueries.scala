@@ -23,6 +23,30 @@ object ExtrasQueries {
   def all: Seq[QDef] = Seq(
 
     QDef(
+      "agg_filter_clause",
+      (s, dir) =>
+        // conditional aggregation (SQL FILTER clause): one pass over the
+        // fact table computes every conditional slice — map-side combined,
+        // no per-condition re-scan; money in integer cents (exact)
+        tbl(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+            count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+            coalesce(sum(when(col("o_orderstatus") === "O",
+              cents(col("o_totalprice")))), lit(0L)).as("open_cents"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE o_orderstatus = 'O'), 0) AS open_cents,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
       "join_asof",
       (s, dir) => {
         // per event: the user's latest order with orderdate <= event time

@@ -64,6 +64,26 @@ object SamplingQueries {
         WHERE rn <= 5 ORDER BY source, doc_id""")),
 
     QDef(
+      "sample_weighted_quality",
+      (s, dir) =>
+        // curriculum-style quality-weighted sampling: acceptance rate
+        // proportional to the quality score, membership still a pure
+        // deterministic hash projection (no RNG, no shuffle)
+        Sampling.weightedSample(tbl(s, dir, "documents"), "doc_id",
+            TextFunctions.qualityScore(col("text")), scale = 100.0)
+          .select(col("doc_id"))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text,
+              string_split_regex(text, '\\s+') AS toks FROM documents),
+        w AS (SELECT doc_id, ${TextQueries.qualitySql("text", "toks")} AS score
+              FROM t)
+        SELECT doc_id FROM w
+        WHERE ${hashSql("CAST(doc_id AS VARCHAR)", 1000)}
+              < least(greatest(floor(score * 100), 0), 1000)
+        ORDER BY doc_id""")),
+
+    QDef(
       "pipeline_pack_sequences",
       (s, dir) => {
         // concat-and-chunk packing into 512-token context windows, per

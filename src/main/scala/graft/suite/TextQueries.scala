@@ -95,6 +95,55 @@ object TextQueries {
           list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
             (acc, c) -> (acc * 131 + c) % ${Scalars.polyHashP}) AS fp
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    QDef(
+      "text_tfidf_topk",
+      (s, dir) =>
+        graft.text.Corpus.tfidfTopTerms(tbl(s, dir, "documents"),
+            "doc_id", "text", k = 3)
+          .orderBy("doc_id", "rank"),
+      Some(s"""
+        WITH toks AS (SELECT doc_id,
+               unnest(string_split_regex(text, '\\s+')) AS word FROM documents),
+        tf AS (SELECT doc_id, ${DedupQueries.wordHashSql("word")} AS word_id,
+                 count(*) AS tf
+               FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT word_id, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        sc AS (SELECT doc_id, word_id, tf, df,
+                 tf * ((n_docs * 1048576) // df) AS score
+               FROM tf JOIN dfreq USING (word_id), n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, word_id) AS rank FROM sc)
+        SELECT doc_id, word_id, tf, df, CAST(score AS BIGINT) AS score,
+               CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    QDef(
+      "pipeline_decontaminate",
+      (s, dir) => {
+        // train/eval contamination sweep: src0 is the held-out eval set;
+        // training docs sharing >= 3 3-word shingles with any eval doc
+        // are flagged (the n-gram-overlap decontamination every LLM
+        // training pipeline runs before a dataset ships)
+        val docs = tbl(s, dir, "documents")
+        graft.text.Corpus.contamination(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", minShared = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${DedupQueries.vocabSql}, ${DedupQueries.shingleSql},
+        tr AS (SELECT s.doc_id, s.shingle FROM shing s
+               JOIN documents d USING (doc_id) WHERE d.source != 'src0'),
+        te AS (SELECT s.doc_id AS eval_id, s.shingle FROM shing s
+               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+        ov AS (SELECT tr.doc_id, te.eval_id, count(*) AS shared
+               FROM tr JOIN te USING (shingle) GROUP BY 1, 2),
+        f AS (SELECT * FROM ov WHERE shared >= 3)
+        SELECT doc_id, count(*) AS n_eval_hits, max(shared) AS max_shared
+        FROM f GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -13,6 +13,25 @@ object WindowExtraQueries {
   def all: Seq[QDef] = Seq(
 
     QDef(
+      "win_ntile_quartiles",
+      (s, dir) =>
+        // equal-frequency bucketing (data binning for stratified jobs):
+        // ntile over a total order — (price, orderkey) tiebreak makes the
+        // assignment deterministic on any engine
+        tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            ntile(4).over(
+              Window.partitionBy(col("o_orderstatus"))
+                .orderBy(col("o_totalprice"), col("o_orderkey")))
+              .cast("long").as("quartile"))
+          .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               ntile(4) OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders ORDER BY o_orderkey""")),
+
+    QDef(
       "win_moving_avg",
       (s, dir) => {
         // 3-row centered moving sum of integer cents per user over time —

@@ -131,6 +131,33 @@ class SessionsSpec extends SparkSpec {
     assert(acc.map(_._2).toSet === Set("alpha beta", "gamma", "delta"))
   }
 
+  test("runToSink: Append-mode sessions land in the parquet sink once finalized") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_psink_in")
+    val out = java.nio.file.Files.createTempDirectory("graft_psink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_psink_ck").toString
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    Seq((1L, ts(1000)), (1L, ts(1100))).toDF("user_id", "ts")
+      .repartition(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100)
+    // far-future event pushes the watermark past user 1's session so
+    // Append mode can finalize and emit it
+    Seq((2L, ts(999000))).toDF("user_id", "ts")
+      .repartition(1).write.parquet(s"$dir/b1")
+
+    val schemaSource = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+    // two AvailableNow runs: watermark state persists in the checkpoint,
+    // so the second run (no new data) finalizes what the first advanced
+    Sessions.runToSink(spark, dir.toString, schemaSource, "15 minutes",
+      out, ckpt, lateness = "10 seconds")
+    val got = spark.read.parquet(out)
+    assert(got.filter(col("user_id") === 1).count() === 1)
+    val r = got.filter(col("user_id") === 1).head()
+    assert(r.getAs[Long]("session_start") === 1000L)
+    assert(r.getAs[Long]("n_events") === 2L)
+  }
+
   test("bounded islands: state evicts after the watermark passes the horizon") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bisl")
