@@ -47,6 +47,44 @@ object ExtrasQueries {
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
     QDef(
+      "join_range_interval",
+      (s, dir) => {
+        // bucketized point-in-interval join: events against this corpus's
+        // own session windows (key = user_id + time-bucket equi-join,
+        // exact containment refilter — never a nested-loop). The result
+        // doubles as a cross-check: per-session point count == n_events.
+        val ev = tbl(s, dir, "events")
+        val points = ev.select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        val sessions = graft.streaming.Sessions.sessionize(ev, "15 minutes")
+        graft.operators.RangeJoin.rangeJoin(points, "sec", sessions,
+            "session_start", "session_end", Seq("user_id"), bucketWidth = 900L)
+          .groupBy(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"))
+          .agg(count(lit(1)).as("n_in_range"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        b AS (SELECT user_id, us,
+          CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 900000000
+               THEN 1 ELSE 0 END AS brk FROM e),
+        g AS (SELECT user_id, us,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b),
+        sess AS (SELECT user_id,
+                   min(us) // 1000000 AS session_start,
+                   (max(us) + 900000000) // 1000000 AS session_end,
+                   count(*) AS n_events
+                 FROM g GROUP BY user_id, sid),
+        p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        SELECT s.user_id, s.session_start, s.session_end, s.n_events,
+               count(*) AS n_in_range
+        FROM p JOIN sess s ON p.user_id = s.user_id
+          AND p.sec >= s.session_start AND p.sec < s.session_end
+        GROUP BY 1, 2, 3, 4
+        ORDER BY s.user_id, s.session_start""")),
+
+    QDef(
       "join_asof",
       (s, dir) => {
         // per event: the user's latest order with orderdate <= event time

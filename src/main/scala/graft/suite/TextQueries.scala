@@ -98,6 +98,24 @@ object TextQueries {
         FROM documents ORDER BY doc_id""")),
 
     QDef(
+      "text_top_words",
+      (s, dir) =>
+        // corpus heavy hitters: global top-20 words by frequency —
+        // orderBy().limit() plans as TakeOrderedAndProject (per-partition
+        // top-k + tiny merge), never a global sort
+        tbl(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+          .select(graft.dedup.Dedup.wordId(col("word")).as("word_id"))
+          .groupBy(col("word_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word_id"))
+          .limit(20),
+      Some(s"""
+        WITH toks AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                      FROM documents)
+        SELECT ${DedupQueries.wordHashSql("word")} AS word_id, count(*) AS n
+        FROM toks GROUP BY 1 ORDER BY n DESC, word_id LIMIT 20""")),
+
+    QDef(
       "text_tfidf_topk",
       (s, dir) =>
         graft.text.Corpus.tfidfTopTerms(tbl(s, dir, "documents"),

@@ -13,6 +13,39 @@ object WindowExtraQueries {
   def all: Seq[QDef] = Seq(
 
     QDef(
+      "win_funnel_conversion",
+      (s, dir) => {
+        // view -> purchase funnel within 1 hour, per user: the running
+        // last-view time rides a RANGE frame (ties included regardless of
+        // intra-second order — a ROWS frame would be order-dependent on
+        // equal timestamps and thus nondeterministic under shuffle)
+        val e = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("sec"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("last_view",
+            max(when(col("event_type") === "view", col("sec"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(when(col("last_view") >= col("sec") - 3600, 1)).as("n_converted"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        v AS (SELECT user_id, event_type, sec,
+               max(CASE WHEN event_type = 'view' THEN sec END) OVER (
+                 PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+              FROM e)
+        SELECT user_id, count(*) AS n_purchases,
+               count(*) FILTER (WHERE last_view >= sec - 3600) AS n_converted
+        FROM v WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
       "win_ntile_quartiles",
       (s, dir) =>
         // equal-frequency bucketing (data binning for stratified jobs):
