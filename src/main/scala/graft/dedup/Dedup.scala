@@ -250,6 +250,10 @@ object Dedup {
       val changed = next
         .join(labels.withColumnRenamed("label", "__old"), Seq("node"))
         .filter(col("label") =!= col("__old")).count()
+      // drop the previous round's checkpointed copy now that the change
+      // count consumed it — otherwise O(rounds) full label frames stay
+      // resident in executor storage for the rest of the application
+      labels.unpersist(false)
       labels = next
       converged = changed == 0L
       round += 1

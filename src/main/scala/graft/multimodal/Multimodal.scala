@@ -107,20 +107,35 @@ object Multimodal {
     c.getValue
   }
 
-  /** Decode one blob. Images decode for REAL: the JDK's ImageIO reads
-    * PNG/JPEG/GIF/BMP pixels with no external codec, giving true
-    * dimensions plus a pixel fingerprint. A recognizable-but-corrupt
-    * image falls back to its header dimensions (no pixel hash); anything
-    * else (audio/video — genuinely codec-less here) takes the
+  /** Largest pixel count decodeOne will actually decode — a header
+    * declaring more is served its header dimensions only. Guards
+    * against decompression bombs (a tiny blob whose IHDR declares
+    * gigapixel dimensions would otherwise allocate w*h ints).
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  /** Decode one blob. Lossless images decode for REAL: the JDK's
+    * ImageIO reads PNG/GIF/BMP pixels with no external codec, giving
+    * true dimensions plus a pixel fingerprint. JPEG stops at header
+    * dimensions — its decoded pixels are not bit-stable across JVM
+    * IDCT implementations, which would poison the deterministic
+    * px_hash contract. A recognizable-but-corrupt image falls back to
+    * its header dimensions (no pixel hash; JDK readers throw
+    * RuntimeExceptions, not just IOException, on corrupt payloads);
+    * anything else (audio/video — genuinely codec-less here) takes the
     * deterministic stub.
     */
   def decodeOne(b: MediaBlob): MediaMeta =
     parseImageHeader(b.content) match {
       case Some((fmt, w, h)) =>
+        val decodable = fmt != "jpeg" &&
+          w.toLong * math.max(h.toLong, 1L) <= MaxDecodePixels
         val decoded =
-          try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(b.content)))
-          catch { case _: java.io.IOException => None }
+          if (!decodable) None
+          else
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b.content)))
+            catch { case scala.util.control.NonFatal(_) => None }
         decoded match {
           case Some(im) =>
             MediaMeta(b.doc_id, fmt, b.content.length.toLong,

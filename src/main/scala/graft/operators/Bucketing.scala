@@ -43,11 +43,17 @@ object Bucketing {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
-    written.add(signature(df, table, bucketCols, buckets))
+    written.put(qualified(df, table), signature(df, table, bucketCols, buckets))
   }
 
+  // table -> latest written signature (a grow-only SET would false-skip
+  // after the same table is rewritten from different input and then
+  // requested with the original input again)
   private val written =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qualified(df: DataFrame, table: String): String =
+    s"${df.sparkSession.sessionState.catalog.getCurrentDatabase}.$table"
 
   // the input plan's semantic hash rides along so a same-named table fed
   // from different data (another sf dir, a changed projection) never
@@ -55,8 +61,7 @@ object Bucketing {
   private def signature(
       df: DataFrame,
       table: String, bucketCols: Seq[String], buckets: Int): String =
-    s"${df.sparkSession.sessionState.catalog.getCurrentDatabase}.$table|" +
-      s"${bucketCols.mkString(",")}|$buckets|" +
+    s"${bucketCols.mkString(",")}|$buckets|" +
       df.queryExecution.analyzed.semanticHash()
 
   /** Write-once form of [[writeBucketed]]: skips the write when this JVM
@@ -71,8 +76,9 @@ object Bucketing {
       table: String,
       bucketCols: Seq[String],
       buckets: Int): Unit = {
-    val sig = signature(df, table, bucketCols, buckets)
-    if (!written.contains(sig) || !df.sparkSession.catalog.tableExists(table))
+    val current = written.get(qualified(df, table))
+    if (current != signature(df, table, bucketCols, buckets) ||
+        !df.sparkSession.catalog.tableExists(table))
       writeBucketed(df, table, bucketCols, buckets)
   }
 }

@@ -229,12 +229,16 @@ object Similarity {
     val probed = base.withColumn("probe", explode(typedLit(masks)))
       .withColumn("bucket", col("bucket").bitwiseXOR(col("probe")))
       .drop("probe")
+    // a pair surfaces at most twice (once per direction: exactly one
+    // probe mask matches a given bucket pair), so verify-then-distinct
+    // is cheap — the minCos filter runs first to shrink the distinct's
+    // shuffle to the surviving pairs
     probed.as("x").join(base.as("y"), Seq("bucket"))
       .filter(col("x.v_id") < col("y.v_id"))
       .select(col("x.v_id").as("a"), col("y.v_id").as("b"),
         (dot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
-      .distinct() // a pair can surface via several probes
       .filter(col("cos") >= minCos)
+      .distinct()
   }
 
   /** Bucketed ANN top-k: candidates from the query's own LSH bucket plus

@@ -33,7 +33,7 @@ object ProfileAf3 {
         .select("job_dir").distinct().cache()
       b.count(); b
     }
-    val atoms = CifParser.readAtomsDf(spark, fx)
+    val atoms = CifParser.readAtomsLeanDf(spark, fx)
       .join(broadcast(binders), Seq("job_dir"), "left_semi")
     val model0 = atoms.filter(col("model_idx") === 0).cache()
     time("atoms_model0") { model0.count() }
