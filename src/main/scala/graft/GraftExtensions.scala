@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DotProductExpr, LongDotProductExpr, PolyHashExpr}
+import org.apache.spark.sql.graft.{DotProductExpr, LongDotProductExpr, PolyHashExpr, ZOrder2Expr}
 
 /** SparkSessionExtensions hook: registers the graft native expressions in
   * the SQL function registry, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_polyhash"),
         new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
         (children: Seq[Expression]) => PolyHashExpr(children(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_zorder2"),
+        new ExpressionInfo(classOf[ZOrder2Expr].getName, "graft_zorder2"),
+        (children: Seq[Expression]) => ZOrder2Expr(children(0), children(1))))
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductExpr, LongDotProductExpr, PolyHashExpr}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductExpr, LongDotProductExpr, PolyHashExpr, ZOrder2Expr}
 
 /** Column-level entry points for the native vector expressions
   * (implemented in org.apache.spark.sql.graft — they need the
@@ -16,4 +16,7 @@ object VectorExpressions {
 
   def polyHash(s: Column): Column =
     ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(s)))
+
+  def zorder2(x: Column, y: Column): Column =
+    ColumnBridge.column(ZOrder2Expr(ColumnBridge.expression(x), ColumnBridge.expression(y)))
 }

@@ -27,9 +27,13 @@ import graft.af3.CifParser
   * Scale shape: file listing happens once on the driver (cheap, names
   * only); each executor task opens and tokenizes exactly one bundle file,
   * so parallelism == number of files, which is how AF3 dumps arrive at
-  * 100 TB. Column pruning is handled by Spark above the scan (rows are
-  * narrow); predicate pushdown is not needed — the gate filter happens on
-  * the summary JSON table before any CIF is opened.
+  * 100 TB. Column pruning is pushed INTO the scan
+  * (SupportsPushDownRequiredColumns): the reader emits only the
+  * requested fields, and when none of the fidelity fields are needed it
+  * parses through [[CifParser.parseAtomSiteLean]] — an analysis query
+  * `select(chain, x, y, z)` never pays the 19-field extraction.
+  * Predicate pushdown is not needed — the gate filter happens on the
+  * summary JSON table before any CIF is opened.
   */
 class CifDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -70,6 +74,41 @@ object CifDataSource {
     StructField("b_iso", DoubleType)))
 
   private[sources] val pathRe = ".*/([^/]+)/[^/]+_model_(\\d+)\\.cif$".r
+
+  /** Fields available from the lean parse — a pruned schema inside this
+    * set skips the fidelity-field extraction entirely.
+    */
+  private[sources] val leanFields: Set[String] = Set(
+    "job_dir", "model_idx", "chain", "res_id", "res_name", "atom_name",
+    "x", "y", "z")
+
+  private[sources] val fullGetters: Map[String, graft.af3.CifAtom => Any] = Map(
+    "job_dir" -> (a => UTF8String.fromString(a.job_dir)),
+    "model_idx" -> (_.model_idx),
+    "chain" -> (a => UTF8String.fromString(a.chain)),
+    "res_id" -> (_.res_id),
+    "res_name" -> (a => UTF8String.fromString(a.res_name)),
+    "atom_name" -> (a => UTF8String.fromString(a.atom_name)),
+    "x" -> (_.x), "y" -> (_.y), "z" -> (_.z),
+    "ordinal" -> (_.ordinal),
+    "group_pdb" -> (a => UTF8String.fromString(a.group_pdb)),
+    "type_symbol" -> (a => UTF8String.fromString(a.type_symbol)),
+    "alt_id" -> (a => UTF8String.fromString(a.alt_id)),
+    "label_asym_id" -> (a => UTF8String.fromString(a.label_asym_id)),
+    "entity_id" -> (a => UTF8String.fromString(a.entity_id)),
+    "label_seq_id" -> (a => UTF8String.fromString(a.label_seq_id)),
+    "ins_code" -> (a => UTF8String.fromString(a.ins_code)),
+    "occupancy" -> (a => a.occupancy.map(Double.box).orNull),
+    "b_iso" -> (a => a.b_iso.map(Double.box).orNull))
+
+  private[sources] val leanGetters: Map[String, graft.af3.CifAtomLean => Any] = Map(
+    "job_dir" -> (a => UTF8String.fromString(a.job_dir)),
+    "model_idx" -> (_.model_idx),
+    "chain" -> (a => UTF8String.fromString(a.chain)),
+    "res_id" -> (_.res_id),
+    "res_name" -> (a => UTF8String.fromString(a.res_name)),
+    "atom_name" -> (a => UTF8String.fromString(a.atom_name)),
+    "x" -> (_.x), "y" -> (_.y), "z" -> (_.z))
 }
 
 class CifTable(root: String) extends Table with SupportsRead {
@@ -79,11 +118,22 @@ class CifTable(root: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new CifScan(root)
+    new CifScanBuilder(root)
 }
 
-class CifScan(root: String) extends Scan with Batch {
-  override def readSchema(): StructType = CifDataSource.schema
+/** Column pruning lands here: Catalyst hands the builder the required
+  * subset, and the scan's readers emit exactly those fields.
+  */
+class CifScanBuilder(root: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = CifDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new CifScan(root, required)
+}
+
+class CifScan(root: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   private def hadoopConf =
@@ -113,13 +163,14 @@ class CifScan(root: String) extends Scan with Batch {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
       b.result()
     }
-    new CifReaderFactory(props)
+    new CifReaderFactory(props, required)
   }
 }
 
 case class CifFilePartition(path: String) extends InputPartition
 
-class CifReaderFactory(confProps: Map[String, String]) extends PartitionReaderFactory {
+class CifReaderFactory(confProps: Map[String, String], required: StructType)
+    extends PartitionReaderFactory {
   private def rebuildConf(): org.apache.hadoop.conf.Configuration = {
     val c = new org.apache.hadoop.conf.Configuration(false)
     confProps.foreach { case (k, v) => c.set(k, v) }
@@ -129,49 +180,46 @@ class CifReaderFactory(confProps: Map[String, String]) extends PartitionReaderFa
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CifFilePartition].path
     new PartitionReader[InternalRow] {
-      private val atoms: Iterator[graft.af3.CifAtom] = p match {
+      // the reference's 3-attempt read retry for transient IO
+      // (read_cif_file, py:36-64); encoding fallback is inside decodeText
+      private def readBytes(attempt: Int): Array[Byte] = {
+        val hp = new Path(p)
+        val fs = hp.getFileSystem(rebuildConf())
+        try {
+          val in = fs.open(hp)
+          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        } catch {
+          case _: java.io.IOException if attempt < 3 =>
+            Thread.sleep(50L * attempt)
+            readBytes(attempt + 1)
+        }
+      }
+
+      // pruned-to-lean scans skip the fidelity-field extraction; either
+      // way each row materializes only the `required` columns, in order
+      private val leanOnly =
+        required.fieldNames.forall(CifDataSource.leanFields.contains)
+      private val rows: Iterator[InternalRow] = p match {
         case CifDataSource.pathRe(job, m) =>
-          // the reference's 3-attempt read retry for transient IO
-          // (read_cif_file, py:36-64); encoding fallback is inside
-          // decodeText
-          def readBytes(attempt: Int): Array[Byte] = {
-            val hp = new Path(p)
-            val fs = hp.getFileSystem(rebuildConf())
-            try {
-              val in = fs.open(hp)
-              try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-              finally in.close()
-            } catch {
-              case e: java.io.IOException if attempt < 3 =>
-                Thread.sleep(50L * attempt)
-                readBytes(attempt + 1)
-            }
+          lazy val text = CifParser.decodeText(readBytes(1))
+          if (leanOnly) {
+            val getters = required.fieldNames.map(CifDataSource.leanGetters)
+            CifParser.parseAtomSiteLean(job, m.toInt, text)
+              .map(a => InternalRow.fromSeq(getters.map(_(a)).toIndexedSeq))
+          } else {
+            val getters = required.fieldNames.map(CifDataSource.fullGetters)
+            CifParser.parseAtomSite(job, m.toInt, text)
+              .map(a => InternalRow.fromSeq(getters.map(_(a)).toIndexedSeq))
           }
-          CifParser.parseAtomSite(job, m.toInt, CifParser.decodeText(readBytes(1)))
         case _ => Iterator.empty
       }
-      private var current: graft.af3.CifAtom = _
+      private var current: InternalRow = _
 
       override def next(): Boolean =
-        if (atoms.hasNext) { current = atoms.next(); true } else false
+        if (rows.hasNext) { current = rows.next(); true } else false
 
-      override def get(): InternalRow =
-        InternalRow(
-          UTF8String.fromString(current.job_dir), current.model_idx,
-          UTF8String.fromString(current.chain), current.res_id,
-          UTF8String.fromString(current.res_name),
-          UTF8String.fromString(current.atom_name),
-          current.x, current.y, current.z,
-          current.ordinal,
-          UTF8String.fromString(current.group_pdb),
-          UTF8String.fromString(current.type_symbol),
-          UTF8String.fromString(current.alt_id),
-          UTF8String.fromString(current.label_asym_id),
-          UTF8String.fromString(current.entity_id),
-          UTF8String.fromString(current.label_seq_id),
-          UTF8String.fromString(current.ins_code),
-          current.occupancy.map(Double.box).orNull,
-          current.b_iso.map(Double.box).orNull)
+      override def get(): InternalRow = current
 
       override def close(): Unit = ()
     }

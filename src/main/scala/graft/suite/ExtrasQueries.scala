@@ -47,6 +47,27 @@ object ExtrasQueries {
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
     QDef(
+      "f_zorder_cluster",
+      (s, dir) =>
+        // Morton/Z-order locality key (native codegen'd graft_zorder2):
+        // sort or range-partition by zkey and rows close in BOTH
+        // dimensions land in the same files — the multi-dim data-skipping
+        // layout a lexicographic sort can't give
+        tbl(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            graft.functions.VectorExpressions.zorder2(
+              col("l_partkey") % 1024, col("l_suppkey") % 1024).as("zkey"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some {
+        val terms = (0 until 16).flatMap(b => Seq(
+          s"(((l_partkey % 1024) >> $b) & 1) * ${1L << (2 * b)}",
+          s"(((l_suppkey % 1024) >> $b) & 1) * ${1L << (2 * b + 1)}")).mkString(" + ")
+        s"""SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zkey
+            FROM lineitem WHERE l_orderkey < 1000
+            ORDER BY l_orderkey, l_linenumber"""
+      }),
+
+    QDef(
       "join_range_interval",
       (s, dir) => {
         // bucketized point-in-interval join: events against this corpus's

@@ -145,3 +145,59 @@ case class PolyHashExpr(child: org.apache.spark.sql.catalyst.expressions.Express
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
     copy(child = newChild)
 }
+
+/** Z-order (Morton) key over two bucketed long dimensions: interleaves
+  * the low 16 bits of each (x bit b -> output bit 2b, y bit b -> 2b+1),
+  * yielding a 32-bit locality key. Sorting / range-partitioning a table
+  * by this key clusters rows that are close in BOTH dimensions into the
+  * same partitions/files — the standard multi-dimensional data-skipping
+  * layout (a 2-D range predicate then prunes most files, where a
+  * lexicographic (x, y) sort clusters only the leading column).
+  *
+  * A native codegen'd Expression: the interleave is a tight 16-step
+  * primitive loop inside whole-stage codegen; inputs are expected
+  * pre-bucketed (values masked to their low 16 bits here, so callers
+  * bucket coordinates into [0, 65536) first). Pure bit arithmetic —
+  * reproducible verbatim in the SQL oracle.
+  */
+case class ZOrder2Expr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long] & 0xffffL
+    val y = b.asInstanceOf[Long] & 0xffffL
+    var acc = 0L
+    var i = 0
+    while (i < 16) {
+      acc |= ((x >> i) & 1L) << (2 * i)
+      acc |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |long $x = $a & 0xffffL;
+         |long $y = $b & 0xffffL;
+         |long $acc = 0L;
+         |for (int $i = 0; $i < 16; $i++) {
+         |  $acc |= (($x >> $i) & 1L) << (2 * $i);
+         |  $acc |= (($y >> $i) & 1L) << (2 * $i + 1);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
