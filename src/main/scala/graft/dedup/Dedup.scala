@@ -252,8 +252,11 @@ object Dedup {
         .filter(col("label") =!= col("__old")).count()
       // drop the previous round's checkpointed copy now that the change
       // count consumed it — otherwise O(rounds) full label frames stay
-      // resident in executor storage for the rest of the application
-      labels.unpersist(false)
+      // resident in executor storage for the rest of the application.
+      // Dataset.unpersist is a no-op on a checkpoint (storage is on the
+      // underlying RDD, not in the CacheManager) — go through the
+      // LogicalRDD leaf instead.
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(labels)
       labels = next
       converged = changed == 0L
       round += 1

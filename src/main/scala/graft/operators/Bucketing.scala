@@ -22,7 +22,17 @@ object Bucketing {
       df: DataFrame,
       table: String,
       bucketCols: Seq[String],
-      buckets: Int): Unit = {
+      buckets: Int): Unit =
+    writeBucketedImpl(df, table, bucketCols, buckets,
+      qualified(df, table), signature(df, bucketCols, buckets))
+
+  private def writeBucketedImpl(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      buckets: Int,
+      key: String,
+      sig: String): Unit = {
     // unqualified names only: keeps the ensureBucketed signature and the
     // catalog-resolved cleanup below unambiguous
     require(!table.contains("."),
@@ -43,7 +53,7 @@ object Bucketing {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
-    written.put(qualified(df, table), signature(df, table, bucketCols, buckets))
+    written.put(key, sig)
   }
 
   // table -> latest written signature (a grow-only SET would false-skip
@@ -59,8 +69,7 @@ object Bucketing {
   // from different data (another sf dir, a changed projection) never
   // false-skips the rewrite
   private def signature(
-      df: DataFrame,
-      table: String, bucketCols: Seq[String], buckets: Int): String =
+      df: DataFrame, bucketCols: Seq[String], buckets: Int): String =
     s"${bucketCols.mkString(",")}|$buckets|" +
       df.queryExecution.analyzed.semanticHash()
 
@@ -76,9 +85,10 @@ object Bucketing {
       table: String,
       bucketCols: Seq[String],
       buckets: Int): Unit = {
-    val current = written.get(qualified(df, table))
-    if (current != signature(df, table, bucketCols, buckets) ||
+    val key = qualified(df, table)
+    val sig = signature(df, bucketCols, buckets)
+    if (written.get(key) != sig ||
         !df.sparkSession.catalog.tableExists(table))
-      writeBucketed(df, table, bucketCols, buckets)
+      writeBucketedImpl(df, table, bucketCols, buckets, key, sig)
   }
 }

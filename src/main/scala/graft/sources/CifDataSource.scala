@@ -75,13 +75,6 @@ object CifDataSource {
 
   private[sources] val pathRe = ".*/([^/]+)/[^/]+_model_(\\d+)\\.cif$".r
 
-  /** Fields available from the lean parse — a pruned schema inside this
-    * set skips the fidelity-field extraction entirely.
-    */
-  private[sources] val leanFields: Set[String] = Set(
-    "job_dir", "model_idx", "chain", "res_id", "res_name", "atom_name",
-    "x", "y", "z")
-
   private[sources] val fullGetters: Map[String, graft.af3.CifAtom => Any] = Map(
     "job_dir" -> (a => UTF8String.fromString(a.job_dir)),
     "model_idx" -> (_.model_idx),
@@ -109,6 +102,14 @@ object CifDataSource {
     "res_name" -> (a => UTF8String.fromString(a.res_name)),
     "atom_name" -> (a => UTF8String.fromString(a.atom_name)),
     "x" -> (_.x), "y" -> (_.y), "z" -> (_.z))
+
+  /** Fields available from the lean parse — a pruned schema inside this
+    * set skips the fidelity-field extraction entirely. Derived from
+    * leanGetters so the routing predicate and the row builder can't
+    * drift (a routed-lean field with no getter would be a runtime
+    * NoSuchElementException per partition).
+    */
+  private[sources] val leanFields: Set[String] = leanGetters.keySet
 }
 
 class CifTable(root: String) extends Table with SupportsRead {
@@ -200,18 +201,26 @@ class CifReaderFactory(confProps: Map[String, String], required: StructType)
       // way each row materializes only the `required` columns, in order
       private val leanOnly =
         required.fieldNames.forall(CifDataSource.leanFields.contains)
+      // one getter-array allocation per scan, one Array[Any] per row
+      // (GenericInternalRow takes ownership — no per-atom intermediate
+      // copies in the hot loop)
+      private def buildRows[A](
+          atoms: Iterator[A], getters: Array[A => Any]): Iterator[InternalRow] =
+        atoms.map { a =>
+          val arr = new Array[Any](getters.length)
+          var i = 0
+          while (i < getters.length) { arr(i) = getters(i)(a); i += 1 }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+        }
       private val rows: Iterator[InternalRow] = p match {
         case CifDataSource.pathRe(job, m) =>
-          lazy val text = CifParser.decodeText(readBytes(1))
-          if (leanOnly) {
-            val getters = required.fieldNames.map(CifDataSource.leanGetters)
-            CifParser.parseAtomSiteLean(job, m.toInt, text)
-              .map(a => InternalRow.fromSeq(getters.map(_(a)).toIndexedSeq))
-          } else {
-            val getters = required.fieldNames.map(CifDataSource.fullGetters)
-            CifParser.parseAtomSite(job, m.toInt, text)
-              .map(a => InternalRow.fromSeq(getters.map(_(a)).toIndexedSeq))
-          }
+          val text = CifParser.decodeText(readBytes(1))
+          if (leanOnly)
+            buildRows(CifParser.parseAtomSiteLean(job, m.toInt, text),
+              required.fieldNames.map(CifDataSource.leanGetters))
+          else
+            buildRows(CifParser.parseAtomSite(job, m.toInt, text),
+              required.fieldNames.map(CifDataSource.fullGetters))
         case _ => Iterator.empty
       }
       private var current: InternalRow = _

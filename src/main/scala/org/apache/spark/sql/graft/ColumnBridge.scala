@@ -15,4 +15,18 @@ object ColumnBridge {
 
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Release the executor-resident copy behind a `localCheckpoint(true)`'d
+    * frame. `Dataset.unpersist` only clears CacheManager entries
+    * (`.persist`/`.cache` plans); a checkpoint's storage lives on the
+    * underlying RDD, reachable only through the plan's LogicalRDD leaf —
+    * without this, iterative algorithms leak one full frame per round
+    * until ContextCleaner eventually GCs them.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame,
+      blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }

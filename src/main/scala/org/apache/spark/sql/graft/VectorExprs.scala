@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
@@ -160,8 +160,11 @@ case class PolyHashExpr(child: org.apache.spark.sql.catalyst.expressions.Express
   * bucket coordinates into [0, 65536) first). Pure bit arithmetic —
   * reproducible verbatim in the SQL oracle.
   */
+// ImplicitCastInputTypes (not plain ExpectsInputTypes): the interleave is
+// width-agnostic (inputs masked to 16 bits), so narrower integer columns /
+// int literals should widen to BIGINT instead of failing analysis.
 case class ZOrder2Expr(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType

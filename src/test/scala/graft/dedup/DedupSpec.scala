@@ -71,9 +71,17 @@ class DedupSpec extends SparkSpec {
   test("connected components: long chain converges via path shortcut") {
     // a 64-node path graph: diameter 63, must settle well inside maxRounds
     val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
-    val comp = Dedup.connectedComponents(pairs, "a", "b", maxRounds = 12)
-      .collect().map(r => r.getLong(1)).distinct
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = Dedup.connectedComponents(pairs, "a", "b", maxRounds = 12)
+    val comp = labels.collect().map(r => r.getLong(1)).distinct
     assert(comp.toSeq === Seq(1L))
+    // per-round checkpoint copies must be released as the loop advances
+    // (Dataset.unpersist is a no-op on localCheckpoint storage — the fix
+    // goes through the LogicalRDD leaf). Only the returned frame's own
+    // checkpoint may remain.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked ${leaked.size} checkpointed round frames")
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(labels)
   }
 
   test("jaccard pairs: dup pair = 1.0, near pair = 5/6, cross-block pair absent") {
