@@ -162,6 +162,94 @@ object TextQueries {
                FROM tr JOIN te USING (shingle) GROUP BY 1, 2),
         f AS (SELECT * FROM ov WHERE shared >= 3)
         SELECT doc_id, count(*) AS n_eval_hits, max(shared) AS max_shared
-        FROM f GROUP BY doc_id ORDER BY doc_id"""))
+        FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
+    QDef(
+      "text_repetition",
+      (s, dir) =>
+        graft.text.Corpus.repetitionSignals(tbl(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts
+                   FROM documents),
+        s AS (SELECT doc_id, len(ts) AS n_tok,
+                CASE WHEN len(ts) > 0
+                     THEN 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)
+                          / CAST(len(ts) AS DOUBLE)
+                     ELSE 0.0 END AS dup_word_frac, ts
+              FROM t),
+        bg AS (SELECT doc_id, ts[pos] || ' ' || ts[pos + 1] AS bigram
+               FROM (SELECT doc_id, ts,
+                       unnest(generate_series(1, len(ts) - 1)) AS pos FROM s)),
+        bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        bgs AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+                FROM bgc GROUP BY 1)
+        SELECT s.doc_id, CAST(s.n_tok AS BIGINT) AS n_tok, s.dup_word_frac,
+               coalesce(CAST(top_c AS DOUBLE) / CAST(n_bg AS DOUBLE), 0.0)
+                 AS top_bigram_frac
+        FROM s LEFT JOIN bgs USING (doc_id) ORDER BY doc_id""")),
+
+    QDef(
+      "text_pii_redact",
+      (s, dir) => {
+        // a deterministic PII injection makes the scrub observable (the
+        // synthetic corpus carries no organic emails/phones); the same
+        // augmentation runs verbatim in the oracle. Counting + redaction
+        // are pure codegen'd regex expressions on the scan — zero shuffle.
+        val aug = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text"))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), aug.as("t"))
+          .select(col("doc_id"),
+            TextFunctions.piiEmailCount(col("t")).cast("long").as("n_emails"),
+            TextFunctions.piiPhoneCount(col("t")).cast("long").as("n_phones"),
+            length(TextFunctions.piiRedact(col("t"))).cast("long").as("red_len"),
+            TextFunctions.fingerprint(TextFunctions.piiRedact(col("t"))).as("red_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH aug AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or +1 555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS t
+             FROM documents),
+        red AS (SELECT doc_id, t,
+                  regexp_replace(regexp_replace(t,
+                    '${TextFunctions.emailRe}', '<EMAIL>', 'g'),
+                    '${TextFunctions.phoneRe}', '<PHONE>', 'g') AS r
+                FROM aug)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '${TextFunctions.emailRe}')) AS BIGINT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(t, '${TextFunctions.phoneRe}')) AS BIGINT)
+            AS n_phones,
+          CAST(length(r) AS BIGINT) AS red_len,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(r, ''), c -> CAST(ascii(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % ${Scalars.polyHashP}) AS red_fp
+        FROM red ORDER BY doc_id""")),
+
+    QDef(
+      "corpus_inverted_index",
+      (s, dir) =>
+        graft.text.Corpus.invertedIndexFlat(tbl(s, dir, "documents"),
+            "doc_id", "text", minDf = 2, maxDf = 450)
+          .orderBy("word_id"),
+      Some(s"""
+        WITH toks AS (SELECT doc_id,
+               unnest(string_split_regex(text, '\\s+')) AS word FROM documents),
+        post AS (SELECT DISTINCT ${DedupQueries.wordHashSql("word")} AS word_id,
+                   doc_id FROM toks)
+        SELECT word_id, count(*) AS df,
+               string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+        FROM post GROUP BY word_id
+        HAVING count(*) BETWEEN 2 AND 450
+        ORDER BY word_id"""))
   )
 }

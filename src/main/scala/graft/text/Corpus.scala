@@ -74,4 +74,74 @@ object Corpus {
     shared.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_eval_hits"), max(col("shared")).as("max_shared"))
   }
+
+  /** Per-document repetition signals (the Gopher-rules family): token
+    * count, duplicate-word fraction (1 - distinct/total) and the fraction
+    * of all word bigrams taken by the single most frequent bigram —
+    * boilerplate and degenerate generations score high on both.
+    *
+    * Scale shape: the per-doc scalars are pure array expressions on the
+    * scan (zero shuffle); the bigram mode needs two map-side-combined
+    * groupBys keyed by (doc_id, bigram) then doc_id — no windows, no
+    * per-doc sort. Docs with fewer than two tokens survive via the left
+    * join (top_bigram_frac 0.0).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .withColumn("n_tok", size(col("ts")))
+    val scalars = base.select(col("doc_id"), col("n_tok"),
+      when(col("n_tok") > 0,
+        lit(1.0) - size(array_distinct(col("ts"))).cast("double")
+          / col("n_tok").cast("double"))
+        .otherwise(lit(0.0)).as("dup_word_frac"))
+    val bigrams = base.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("ts"), lit(1), greatest(col("n_tok") - 1, lit(0))),
+        slice(col("ts"), lit(2), greatest(col("n_tok") - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val bgStats = bigrams
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+    scalars.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        col("dup_word_frac"),
+        coalesce(col("top_c").cast("double") / col("n_bg").cast("double"),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Inverted index over the corpus: one row per retained term with its
+    * document frequency and the sorted posting list. `minDf`/`maxDf`
+    * bound the index (hapax terms carry no retrieval signal; ubiquitous
+    * terms explode posting lists — at 100 TB the df cap is what keeps
+    * the widest rows bounded).
+    *
+    * Scale shape: distinct (word_id, doc_id) then one groupBy on word_id;
+    * posting lists are sorted with `sort_array` inside the aggregation
+    * (no window). Both shuffles map-side combine.
+    */
+  def invertedIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long, maxDf: Long): DataFrame = {
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .select(Dedup.wordId(col("word")).as("word_id"), col("doc_id"))
+      .distinct()
+    postings.groupBy(col("word_id"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+  }
+
+  /** [[invertedIndex]] with the posting list serialized to a compact
+    * comma-joined string — the driver-comparable surface (the oracle
+    * harness hash-compares scalar columns).
+    */
+  def invertedIndexFlat(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long, maxDf: Long): DataFrame =
+    invertedIndex(docs, idCol, textCol, minDf, maxDf)
+      .select(col("word_id"), col("df"),
+        concat_ws(",", col("postings")).as("doc_ids"))
 }

@@ -74,4 +74,26 @@ object TextFunctions {
     * integer fold, p < 2^53 so no overflow.
     */
   def fingerprint(text: Column): Column = graft.functions.Scalars.polyHash(text)
+
+  // ---- PII scrubbing ----------------------------------------------------
+
+  /** Conservative PII patterns, written in the regex subset common to
+    * Java's engine and RE2 (no backrefs / lookaround), so the DuckDB
+    * oracle runs the identical pattern. Real deployments swap in their
+    * compliance team's patterns — the operator shape (codegen'd
+    * regexp_count + regexp_replace on the scan, zero shuffle) is the
+    * point here.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val phoneRe = "\\+?[0-9][0-9]{0,2}[- ][0-9]{3}[- ][0-9]{3,4}"
+
+  def piiEmailCount(text: Column): Column = regexp_count(text, lit(emailRe))
+  def piiPhoneCount(text: Column): Column = regexp_count(text, lit(phoneRe))
+
+  /** Redact emails then phones with fixed placeholder tokens. Order
+    * matters and is part of the contract (a phone inside an already
+    * redacted email can't double-fire).
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
 }
