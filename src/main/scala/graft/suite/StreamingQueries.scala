@@ -63,6 +63,31 @@ object StreamingQueries {
         SELECT user_id, island_id, min(sec) AS island_start, max(sec) AS island_end,
                count(*) AS island_size
         FROM g GROUP BY user_id, island_id HAVING count(*) >= 3
-        ORDER BY user_id, island_id"""))
+        ORDER BY user_id, island_id""")),
+
+    QDef(
+      "stream_interval_join",
+      (s, dir) => {
+        // stream-stream attribution: purchases joined to same-user views
+        // within a 30-minute look-back. Identical code path to the
+        // watermarked streaming run (StreamJoinSpec); the range bound is
+        // what makes join state evictable on a real stream.
+        val e = tbl(s, dir, "events")
+        graft.streaming.StreamJoins.attributionJoin(
+            e.filter(col("event_type") === "view"),
+            e.filter(col("event_type") === "purchase"),
+            windowSec = 1800L)
+          .orderBy("user_id", "view_id", "purchase_id")
+      },
+      Some("""
+        SELECT v.user_id AS user_id, v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS delta_sec
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) >= epoch_us(v.ts)
+         AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+        ORDER BY user_id, view_id, purchase_id"""))
   )
 }
