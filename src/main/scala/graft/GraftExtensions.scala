@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DotProductExpr, LongDotProductExpr, PolyHashExpr, ZOrder2Expr}
+import org.apache.spark.sql.graft.{DotProductExpr, GraftDist3Expr, LongDotProductExpr, PolyHashExpr, ZOrder2Expr}
 
 /** SparkSessionExtensions hook: registers the graft native expressions in
   * the SQL function registry, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -30,5 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_zorder2"),
         new ExpressionInfo(classOf[ZOrder2Expr].getName, "graft_zorder2"),
         (children: Seq[Expression]) => ZOrder2Expr(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_dist3"),
+        new ExpressionInfo(classOf[GraftDist3Expr].getName, "graft_dist3"),
+        (children: Seq[Expression]) => GraftDist3Expr(children)))
+    // ε-join recognition: `graft_dist3(...) < eps` join conditions plan
+    // as grid-cell equi-joins instead of nested loops
+    ext.injectOptimizerRule(_ => graft.plans.EpsJoinRewrite)
   }
 }

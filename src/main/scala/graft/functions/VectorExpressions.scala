@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductExpr, LongDotProductExpr, PolyHashExpr, ZOrder2Expr}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductExpr, GraftDist3Expr, LongDotProductExpr, PolyHashExpr, ZOrder2Expr}
 
 /** Column-level entry points for the native vector expressions
   * (implemented in org.apache.spark.sql.graft — they need the
@@ -19,4 +19,13 @@ object VectorExpressions {
 
   def zorder2(x: Column, y: Column): Column =
     ColumnBridge.column(ZOrder2Expr(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+
+  /** ε-join-recognizable 3-D Euclidean distance: use in a join condition
+    * as `dist3(...) < eps` and EpsJoinRewrite plans the grid-cell
+    * equi-join automatically.
+    */
+  def dist3(ax: Column, ay: Column, az: Column,
+      bx: Column, by: Column, bz: Column): Column =
+    ColumnBridge.column(GraftDist3Expr(
+      Seq(ax, ay, az, bx, by, bz).map(ColumnBridge.expression)))
 }

@@ -273,6 +273,44 @@ object RelationalQueries {
         ORDER BY a_vec_id, b_vec_id""")),
 
     QDef(
+      "join_eps_auto",
+      (s, dir) => {
+        // the SAME ε-join written naively — `graft_dist3(a,b) < eps` as
+        // the raw join condition. EpsJoinRewrite (installed via
+        // GraftExtensions) recognizes the predicate and plans the
+        // grid-cell equi-join automatically; EpsJoinRuleSpec asserts no
+        // nested loop survives. Results are bit-exact with the theta
+        // join (the original sqrt predicate is the residual).
+        val p = points(s, dir)
+        val a = p.select(col("vec_id").as("a_vec_id"), col("x").as("ax"),
+          col("y").as("ay"), col("z").as("az"))
+        val b = p.select(col("vec_id").as("b_vec_id"), col("x").as("bx"),
+          col("y").as("by"), col("z").as("bz"))
+        a.join(b,
+            graft.functions.VectorExpressions.dist3(
+              col("ax"), col("ay"), col("az"),
+              col("bx"), col("by"), col("bz")) < lit(0.15) &&
+              col("a_vec_id") < col("b_vec_id"))
+          .select(col("a_vec_id"), col("b_vec_id"),
+            Scalars.euclid(col("ax"), col("ay"), col("az"),
+              col("bx"), col("by"), col("bz")).as("dist"))
+          .orderBy("a_vec_id", "b_vec_id")
+      },
+      Some("""
+        WITH p AS (SELECT vec_id,
+                     CAST(embedding[1] AS DOUBLE) AS x,
+                     CAST(embedding[2] AS DOUBLE) AS y,
+                     CAST(embedding[3] AS DOUBLE) AS z
+                   FROM embeddings)
+        SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
+               sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                    + (a.z-b.z)*(a.z-b.z)) AS dist
+        FROM p a JOIN p b ON a.vec_id < b.vec_id
+        WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                   + (a.z-b.z)*(a.z-b.z)) < 0.15
+        ORDER BY a_vec_id, b_vec_id""")),
+
+    QDef(
       "join_model0_fanout",
       (s, dir) => {
         // model-0 result reused across all sibling models (py:449-469):

@@ -16,6 +16,17 @@ object ColumnBridge {
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter.apply(c.node)
 
+  /** Build a DataFrame over an (already analyzed) logical plan — the
+    * plan-surgery entry used by EpsJoinRewrite to construct its
+    * replacement subtree with the ordinary DataFrame API instead of
+    * hand-assembled Generate/Join/Project nodes.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Release the executor-resident copy behind a `localCheckpoint(true)`'d
     * frame. `Dataset.unpersist` only clears CacheManager entries
     * (`.persist`/`.cache` plans); a checkpoint's storage lives on the

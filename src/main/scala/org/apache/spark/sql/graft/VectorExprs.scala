@@ -204,3 +204,61 @@ case class ZOrder2Expr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** 3-D Euclidean distance `sqrt((ax-bx)^2 + (ay-by)^2 + (az-bz)^2)` —
+  * the library's recognizable ε-join predicate. A join condition
+  * `graft_dist3(ax,ay,az,bx,by,bz) < eps` is rewritten by
+  * [[graft.plans.EpsJoinRewrite]] from a nested-loop theta-join into the
+  * grid-cell equi-join (the reference's KD-tree NeighborSearch semantics
+  * at cluster scale). Evaluation order is fixed left-associative —
+  * `((dx*dx + dy*dy) + dz*dz)` — so the raw-arithmetic residual the
+  * rewrite emits is bit-identical to evaluating this expression.
+  */
+case class GraftDist3Expr(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
+
+  require(children.length == 6, "graft_dist3 takes (ax, ay, az, bx, by, bz)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(6)(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "graft_dist3"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = new Array[Double](6)
+    var i = 0
+    while (i < 6) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vs(i) = v.asInstanceOf[Double]
+      i += 1
+    }
+    val dx = vs(0) - vs(3); val dy = vs(1) - vs(4); val dz = vs(2) - vs(5)
+    java.lang.Math.sqrt(dx * dx + dy * dy + dz * dz)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val dx = ctx.freshName("dx")
+    val dy = ctx.freshName("dy")
+    val dz = ctx.freshName("dz")
+    val anyNull = evals.map(e => s"${e.isNull}").mkString(" || ")
+    val childCode = evals.map(_.code).reduce(_ + _)
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          double $dx = ${evals(0).value} - ${evals(3).value};
+          double $dy = ${evals(1).value} - ${evals(4).value};
+          double $dz = ${evals(2).value} - ${evals(5).value};
+          ${ev.value} = java.lang.Math.sqrt($dx * $dx + $dy * $dy + $dz * $dz);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
