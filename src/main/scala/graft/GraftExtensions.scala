@@ -35,7 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftDist3Expr].getName, "graft_dist3"),
         (children: Seq[Expression]) => GraftDist3Expr(children)))
     // ε-join recognition: `graft_dist3(...) < eps` join conditions plan
-    // as grid-cell equi-joins instead of nested loops
-    ext.injectOptimizerRule(_ => graft.plans.EpsJoinRewrite)
+    // as grid-cell equi-joins instead of nested loops (rule instance
+    // bound to its owning session — plan surgery must analyze under it)
+    ext.injectOptimizerRule(s => new graft.plans.EpsJoinRewrite(s))
   }
 }

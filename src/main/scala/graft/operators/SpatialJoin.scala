@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** 3-D ε-distance spatial join — the reference's only join
@@ -21,15 +21,38 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin {
 
+  /** Grid cell size for an ε bound: ε widened by a relative margin a few
+    * orders above double rounding error. The no-miss argument ("|dx| <=
+    * ε implies home cells differ by <= 1") holds in exact arithmetic;
+    * computed quotients carry ulp-level error, so an adversarial pair
+    * with |dx| within an ulp of ε could otherwise straddle two cell
+    * boundaries and silently vanish from the join. The margin makes the
+    * cell strictly larger than any distance the residual predicate can
+    * accept, restoring the invariant for computed arithmetic (shared by
+    * [[epsJoin]] and [[graft.plans.EpsJoinRewrite]] so the two grid
+    * constructions cannot drift).
+    */
+  def cellSize(eps: Double): Double = eps * (1.0 + 1e-9)
+
+  /** One grid-cell coordinate: `floor(c / cellSize)` as a long. Spark's
+    * `floor(double)` is already LongType (NaN folds to 0, never throws —
+    * NaN/Inf points then fail the exact residual predicate and drop, the
+    * same outcome as the theta join).
+    */
+  def cellCol(c: Column, cellSize: Double): Column =
+    floor(c / lit(cellSize)).cast("long")
+
   private def prefixed(df: DataFrame, partCols: Seq[String], p: String): DataFrame =
     df.columns.filterNot(partCols.contains)
       .foldLeft(df) { (d, c) => d.withColumnRenamed(c, p + c) }
 
   /** Adds grid-cell coordinates for the point (px, py, pz) columns. */
-  private def withCell(df: DataFrame, p: String, eps: Double): DataFrame =
-    df.withColumn("__cx", floor(col(p + "x") / eps).cast("long"))
-      .withColumn("__cy", floor(col(p + "y") / eps).cast("long"))
-      .withColumn("__cz", floor(col(p + "z") / eps).cast("long"))
+  private def withCell(df: DataFrame, p: String, eps: Double): DataFrame = {
+    val cs = cellSize(eps)
+    df.withColumn("__cx", cellCol(col(p + "x"), cs))
+      .withColumn("__cy", cellCol(col(p + "y"), cs))
+      .withColumn("__cz", cellCol(col(p + "z"), cs))
+  }
 
   private def explodeNeighbors(df: DataFrame): DataFrame =
     df.withColumn("__dx", explode(sequence(lit(-1L), lit(1L))))

@@ -5,9 +5,9 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{col, explode, floor, lit, sequence}
+import org.apache.spark.sql.functions.{col, explode, lit, sequence}
 import org.apache.spark.sql.graft.{ColumnBridge, GraftDist3Expr}
 
 /** Automatic ε-join recognition (SURVEY §7 item 4, the deferred piece of
@@ -26,17 +26,24 @@ import org.apache.spark.sql.graft.{ColumnBridge, GraftDist3Expr}
   * dimension, and the left point's home cell appears exactly once among
   * the right point's 27 neighbors — no duplicates, no misses.
   *
+  * Cells are sized `SpatialJoin.cellSize(eps)` (ε plus a relative margin
+  * far above double rounding error) so the containment argument holds
+  * for computed arithmetic too, not just exact reals — without it an
+  * adversarial pair with |dx| within an ulp of ε could straddle two cell
+  * boundaries and silently vanish.
+  *
   * Injected via [[graft.GraftExtensions]] as an operator-optimization
-  * rule; the replacement subtree is built with the DataFrame API over the
-  * child plans (attribute ids preserved, so the rewritten join exposes
-  * the original output schema bit-for-bit). Any unexpected shape falls
-  * back to the untouched join — the rewrite is a pure optimization.
+  * rule (one instance per session — plan surgery analyzes the
+  * replacement subtree under the owning session, not whatever session is
+  * thread-active); the replacement subtree is built with the DataFrame
+  * API over the child plans (attribute ids preserved, so the rewritten
+  * join exposes the original output schema bit-for-bit; the original
+  * join's hint is re-applied). Any unexpected shape falls back to the
+  * untouched join — with a logged warning, so a silent O(n²) degrade is
+  * observable.
   */
-object EpsJoinRewrite extends Rule[LogicalPlan] {
-
-  private val CellCols = Seq("__graft_cx", "__graft_cy", "__graft_cz")
-  private val NbrCols = Seq("__graft_nx", "__graft_ny", "__graft_nz")
-  private val DeltaCols = Seq("__graft_dx", "__graft_dy", "__graft_dz")
+class EpsJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+  import EpsJoinRewrite._
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -103,11 +110,11 @@ object EpsJoinRewrite extends Rule[LogicalPlan] {
       bC: Seq[Expression],
       eps: Double,
       allConjuncts: Seq[Expression]): LogicalPlan = {
-    val spark = SparkSession.active
-    val lDf = ColumnBridge.ofRows(spark, join.left)
-    val rDf = ColumnBridge.ofRows(spark, join.right)
+    val lDf = ColumnBridge.ofRows(session, join.left)
+    val rDf = ColumnBridge.ofRows(session, join.right)
+    val cs = graft.operators.SpatialJoin.cellSize(eps)
     def cell(e: Expression) =
-      floor(ColumnBridge.column(e) / lit(eps)).cast("long")
+      graft.operators.SpatialJoin.cellCol(ColumnBridge.column(e), cs)
 
     val lC = CellCols.zip(aC).foldLeft(lDf) { case (df, (n, e)) =>
       df.withColumn(n, cell(e))
@@ -130,19 +137,54 @@ object EpsJoinRewrite extends Rule[LogicalPlan] {
     val out = lC.join(rC, cellEq, "inner")
       .filter(ColumnBridge.column(residual))
       .select(join.output.map(ColumnBridge.column): _*)
-    out.queryExecution.analyzed
+    reapplyHint(out.queryExecution.analyzed, join.hint)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, jt, Some(cond), _) if jt == Inner || jt == Cross =>
-      val cs = conjuncts(cond)
-      cs.iterator
-        .flatMap(c => matchEps(c, left, right))
-        .nextOption() match {
-        case Some((aC, bC, eps)) =>
-          try rewrite(j, aC, bC, eps, cs)
-          catch { case NonFatal(_) => j }
-        case None => j
-      }
-  }
+  /** Carry the original join's hint onto the rewritten equi-join (the
+    * topmost Join under the rebuilt Project/Filter chain) — a user's
+    * explicit SHUFFLE_HASH/BROADCAST request must survive the rewrite.
+    */
+  private def reapplyHint(plan: LogicalPlan, hint: JoinHint): LogicalPlan =
+    if (hint == JoinHint.NONE) plan
+    else plan match {
+      case j: Join => j.copy(hint = hint)
+      case u if u.children.size == 1 =>
+        u.withNewChildren(Seq(reapplyHint(u.children.head, hint)))
+      case other => other
+    }
+
+  /** Runtime kill switch (`SET spark.graft.epsJoinRewrite.enabled=false`)
+    * — standard hygiene for an injected rewrite: any production surprise
+    * can be disabled per-session without a redeploy.
+    */
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.epsJoinRewrite.enabled", "true") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case j @ Join(left, right, jt, Some(cond), _) if jt == Inner || jt == Cross =>
+        val cs = conjuncts(cond)
+        cs.iterator
+          .flatMap(c => matchEps(c, left, right))
+          .nextOption() match {
+          case Some((aC, bC, eps)) =>
+            try rewrite(j, aC, bC, eps, cs)
+            catch {
+              case NonFatal(e) =>
+                // fall back to the untouched theta join, but LOUDLY: a
+                // silent fallback is an O(n²) cliff only visible in plans
+                logWarning(s"eps-join rewrite failed, keeping nested-loop join: $e")
+                j
+            }
+          case None => j
+        }
+    }
+}
+
+object EpsJoinRewrite {
+  private[plans] val CellCols = Seq("__graft_cx", "__graft_cy", "__graft_cz")
+  private[plans] val NbrCols = Seq("__graft_nx", "__graft_ny", "__graft_nz")
+  private[plans] val DeltaCols = Seq("__graft_dx", "__graft_dy", "__graft_dz")
 }

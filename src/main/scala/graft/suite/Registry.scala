@@ -24,11 +24,19 @@ object Registry {
     */
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** The nanos-LONG -> micros-timestamp rebuild, shared with every
+    * readStream path over the same files (one definition, so batch and
+    * streaming sides of an equivalence spec can't drift).
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
-  }
 
   def all: Seq[QDef] =
     CoreQueries.all ++ RelationalQueries.all ++ Af3Queries.all ++

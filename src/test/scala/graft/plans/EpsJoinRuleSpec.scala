@@ -82,4 +82,35 @@ class EpsJoinRuleSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
     assert(df.count() >= 0) // evaluates fine un-rewritten
   }
+
+  test("left outer eps-join is not rewritten (unmatched rows must survive)") {
+    val a = points(50, 7).select(col("id").as("a_id"), col("x").as("ax"),
+      col("y").as("ay"), col("z").as("az"))
+    val b = points(50, 13).select(col("id").as("b_id"), col("x").as("bx"),
+      col("y").as("by"), col("z").as("bz"))
+    val df = a.join(b,
+      VectorExpressions.dist3(col("ax"), col("ay"), col("az"),
+        col("bx"), col("by"), col("bz")) < 0.05, "left_outer")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"outer join must stay un-rewritten:\n$plan")
+    // every left row survives, matched or not
+    assert(df.select("a_id").distinct().count() === 50)
+  }
+
+  test("NaN/Infinity coordinates: rewritten join == theta join (rows dropped)") {
+    import spark.implicits._
+    val a = Seq((1L, 0.0, 0.0, 0.0), (2L, Double.NaN, 0.0, 0.0),
+        (3L, Double.PositiveInfinity, 0.0, 0.0))
+      .toDF("a_id", "ax", "ay", "az")
+    val b = Seq((10L, 0.01, 0.0, 0.0), (11L, Double.NaN, 0.0, 0.0))
+      .toDF("b_id", "bx", "by", "bz")
+    val got = a.join(b,
+        VectorExpressions.dist3(col("ax"), col("ay"), col("az"),
+          col("bx"), col("by"), col("bz")) < 0.3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // NaN/Inf distances fail the residual exactly as they fail the
+    // theta-join predicate — no errors, no phantom matches
+    assert(got.toSeq === Seq((1L, 10L)))
+  }
 }

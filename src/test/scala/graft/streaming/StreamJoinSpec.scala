@@ -20,14 +20,9 @@ class StreamJoinSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     val raw = spark.read.parquet(dir.toString)
-    def side(tpe: String) = {
-      val s = spark.readStream.schema(raw.schema).parquet(dir.toString)
-      val withTs =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else s
-      withTs.filter(col("event_type") === tpe).withWatermark("ts", "1 hour")
-    }
+    def side(tpe: String) =
+      Registry.normalizeTs(spark.readStream.schema(raw.schema).parquet(dir.toString))
+        .filter(col("event_type") === tpe).withWatermark("ts", "1 hour")
     // stream-stream inner joins emit in Append mode as the watermark
     // passes; AvailableNow drains the input and finalizes all state
     val q = StreamJoins.attributionJoin(side("view"), side("purchase"), 1800L)
