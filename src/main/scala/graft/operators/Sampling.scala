@@ -85,4 +85,27 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__h", "__rn")
   }
+
+  /** Domain mixing: downsample every stratum to (approximately) the size
+    * of the smallest one — the balanced-mixture pass a training pipeline
+    * runs before interleaving sources. Two-phase shape that scales:
+    * (1) one map-side-combined groupBy for stratum counts, joined back
+    * as a broadcast dimension; (2) a per-row integer hash gate
+    * `hash_bucket(key, 1M) * n_stratum < cap * 1M` — i.e. keep with
+    * probability cap/n_stratum, but with NO floating point and NO RNG:
+    * membership is exact, reproducible on any cluster, and the oracle
+    * reproduces it bit-for-bit. (`n_stratum <= ~9.2e12` keeps the
+    * product inside a long; corpus stratum counts sit far below that.)
+    */
+  def mixToSmallest(
+      df: DataFrame, stratumCol: String, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val cap = counts.select(min(col("__n")).as("__cap"))
+    val gated = df
+      .join(broadcast(counts), Seq(stratumCol))
+      .crossJoin(broadcast(cap))
+      .filter(hashBucket(col(keyCol), 1000000) * col("__n") <
+        col("__cap") * lit(1000000L))
+    gated.drop("__n", "__cap")
+  }
 }

@@ -84,6 +84,27 @@ object SamplingQueries {
         ORDER BY doc_id""")),
 
     QDef(
+      "pipeline_mix_domains",
+      (s, dir) =>
+        // balanced domain mixture over the (skewed) language strata:
+        // every lang downsampled toward the smallest lang's size via an
+        // integer-exact hash gate — counts ride a broadcast dimension,
+        // membership is a pure projection (no RNG, no per-row shuffle).
+        // The en stratum is ~3.4x the fr stratum in the synthetic
+        // corpus, so the gate does real work here.
+        Sampling.mixToSmallest(tbl(s, dir, "documents"), "lang", "doc_id")
+          .select(col("lang"), col("doc_id"))
+          .orderBy("lang", "doc_id"),
+      Some(s"""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        m AS (SELECT min(n) AS cap FROM c)
+        SELECT d.lang, d.doc_id
+        FROM documents d JOIN c USING (lang), m
+        WHERE ${hashSql("CAST(doc_id AS VARCHAR)", 1000000)} * n
+              < cap * 1000000
+        ORDER BY lang, doc_id""")),
+
+    QDef(
       "pipeline_pack_sequences",
       (s, dir) => {
         // concat-and-chunk packing into 512-token context windows, per
