@@ -217,4 +217,151 @@ object Multimodal {
       MediaBlob(-2L, "image", dec.decode(FixtureGifB64))
     ).toDS()
   }
+
+  // ---- perceptual hash (aHash) image near-dup ---------------------------
+
+  /** 64-bit average hash over a decoded image: 8x8 block means of the
+    * integer gray value ((r+g+b)/3), bit k set iff block k's mean exceeds
+    * the global mean of block means. All integer arithmetic (floor
+    * divisions), so the hash is bit-stable across JVMs/platforms for
+    * losslessly decoded images — near-identical images differ in a few
+    * bits, unrelated images in ~32.
+    */
+  def aHash64(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 8 / w
+        val p = im.getRGB(x, y)
+        val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        sums(gy * 8 + gx) += gray
+        counts(gy * 8 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avg = new Array[Long](64)
+    var k = 0
+    var tot = 0L
+    while (k < 64) {
+      avg(k) = if (counts(k) > 0) sums(k) / counts(k) else 0L
+      tot += avg(k)
+      k += 1
+    }
+    val mean = tot / 64
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (avg(k) > mean) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** (doc_id, ahash) for every blob that decodes as a lossless image;
+    * non-images and JPEGs (non-bit-stable pixels) are dropped. Same
+    * mapPartitions batch shape as [[decode]].
+    */
+  def aHashImages(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        parseImageHeader(b.content) match {
+          case Some((fmt, w, h))
+              if fmt != "jpeg" && w.toLong * math.max(h.toLong, 1L) <= MaxDecodePixels =>
+            (try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b.content)))
+            catch { case scala.util.control.NonFatal(_) => None })
+              .map(im => (b.doc_id, aHash64(im)))
+          case _ => None
+        }
+      }
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** Perceptual near-dup pairs: images whose aHashes are within `maxHam`
+    * bits. Candidates come from a 4x16-bit band equi-join (the SimHash
+    * banding argument: ham <= 3 guarantees one identical band; maxHam
+    * above 3 trades recall, exactly like production pHash dedup), then
+    * the exact popcount verifies — never an all-pairs join.
+    */
+  def phashNearDup(hashes: DataFrame, maxHam: Int): DataFrame = {
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("shiftright(ahash, band * 16) & 65535"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("a_id"), col("ahash").as("a_hash"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("b_id"), col("ahash").as("b_hash"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long").as("ham"))
+      .distinct()
+      .filter(col("ham") <= maxHam)
+  }
+
+  /** Deterministic 16x16 gray test patterns for the perceptual-hash
+    * path: three structures (left/right split, top/bottom split,
+    * 2x2-block checkerboard), each with a lightly perturbed twin (+24
+    * gray on a 2x2 patch — too small to flip any 8x8 block past the
+    * mean). Pure integer arithmetic, so [[patternAHash]] can compute the
+    * expected hash without touching an image codec.
+    */
+  val PatternSize = 16
+
+  def patternGray(img: Int, x: Int, y: Int): Int = {
+    val base = (img / 2) match {
+      case 0 => if (x < 8) 32 else 224
+      case 1 => if (y < 8) 224 else 32
+      case _ => if (((x / 4) + (y / 4)) % 2 == 0) 32 else 224
+    }
+    val perturbed = img % 2 == 1 && x >= 6 && x < 8 && y >= 6 && y < 8
+    if (perturbed) math.min(base + 24, 255) else base
+  }
+
+  /** Expected aHash of pattern `img`, computed by replicating the block
+    * arithmetic straight from [[patternGray]] — an independent path from
+    * encode->ImageIO-decode->[[aHash64]], so the oracle constants are
+    * honest.
+    */
+  def patternAHash(img: Int): Long = {
+    val n = PatternSize
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    for (y <- 0 until n; x <- 0 until n) {
+      val k = (y * 8 / n) * 8 + (x * 8 / n)
+      sums(k) += patternGray(img, x, y)
+      counts(k) += 1
+    }
+    val avg = (0 until 64).map(k => if (counts(k) > 0) sums(k) / counts(k) else 0L)
+    val mean = avg.sum / 64
+    (0 until 64).foldLeft(0L) { (h, k) => if (avg(k) > mean) h | (1L << k) else h }
+  }
+
+  /** The six pattern images as real PNG blobs (ImageIO-encoded on the
+    * driver; PNG is lossless, so the decoded pixels equal the pattern).
+    * doc_ids -11..-16.
+    */
+  def patternImageBlobs(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    val blobs = (0 until 6).map { img =>
+      val im = new java.awt.image.BufferedImage(
+        PatternSize, PatternSize, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until PatternSize; x <- 0 until PatternSize) {
+        val g = patternGray(img, x, y)
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", out)
+      MediaBlob(-11L - img, "image", out.toByteArray)
+    }
+    blobs.toDS()
+  }
 }

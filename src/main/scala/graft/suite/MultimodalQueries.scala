@@ -84,6 +84,33 @@ object MultimodalQueries {
           FROM m)
         SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 30)) AS BIGINT)
           AS frame_idx
-        FROM fr ORDER BY doc_id, frame_idx"""))
+        FROM fr ORDER BY doc_id, frame_idx""")),
+
+    QDef(
+      "mm_phash_neardup", {
+        (s, dir) =>
+          // perceptual image dedup over REAL decoded pixels: six PNG
+          // pattern fixtures (3 structures x {original, perturbed twin})
+          // -> integer-exact 8x8 aHash -> banded Hamming pairing. The
+          // oracle's expected hashes come from independent pure
+          // arithmetic on the pattern definition (no codec), so this
+          // checks ImageIO decode + hash + pairing end to end.
+          Multimodal.phashNearDup(
+              Multimodal.aHashImages(Multimodal.patternImageBlobs(s)), maxHam = 4)
+            .orderBy(col("a_id").desc)
+      },
+      Some {
+        val rows = (0 until 6)
+          .map(i => s"(CAST(${-11 - i} AS BIGINT), " +
+            s"CAST(${Multimodal.patternAHash(i)} AS BIGINT))")
+          .mkString(", ")
+        s"""
+        WITH h(doc_id, ahash) AS (VALUES $rows)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS ham
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+        ORDER BY a_id DESC"""
+      })
   )
 }

@@ -62,4 +62,19 @@ class MultimodalSpec extends SparkSpec {
       (-1L, "png", 3, 2, Some(Multimodal.FixturePngCrc)),
       (-2L, "gif", 2, 2, Some(Multimodal.FixtureGifCrc))))
   }
+
+  test("aHash via PNG-encode -> ImageIO-decode equals the pure-arithmetic hash") {
+    val got = Multimodal.aHashImages(Multimodal.patternImageBlobs(spark))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0 until 6)
+      assert(got(-11L - i) === Multimodal.patternAHash(i), s"pattern $i")
+  }
+
+  test("perceptual near-dup pairs exactly the perturbed twins") {
+    val pairs = Multimodal.phashNearDup(
+        Multimodal.aHashImages(Multimodal.patternImageBlobs(spark)), maxHam = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // twins are (img, img+1) for img = 0, 2, 4 -> ids (-11,-12), (-13,-14), (-15,-16)
+    assert(pairs === Seq((-16L, -15L), (-14L, -13L), (-12L, -11L)))
+  }
 }
