@@ -229,8 +229,14 @@ object Dedup {
     // exponential in plan size long before it goes wrong in data. On a
     // cluster with reliable storage, sparkContext.setCheckpointDir +
     // .checkpoint() is the fault-tolerant equivalent.
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+    // seed labels with min(node, min neighbor) — one groupBy over edges,
+    // no join, and exactly what round 1 of plain propagation would
+    // produce: shallow graphs (isolated pairs/triangles, the typical
+    // near-dup shape) start converged and pay a single confirm round
+    var labels = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("__mn"))
+      .select(col("u").as("node"), least(col("u"), col("__mn")).as("label"))
+      .localCheckpoint(true)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
