@@ -169,34 +169,53 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup candidates within Hamming distance `maxHam`:
-    * banded blocking (pigeonhole — with 4 bands, any pair at Hamming
-    * <= 3 shares at least one identical band), equi-join on
-    * (band, band-value), then exact popcount verification. Never
-    * all-pairs: the join shuffles on the band value only, and bucket
-    * population shrinks as 2^(-bits/4) — use a wide signature so blocks
-    * stay small at scale.
+  /** All (a, b) id pairs whose `bits`-wide integer hashes are within
+    * Hamming distance `maxHam`, with FULL recall: (maxHam + 1)-band LSH
+    * blocking (pigeonhole — a pair differing in <= maxHam bits must
+    * share at least one untouched band), equi-join on (band, band-bits),
+    * exact popcount verification, then distinct. Never all-pairs: the
+    * join shuffles on the band value only, and bucket population shrinks
+    * as 2^(-bits/(maxHam+1)) — use a wide hash so blocks stay small at
+    * scale. Band extraction masks (never mods), so sign-bit-set 64-bit
+    * hashes band correctly. Shared by [[simhashNear]] and
+    * [[graft.multimodal.Multimodal.phashNearDup]].
     */
-  def simhashNear(sig: DataFrame, bits: Int, maxHam: Int = 3): DataFrame = {
-    require(maxHam < 4, "4-band blocking guarantees recall only for maxHam <= 3")
-    require(bits % 4 == 0, "signature must split into 4 equal bands")
-    val bandBits = bits / 4
-    val bands = (0 until 4).map { b =>
+  def bandedHammingPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bits: Int,
+      maxHam: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, "hash width must be 1..64 bits")
+    require(maxHam >= 0 && maxHam + 1 <= bits,
+      "need maxHam + 1 bands of >= 1 bit each")
+    val nBands = maxHam + 1
+    val bounds = (0 to nBands).map(b => b * bits / nBands)
+    val bands = (0 until nBands).map { b =>
+      val lo = bounds(b)
+      val width = bounds(b + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(b).as("band"),
-        (shiftright(col("simhash"), bandBits * b) % (1L << bandBits)).as("nib"))
+        shiftright(col(hashCol), lo).bitwiseAND(lit(mask)).as("key"))
     }
-    val keyed = sig.select(col("doc_id"), col("simhash"),
+    val keyed = hashes.select(col(idCol).as("__id"), col(hashCol).as("__h"),
         explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.nib").as("nib"))
+      .select(col("__id"), col("__h"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
     keyed.as("x")
-      .join(keyed.as("y"), Seq("band", "nib"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .join(keyed.as("y"), Seq("band", "key"))
+      .filter(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        bit_count(col("x.__h").bitwiseXOR(col("y.__h"))).as("hamming"))
       .filter(col("hamming") <= maxHam)
       .distinct()
   }
+
+  /** SimHash near-dup candidates within Hamming distance `maxHam` — the
+    * banded blocking of [[bandedHammingPairs]] over the signature column.
+    */
+  def simhashNear(sig: DataFrame, bits: Int, maxHam: Int = 3): DataFrame =
+    bandedHammingPairs(sig, "doc_id", "simhash", bits, maxHam)
 
   // ---- connected components (survivor selection) -----------------------
 

@@ -125,18 +125,27 @@ object Multimodal {
     * anything else (audio/video — genuinely codec-less here) takes the
     * deterministic stub.
     */
+  /** The lossless-decode gate shared by [[decodeOne]] and
+    * [[aHashImages]]: Some(image) iff the blob carries a non-JPEG image
+    * header with sane positive dimensions inside the bomb guard (a
+    * forged header with a sign-bit width must not bypass the w*h check)
+    * AND ImageIO actually decodes it.
+    */
+  def decodeLosslessImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    parseImageHeader(bytes) match {
+      case Some((fmt, w, h)) if fmt != "jpeg" && w > 0 && h > 0 &&
+          w.toLong * h.toLong <= MaxDecodePixels =>
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+
   def decodeOne(b: MediaBlob): MediaMeta =
     parseImageHeader(b.content) match {
       case Some((fmt, w, h)) =>
-        val decodable = fmt != "jpeg" &&
-          w.toLong * math.max(h.toLong, 1L) <= MaxDecodePixels
-        val decoded =
-          if (!decodable) None
-          else
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(b.content)))
-            catch { case scala.util.control.NonFatal(_) => None }
-        decoded match {
+        decodeLosslessImage(b.content) match {
           case Some(im) =>
             MediaMeta(b.doc_id, fmt, b.content.length.toLong,
               im.getWidth, im.getHeight, n_frames = 1,
@@ -271,41 +280,21 @@ object Multimodal {
   def aHashImages(blobs: Dataset[MediaBlob]): DataFrame = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
-      it.flatMap { b =>
-        parseImageHeader(b.content) match {
-          case Some((fmt, w, h))
-              if fmt != "jpeg" && w.toLong * math.max(h.toLong, 1L) <= MaxDecodePixels =>
-            (try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(b.content)))
-            catch { case scala.util.control.NonFatal(_) => None })
-              .map(im => (b.doc_id, aHash64(im)))
-          case _ => None
-        }
-      }
+      it.flatMap(b =>
+        decodeLosslessImage(b.content).map(im => (b.doc_id, aHash64(im))))
     }.toDF("doc_id", "ahash")
   }
 
   /** Perceptual near-dup pairs: images whose aHashes are within `maxHam`
-    * bits. Candidates come from a 4x16-bit band equi-join (the SimHash
-    * banding argument: ham <= 3 guarantees one identical band; maxHam
-    * above 3 trades recall, exactly like production pHash dedup), then
-    * the exact popcount verifies — never an all-pairs join.
+    * bits, via [[graft.dedup.Dedup.bandedHammingPairs]] — (maxHam + 1)
+    * bands give FULL recall at any `maxHam` (pigeonhole), candidates
+    * come from band equi-joins, the exact popcount verifies — never an
+    * all-pairs join.
     */
-  def phashNearDup(hashes: DataFrame, maxHam: Int): DataFrame = {
-    val banded = hashes.select(col("doc_id"), col("ahash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("key", expr("shiftright(ahash, band * 16) & 65535"))
-    val a = banded.select(col("band"), col("key"),
-      col("doc_id").as("a_id"), col("ahash").as("a_hash"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("b_id"), col("ahash").as("b_hash"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long").as("ham"))
-      .distinct()
-      .filter(col("ham") <= maxHam)
-  }
+  def phashNearDup(hashes: DataFrame, maxHam: Int): DataFrame =
+    graft.dedup.Dedup.bandedHammingPairs(hashes, "doc_id", "ahash", 64, maxHam)
+      .select(col("a").as("a_id"), col("b").as("b_id"),
+        col("hamming").cast("long").as("ham"))
 
   /** Deterministic 16x16 gray test patterns for the perceptual-hash
     * path: three structures (left/right split, top/bottom split,

@@ -99,13 +99,20 @@ object Sampling {
     */
   def mixToSmallest(
       df: DataFrame, stratumCol: String, keyCol: String): DataFrame = {
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
-    val cap = counts.select(min(col("__n")).as("__cap"))
-    val gated = df
-      .join(broadcast(counts), Seq(stratumCol))
-      .crossJoin(broadcast(cap))
-      .filter(hashBucket(col(keyCol), 1000000) * col("__n") <
-        col("__cap") * lit(1000000L))
-    gated.drop("__n", "__cap")
+    // Counts AND the global cap ride one tiny aggregated frame: the
+    // unpartitioned window runs on the post-groupBy dim frame (bounded
+    // by stratum cardinality, never the corpus), so the corpus is
+    // scanned exactly once. The join is null-safe — a NULL stratum is a
+    // stratum, not a row-drop — and the gate hashes stratum|key (like
+    // [[stratifiedSample]]) so composing with hashSplit/weightedSample
+    // on the bare key stays statistically independent.
+    val counts = df
+      .groupBy(col(stratumCol).as("__stratum")).agg(count(lit(1)).as("__n"))
+      .withColumn("__cap", min(col("__n")).over(Window.partitionBy()))
+    df.join(broadcast(counts), col(stratumCol) <=> col("__stratum"))
+      .filter(
+        hashBucket(concat_ws("|", col(stratumCol), col(keyCol)), 1000000) *
+          col("__n") < col("__cap") * lit(1000000L))
+      .drop("__stratum", "__n", "__cap")
   }
 }

@@ -97,7 +97,7 @@ object MultimodalQueries {
           // checks ImageIO decode + hash + pairing end to end.
           Multimodal.phashNearDup(
               Multimodal.aHashImages(Multimodal.patternImageBlobs(s)), maxHam = 4)
-            .orderBy(col("a_id").desc)
+            .orderBy(col("a_id").desc, col("b_id").desc)
       },
       Some {
         val rows = (0 until 6)
@@ -110,7 +110,7 @@ object MultimodalQueries {
                CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS ham
         FROM h a JOIN h b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
-        ORDER BY a_id DESC"""
+        ORDER BY a_id DESC, b_id DESC"""
       })
   )
 }

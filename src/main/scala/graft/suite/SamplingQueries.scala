@@ -96,13 +96,14 @@ object SamplingQueries {
           .select(col("lang"), col("doc_id"))
           .orderBy("lang", "doc_id"),
       Some(s"""
-        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        m AS (SELECT min(n) AS cap FROM c)
+        WITH c AS (SELECT lang, count(*) AS n,
+                          min(count(*)) OVER () AS cap
+                   FROM documents GROUP BY 1)
         SELECT d.lang, d.doc_id
-        FROM documents d JOIN c USING (lang), m
-        WHERE ${hashSql("CAST(doc_id AS VARCHAR)", 1000000)} * n
+        FROM documents d JOIN c ON d.lang IS NOT DISTINCT FROM c.lang
+        WHERE ${hashSql("concat_ws('|', d.lang, CAST(doc_id AS VARCHAR))", 1000000)} * n
               < cap * 1000000
-        ORDER BY lang, doc_id""")),
+        ORDER BY d.lang, doc_id""")),
 
     QDef(
       "pipeline_pack_sequences",
