@@ -145,6 +145,37 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
 
+  /** Incremental near-dup: NEW docs against the EXISTING corpus
+    * signature index — the continuous-ingest shape at 100 TB. The banded
+    * index is the table a production pipeline persists and appends once
+    * per ingest batch; each batch joins its bands against index bands
+    * only (new x index — never new x new inside this call, never a
+    * re-dedup of the whole corpus). Verification is the standard MinHash
+    * Jaccard estimate: the count of agreeing signature slots, kept at
+    * `>= minAgree` of `numPerms`. Returns (new_id, old_id, n_agree).
+    */
+  def incrementalNearDup(
+      indexSig: DataFrame,
+      newSig: DataFrame,
+      numPerms: Int,
+      minAgree: Int): DataFrame = {
+    val cands = lshBandKeys(newSig, numPerms).as("n")
+      .join(lshBandKeys(indexSig, numPerms).as("o"), Seq("band", "key"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    def renamed(sig: DataFrame, idAs: String, pre: String) =
+      sig.toDF(sig.columns.map(c =>
+        if (c == "doc_id") idAs else s"$pre$c"): _*)
+    val agree = (0 until numPerms)
+      .map(k => when(col(s"n_mh_$k") === col(s"o_mh_$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(renamed(newSig, "new_id", "n_"), Seq("new_id"))
+      .join(renamed(indexSig, "old_id", "o_"), Seq("old_id"))
+      .select(col("new_id"), col("old_id"), agree.cast("long").as("n_agree"))
+      .filter(col("n_agree") >= minAgree)
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** SimHash over the document's distinct words: word w hashes to

@@ -334,6 +334,67 @@ object Multimodal {
     (0 until 64).foldLeft(0L) { (h, k) => if (avg(k) > mean) h | (1L << k) else h }
   }
 
+  // ---- resize (thumbnail / feature-extraction preprocessing) ------------
+
+  /** Nearest-neighbor resize with pure integer source-coordinate mapping
+    * (`sx = x * in_w / out_w`, floor division) — no interpolation, no
+    * floating point, so resized pixels of a losslessly decoded image are
+    * bit-stable across JVMs and reproducible by plain arithmetic.
+    */
+  def resizeNearest(
+      im: java.awt.image.BufferedImage, ow: Int, oh: Int): java.awt.image.BufferedImage = {
+    require(ow > 0 && oh > 0, "target dimensions must be positive")
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < oh) {
+      val sy = y * im.getHeight / oh
+      var x = 0
+      while (x < ow) {
+        out.setRGB(x, y, im.getRGB(x * im.getWidth / ow, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Batch resize: (doc_id, width, height, px_hash) for every blob that
+    * decodes losslessly, after a nearest-neighbor resize to (ow, oh) —
+    * the thumbnail/normalize pass a multimodal training pipeline runs
+    * before feature extraction. Same mapPartitions batch shape as
+    * [[decode]]; non-images and JPEGs are dropped by the shared
+    * [[decodeLosslessImage]] gate.
+    */
+  def resizeImages(blobs: Dataset[MediaBlob], ow: Int, oh: Int): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        decodeLosslessImage(b.content).map { im =>
+          (b.doc_id, ow.toLong, oh.toLong, pixelCrc(resizeNearest(im, ow, oh)))
+        }
+      }
+    }.toDF("doc_id", "width", "height", "px_hash")
+  }
+
+  /** Expected [[pixelCrc]] of pattern `img` resized to (ow, oh), from
+    * [[patternGray]] arithmetic alone — an independent path from
+    * encode->ImageIO-decode->[[resizeNearest]], so the oracle constants
+    * are honest.
+    */
+  def patternResizedCrc(img: Int, ow: Int, oh: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    val buf = new Array[Byte](4)
+    for (y <- 0 until oh; x <- 0 until ow) {
+      val g = patternGray(img, x * PatternSize / ow, y * PatternSize / oh)
+      val p = 0xff000000 | (g << 16) | (g << 8) | g
+      buf(0) = (p >>> 24).toByte; buf(1) = (p >>> 16).toByte
+      buf(2) = (p >>> 8).toByte; buf(3) = p.toByte
+      c.update(buf, 0, 4)
+    }
+    c.getValue
+  }
+
   /** The six pattern images as real PNG blobs (ImageIO-encoded on the
     * driver; PNG is lossless, so the decoded pixels equal the pattern).
     * doc_ids -11..-16.

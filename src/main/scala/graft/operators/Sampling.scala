@@ -22,9 +22,24 @@ object Sampling {
   /** Hash bucket in [0, buckets) for a key column (cast to its canonical
     * string form first, so numeric and string keys hash identically in
     * Spark and the SQL oracle).
+    *
+    * The raw polynomial hash is LINEAR in the character values, so on
+    * short fixed-length keys (e.g. sequential numeric ids) it is a
+    * stride-1 lattice — order-preserving and badly non-uniform mod
+    * `buckets`. The finalizer `((h % Q1) * A + (h % Q2)) % Q1` is a
+    * two-residue scramble: every term stays below 2^63 (Q1*A < 2^62.4,
+    * h < polyHashP < 2^53 < Q1*Q2), sequential ids scatter with stride
+    * ~A mod Q1, and the arithmetic is plain BIGINT `*`/`%`/`+` so the
+    * DuckDB oracle reproduces it bit-for-bit.
     */
-  def hashBucket(key: Column, buckets: Int): Column =
-    Scalars.polyHash(key.cast("string")) % buckets
+  val MixQ1 = 2147483629L // largest prime < 2^31
+  val MixQ2 = 1073741789L // largest prime < 2^30
+  val MixA = 2654435761L  // Knuth's 2^32 / golden ratio
+
+  def hashBucket(key: Column, buckets: Int): Column = {
+    val h = Scalars.polyHash(key.cast("string"))
+    (((h % MixQ1) * MixA + (h % MixQ2)) % MixQ1) % buckets
+  }
 
   /** Assign each row a split label from cumulative percentage cut
     * points, e.g. `Seq(("train", 80), ("dev", 10), ("test", 10))`.
@@ -85,6 +100,19 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__h", "__rn")
   }
+
+  /** Deterministic corpus-wide shuffle: a total order by
+    * (hash(key), key). The declarative orderBy is Spark's scalable
+    * global sort — range sampling + a range-partitioned exchange, never
+    * a single-partition sort — so the "random" order is reproducible on
+    * any cluster with NO RNG and no driver state; hash collisions break
+    * ties on the key itself. A training pipeline runs this once before
+    * sequence packing so pack windows interleave sources instead of
+    * replaying ingestion order.
+    */
+  def shuffleOrder(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("shuffle_key", hashBucket(col(keyCol), 1000000000))
+      .orderBy(col("shuffle_key"), col(keyCol))
 
   /** Domain mixing: downsample every stratum to (approximately) the size
     * of the smallest one — the balanced-mixture pass a training pipeline

@@ -37,6 +37,28 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * compression pass before ANN serving (4x smaller, dot products in
+    * integer SIMD). Per-vector scale = max |x_i|;
+    * `q_i = max(-127, floor(x_i * 127 / scale))`. Deterministic across
+    * engines: float32 -> double is exact, the multiply/divide are single
+    * IEEE-754 ops every engine rounds identically, and floor is exact —
+    * no round-half ambiguity anywhere. All-zero vectors quantize to
+    * zeros (scale 0 guard). Pure projection: no shuffle, no UDF —
+    * `transform`/`array_max` stay inside codegen.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
+    emb.select(col(idCol), col(vecCol).as("__v"), scale.as("scale"))
+      .select(col(idCol), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("__v"), _ => lit(0)))
+          .otherwise(transform(col("__v"), v =>
+            greatest(lit(-127.0),
+              floor(v.cast("double") * 127.0 / col("scale"))).cast("int")))
+          .as("q"))
+  }
+
   /** Brute-force cosine top-k: each query vector against the full corpus.
     * O(|Q| * N) — the baseline; keep |Q| bounded or use [[lshBuckets]].
     * The per-query ranking is one window over the join result,

@@ -209,6 +209,47 @@ object DedupQueries {
             ORDER BY doc_id""")),
 
     QDef(
+      "dedup_incremental",
+      (s, dir) => {
+        // continuous-ingest dedup: the 20% of docs with doc_id % 5 = 0
+        // play the "new batch", the rest the persisted signature index;
+        // candidates come from new-bands x index-bands only (never a
+        // corpus re-dedup), verified by MinHash slot agreement >= 6/8
+        val sig = Dedup.minhashSignature(
+          Dedup.shingles3FromText(tbl(s, dir, "documents"), "doc_id", "text"),
+          NumPerms).cache()
+        Dedup.incrementalNearDup(
+            sig.filter(col("doc_id") % 5 =!= 0),
+            sig.filter(col("doc_id") % 5 === 0),
+            NumPerms, minAgree = 6)
+          .orderBy("new_id", "old_id")
+      },
+      Some {
+        val mins = Dedup.hashCoeffs(NumPerms).zipWithIndex.map { case ((a, b), k) =>
+          s"min((shingle * $a + $b) % $P) AS mh_$k"
+        }.mkString(", ")
+        val bandRows = (0 until NumPerms / 2).map { b =>
+          s"SELECT doc_id, $b AS band, mh_${2 * b} * $P + mh_${2 * b + 1} AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        val agree = (0 until NumPerms).map { k =>
+          s"CASE WHEN ns.mh_$k = os.mh_$k THEN 1 ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH $vocabSql, $shingleSql,
+            sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id),
+            bands AS ($bandRows),
+            cands AS (
+              SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+              FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+              WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0)
+            SELECT new_id, old_id, CAST($agree AS BIGINT) AS n_agree
+            FROM cands c
+            JOIN sig ns ON ns.doc_id = c.new_id
+            JOIN sig os ON os.doc_id = c.old_id
+            WHERE $agree >= 6
+            ORDER BY new_id, old_id"""
+      }),
+
+    QDef(
       "dedup_simhash",
       (s, dir) => {
         Dedup.simhash(docWordIds(s, dir)).orderBy("doc_id")

@@ -111,6 +111,33 @@ object MultimodalQueries {
         FROM h a JOIN h b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
         ORDER BY a_id DESC, b_id DESC"""
+      }),
+
+    QDef(
+      "mm_resize", {
+        (s, dir) =>
+          // integer-exact nearest-neighbor resize over REAL decoded
+          // pixels, both directions (16x16 -> 8x8 down, -> 32x32 up);
+          // the oracle's expected pixel CRCs come from independent pure
+          // arithmetic on the pattern definition (no codec), checking
+          // ImageIO decode + resize + fingerprint end to end
+          val blobs = Multimodal.patternImageBlobs(s)
+          Multimodal.resizeImages(blobs, 8, 8)
+            .unionByName(Multimodal.resizeImages(blobs, 32, 32))
+            .orderBy("doc_id", "width")
+      },
+      Some {
+        val rows = (for {
+          i <- 0 until 6
+          dim <- Seq(8, 32)
+        } yield s"(CAST(${-11 - i} AS BIGINT), CAST($dim AS BIGINT), " +
+          s"CAST($dim AS BIGINT), " +
+          s"CAST(${Multimodal.patternResizedCrc(i, dim, dim)} AS BIGINT))")
+          .mkString(", ")
+        s"""
+        SELECT * FROM (VALUES $rows)
+          AS t(doc_id, width, height, px_hash)
+        ORDER BY doc_id, width"""
       })
   )
 }

@@ -16,11 +16,18 @@ import Registry.tbl
   */
 object SamplingQueries {
 
-  /** polyHash(expr) % buckets, DuckDB form — mirror of Sampling.hashBucket. */
-  private def hashSql(expr: String, buckets: Int): String =
-    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+  /** Mirror of Sampling.hashBucket in DuckDB SQL: the polyHash fold,
+    * then the two-residue lattice scramble, then the bucket mod — all
+    * plain BIGINT arithmetic, bit-for-bit the Spark value.
+    */
+  private def hashSql(expr: String, buckets: Int): String = {
+    val fold =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
-          (acc, c) -> (acc * 131 + c) % ${Scalars.polyHashP}) % $buckets)"""
+          (acc, c) -> (acc * 131 + c) % ${Scalars.polyHashP})"""
+    s"""(((($fold % ${Sampling.MixQ1}) * ${Sampling.MixA}
+          + ($fold % ${Sampling.MixQ2})) % ${Sampling.MixQ1}) % $buckets)"""
+  }
 
   def all: Seq[QDef] = Seq(
 
@@ -104,6 +111,20 @@ object SamplingQueries {
         WHERE ${hashSql("concat_ws('|', d.lang, CAST(doc_id AS VARCHAR))", 1000000)} * n
               < cap * 1000000
         ORDER BY d.lang, doc_id""")),
+
+    QDef(
+      "pipeline_shuffle_order",
+      (s, dir) =>
+        // reproducible pre-packing corpus shuffle: the result ORDER is
+        // the operator's contract (range-partitioned global sort by
+        // hash, no RNG), so no extra orderBy is applied here
+        Sampling.shuffleOrder(tbl(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"), col("shuffle_key")),
+      Some(s"""
+        SELECT doc_id,
+               ${hashSql("CAST(doc_id AS VARCHAR)", 1000000000)} AS shuffle_key
+        FROM documents
+        ORDER BY shuffle_key, doc_id""")),
 
     QDef(
       "pipeline_pack_sequences",

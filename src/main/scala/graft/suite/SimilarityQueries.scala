@@ -183,6 +183,34 @@ object SimilarityQueries {
           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY idot DESC, c_id)
             AS rank FROM pairs)
         SELECT q_id, c_id, idot, CAST(rank AS INT) AS rank
-        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    QDef(
+      "sim_quantize_int8",
+      (s, dir) =>
+        // storage compression before ANN serving: symmetric per-vector
+        // int8, scale = max |x|, q = max(-127, floor(x*127/scale)) —
+        // every step a single IEEE double op, so the oracle reproduces
+        // the quantized arrays bit-for-bit. Pure projection, no shuffle.
+        Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding")
+          .select(col("vec_id"), col("scale"),
+            posexplode(col("q")).as(Seq("pos", "q")))
+          .orderBy("vec_id", "pos"),
+      Some("""
+        WITH quant AS (
+          SELECT vec_id, scale,
+                 CASE WHEN scale = 0 THEN list_transform(vec, v -> 0)
+                      ELSE list_transform(vec, v -> CAST(
+                        greatest(-127.0, floor(CAST(v AS DOUBLE) * 127.0 / scale))
+                        AS INT)) END AS q
+          FROM (SELECT vec_id, embedding AS vec,
+                  list_max(list_transform(embedding,
+                    v -> abs(CAST(v AS DOUBLE)))) AS scale
+                FROM embeddings)),
+        idx AS (SELECT vec_id, scale, q,
+                       unnest(generate_series(1, len(q))) AS i
+                FROM quant)
+        SELECT vec_id, scale, CAST(i - 1 AS INT) AS pos, q[i] AS q
+        FROM idx ORDER BY vec_id, pos"""))
   )
 }

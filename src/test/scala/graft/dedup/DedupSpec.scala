@@ -91,4 +91,21 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got((1L, 3L)) - 5.0 / 6.0) < 1e-15)
     assert(!got.contains((1L, 4L)))
   }
+
+  test("incremental dedup: new batch pairs against the index only, never new x new") {
+    // index: docs 1, 3, 4; new batch: doc 2 (dup of 1) and doc 5 (dup of 4)
+    val all = docs.union(Seq((5L, "x y z w q", "s2")).toDF("doc_id", "text", "source"))
+    val sig = Dedup.minhashSignature(
+      Dedup.shingles3FromText(all, "doc_id", "text"), 8)
+    val hits = Dedup.incrementalNearDup(
+        sig.filter($"doc_id" isin (1L, 3L, 4L)),
+        sig.filter($"doc_id" isin (2L, 5L)),
+        numPerms = 8, minAgree = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // both exact dups found with full slot agreement...
+    assert(Set((2L, 1L, 8L), (5L, 4L, 8L)).subsetOf(hits))
+    // ...every hit pairs a new doc against an INDEX doc (no new x new,
+    // so the new-batch dup pair (2,5)-vs-each-other never appears)
+    assert(hits.forall { case (n, o, _) => Set(2L, 5L)(n) && !Set(2L, 5L)(o) })
+  }
 }

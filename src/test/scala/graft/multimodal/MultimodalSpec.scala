@@ -77,4 +77,31 @@ class MultimodalSpec extends SparkSpec {
     // twins are (img, img+1) for img = 0, 2, 4 -> ids (-11,-12), (-13,-14), (-15,-16)
     assert(pairs === Seq((-16L, -15L), (-14L, -13L), (-12L, -11L)))
   }
+
+  test("phashNearDup has full recall at ham == maxHam spread across bands") {
+    import spark.implicits._
+    // four flipped bits land in four DIFFERENT 16-bit quarters — the
+    // adversarial shape a fixed 4-band blocking misses at maxHam = 4;
+    // (maxHam+1)-band blocking must still pair them (pigeonhole)
+    val h = 0x0123456789abcdefL
+    val far = h ^ (1L | (1L << 16) | (1L << 32) | (1L << 48))
+    val hashes = Seq((1L, h), (2L, far)).toDF("doc_id", "ahash")
+    val pairs = Multimodal.phashNearDup(hashes, maxHam = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs === Seq((1L, 2L, 4L)))
+    // and a negative control: 5 flipped bits exceed maxHam
+    val tooFar = Seq((1L, h), (2L, far ^ (1L << 8))).toDF("doc_id", "ahash")
+    assert(Multimodal.phashNearDup(tooFar, maxHam = 4).isEmpty)
+  }
+
+  test("resize via PNG-encode -> ImageIO-decode equals the pure-arithmetic CRC") {
+    val blobs = Multimodal.patternImageBlobs(spark)
+    for (dim <- Seq(8, 32)) {
+      val got = Multimodal.resizeImages(blobs, dim, dim)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      for (i <- 0 until 6)
+        assert(got(-11L - i) === Multimodal.patternResizedCrc(i, dim, dim),
+          s"pattern $i at ${dim}x$dim")
+    }
+  }
 }

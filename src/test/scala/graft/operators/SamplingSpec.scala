@@ -38,4 +38,28 @@ class SamplingSpec extends SparkSpec {
     val t2 = Sampling.topNPerStratum(docs.repartition(17), "source", "doc_id", 4)
     assert(t1.exceptAll(t2).isEmpty && t2.exceptAll(t1).isEmpty)
   }
+
+  test("mixToSmallest keeps NULL-stratum rows as their own stratum") {
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") % 10 === 0, lit(null: String))
+        .when(col("doc_id") % 3 === 0, lit("fr")).otherwise(lit("en")))
+    val mixed = Sampling.mixToSmallest(withNull, "lang", "doc_id")
+    val counts = mixed.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the NULL stratum (100 rows, the smallest) survives the gate
+    assert(counts.contains(None) && counts(None) > 0)
+    // every stratum lands near the smallest stratum's size (hash gate is
+    // probabilistic per-row, so allow wide slack around cap = 100)
+    assert(counts.values.forall(n => n > 50 && n < 160), counts.toString)
+    assert(mixed.exceptAll(withNull).isEmpty)
+  }
+
+  test("shuffleOrder is a deterministic, partitioning-independent permutation") {
+    val a = Sampling.shuffleOrder(docs, "doc_id")
+    val ids = a.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted === (1L to 1000L))          // a permutation
+    assert(ids !== (1L to 1000L).toSeq)           // not ingestion order
+    val b = Sampling.shuffleOrder(docs.repartition(13), "doc_id")
+    assert(b.select("doc_id").collect().map(_.getLong(0)).toSeq === ids)
+  }
 }

@@ -43,6 +43,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty && got.head.getLong(1) === 1L)
   }
 
+  test("quantizeInt8: extremes hit +/-127, zero vector survives, values in range") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0.5f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-2.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(got(1L) === ((0.5, Seq(127, -127, 63))))
+    assert(got(2L) === ((0.0, Seq(0, 0, 0))))
+    assert(got(3L)._1 === 2.0)
+    assert(got(3L)._2.head === -127)
+    assert(got.values.forall(_._2.forall(q => q >= -127 && q <= 127)))
+  }
+
   test("cosinePairsBlocked: subset of brute force, finds the near pair, no nested-loop join") {
     val blocked = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding",
       numPlanes = 4, dims = 4, minCos = 0.9)
