@@ -264,7 +264,14 @@ object Dedup {
     * neighbor) settle in a handful of rounds. Convergence is detected
     * with a scalar changed-count per round; `maxRounds` bounds the worst
     * case. 2^maxRounds with the shortcut covers any diameter that could
-    * arise in practice (20 rounds ~ diameter 2^20).
+    * arise in practice (20 rounds ~ diameter 2^20); exhausting the bound
+    * without converging logs a warning and returns the partial labels.
+    *
+    * Lifecycle contract: the returned frame is `localCheckpoint`ed (its
+    * rows live in executor storage, not lineage). A caller that is done
+    * with it should release it via
+    * `ColumnBridge.unpersistCheckpoint(labels)` — otherwise the final
+    * label frame stays resident until context cleanup.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -318,6 +325,10 @@ object Dedup {
       round += 1
     }
     edges.unpersist(false)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents did not converge in $maxRounds rounds; " +
+          "labels may be non-canonical for components of diameter > 2^rounds")
     labels
   }
 

@@ -67,11 +67,32 @@ object Bucketing {
 
   // the input plan's semantic hash rides along so a same-named table fed
   // from different data (another sf dir, a changed projection) never
-  // false-skips the rewrite
+  // false-skips the rewrite; a content fingerprint (size + mtime of every
+  // input file, from the already-listed file index — no extra FS RPCs)
+  // additionally catches data regenerated AT THE SAME PATH, which the
+  // plan hash alone cannot see
   private def signature(
       df: DataFrame, bucketCols: Seq[String], buckets: Int): String =
     s"${bucketCols.mkString(",")}|$buckets|" +
-      df.queryExecution.analyzed.semanticHash()
+      df.queryExecution.analyzed.semanticHash() + "|" + contentFingerprint(df)
+
+  private def contentFingerprint(df: DataFrame): Long = {
+    var h = 1125899906842597L // FNV-ish fold over (path, len, mtime)
+    def mix(x: Long): Unit = { h = h * 31 + x }
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.listFiles(Nil, Nil).flatMap(_.files).foreach { st =>
+              mix(st.getPath.toString.hashCode.toLong)
+              mix(st.getLen); mix(st.getModificationTime)
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    h
+  }
 
   /** Write-once form of [[writeBucketed]]: skips the write when this JVM
     * already produced `table` with the same layout and the table is still
@@ -87,8 +108,16 @@ object Bucketing {
       buckets: Int): Unit = {
     val key = qualified(df, table)
     val sig = signature(df, bucketCols, buckets)
-    if (written.get(key) != sig ||
-        !df.sparkSession.catalog.tableExists(table))
-      writeBucketedImpl(df, table, bucketCols, buckets, key, sig)
+    // per-table lock makes the check-then-write atomic under concurrent
+    // callers (two sessions racing here would otherwise both write, or
+    // one would read a half-written table)
+    locks.computeIfAbsent(key, _ => new Object).synchronized {
+      if (written.get(key) != sig ||
+          !df.sparkSession.catalog.tableExists(table))
+        writeBucketedImpl(df, table, bucketCols, buckets, key, sig)
+    }
   }
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

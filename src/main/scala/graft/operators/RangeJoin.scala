@@ -46,7 +46,10 @@ object RangeJoin {
     val iv0 = clash.foldLeft(intervals)((d, c) => d.withColumnRenamed(c, "i_" + c))
     def iCol(name: String) = col(if (clash(name)) "i_" + name else name)
     val p = points.withColumn("__bkt", bucketOf(col(pointCol), bucketWidth))
-    val iv = iv0.withColumn("__bkt",
+    // a malformed hi < lo interval can never contain a point, but its
+    // DESCENDING bucket sequence would still explode (Spark auto-steps
+    // -1) into spurious candidates — drop empty intervals pre-fan-out
+    val iv = iv0.filter(iCol(loCol) <= iCol(hiCol)).withColumn("__bkt",
       explode(sequence(bucketOf(iCol(loCol), bucketWidth),
         bucketOf(iCol(hiCol), bucketWidth))))
     p.join(iv, keys :+ "__bkt")

@@ -41,8 +41,8 @@ object ExtrasQueries {
         SELECT o_orderpriority,
                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
                count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-               coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                 FILTER (WHERE o_orderstatus = 'O'), 0) AS open_cents,
+               coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE o_orderstatus = 'O') AS BIGINT), 0) AS open_cents,
                count(*) AS n
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
