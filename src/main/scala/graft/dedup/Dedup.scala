@@ -332,6 +332,85 @@ object Dedup {
     labels
   }
 
+  /** Apply component `labels` (`(node, label)` rows from
+    * [[connectedComponents]]) to the corpus: keep each cluster's survivor
+    * (the member whose id equals the label) plus every unpaired document,
+    * and attach a per-survivor `n_removed` audit column (cluster size
+    * minus one). This is the dedup stage's actual deliverable — the
+    * deduplicated corpus — where the label table only names it (the
+    * reference likewise materializes its filtered output rather than a
+    * keep-list, process_af3_outputs.py:338-345).
+    *
+    * Scale shape: `labels` holds only paired documents — typically a
+    * small fraction of the corpus — so the removal-count groupBy is
+    * cheap, the membership join is a skinny-side join, and the second
+    * join attaches counts to survivors only. The full corpus is
+    * shuffled once (on `idCol`); both skinny joins ride that
+    * partitioning (or broadcast under AQE when small enough).
+    */
+  def applySurvivors(docs: DataFrame, labels: DataFrame, idCol: String): DataFrame = {
+    val removed = labels.groupBy(col("label").as(idCol))
+      .agg((count(lit(1)) - lit(1L)).as("__nrm"))
+    docs
+      .join(labels.select(col("node").as(idCol), col("label")), Seq(idCol), "left")
+      .filter(col("label").isNull || col("label") === col(idCol))
+      .drop("label")
+      .join(removed, Seq(idCol), "left")
+      .withColumn("n_removed", coalesce(col("__nrm"), lit(0L)))
+      .drop("__nrm")
+  }
+
+  /** Merge an ingest batch's `(new_id, old_id)` near-dup pairs (from
+    * [[incrementalNearDup]]) into persisted component `labels` WITHOUT
+    * re-running connected components over the full corpus — the one
+    * periodic full re-dedup the incremental path exists to avoid.
+    *
+    * Each old endpoint is first contracted to its component label
+    * (old nodes absent from `labels` are singletons), then components
+    * run over the CONTRACTED graph only — its size is bounded by the
+    * batch's pair count, not the corpus. Old labels bridged by new
+    * nodes (possibly transitively: X bridges L1–L2, Y bridges L2–L3)
+    * merge there; the resulting remap is applied to the label table
+    * with one join. The output equals a from-scratch CC over the union
+    * of old and new pairs: an old label is its component's min node,
+    * contraction preserves those mins, and the small CC takes the min
+    * across merged components and new ids — the global min.
+    *
+    * Returns the updated `(node, label)` table: old rows (relabeled
+    * where touched) plus one row per new node seen in `newPairs`.
+    */
+  def mergeIncrementalLabels(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      newCol: String = "new_id",
+      oldCol: String = "old_id",
+      maxRounds: Int = 20): DataFrame = {
+    val lab = labels.select(col("node"), col("label"))
+    val contracted = newPairs
+      .select(col(newCol).as("__nid"), col(oldCol).as("node"))
+      .join(lab, Seq("node"), "left")
+      .select(col("__nid").as("a"), coalesce(col("label"), col("node")).as("b"))
+    val comp = connectedComponents(contracted, "a", "b", maxRounds)
+    // remap touched old labels; untouched rows pass through unchanged
+    val remap = comp.select(col("node").as("label"), col("label").as("__new"))
+    val updatedOld = lab.join(remap, Seq("label"), "left")
+      .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+    val newLabels = newPairs.select(col(newCol).as("node")).distinct()
+      .join(comp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    // old singletons first paired BY this batch: they appear in the
+    // contracted graph as their own label but have no row in `labels`,
+    // so neither updatedOld nor newLabels covers them — emit their comp
+    // rows directly (anti-joins are against the batch-bounded frames)
+    val pairedSingletons = comp
+      .join(newLabels.select(col("node")), Seq("node"), "left_anti")
+      .join(lab.select(col("node")), Seq("node"), "left_anti")
+    // NOTE: the result references `comp`'s checkpointed storage (same
+    // caller-must-unpersist contract as connectedComponents itself —
+    // release via ColumnBridge.unpersistCheckpoint once consumed).
+    updatedOld.unionByName(newLabels).unionByName(pairedSingletons)
+  }
+
   // ---- n-gram / unigram Jaccard ----------------------------------------
 
   /** Pairwise Jaccard similarity over distinct-token sets, computed only

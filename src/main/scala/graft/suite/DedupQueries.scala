@@ -209,6 +209,94 @@ object DedupQueries {
             ORDER BY doc_id""")),
 
     QDef(
+      "pipeline_dedup_corpus",
+      (s, dir) => {
+        // the dedup family's last mile: survivors applied to the corpus.
+        // near-dup pairs -> connected components -> drop non-survivor
+        // cluster members; the surviving corpus carries an n_removed
+        // audit column (cluster size - 1, 0 for unpaired docs)
+        val comp = Dedup.connectedComponents(
+          nearDupPairs(s, dir).select(col("a"), col("b")), "a", "b")
+        Dedup.applySurvivors(tbl(s, dir, "documents"), comp, "doc_id")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"), col("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $nearPairsCteSql,
+            e AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b AS u, a AS v FROM pairs),
+            reach(u, m) AS (
+              SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.u, e.v AS m FROM reach r JOIN e ON r.m = e.u),
+            comp AS (SELECT u AS doc_id, min(m) AS survivor_id
+                     FROM reach GROUP BY u),
+            removed AS (SELECT survivor_id, count(*) - 1 AS n_removed
+                        FROM comp GROUP BY survivor_id)
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+                   CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+            FROM documents d
+            LEFT JOIN comp c USING (doc_id)
+            LEFT JOIN removed r ON r.survivor_id = d.doc_id
+            WHERE c.survivor_id IS NULL OR c.survivor_id = d.doc_id
+            ORDER BY doc_id""")),
+
+    QDef(
+      "dedup_incremental_labels",
+      (s, dir) => {
+        // incremental survivor maintenance: persisted labels (CC over the
+        // index 80%) absorb the new batch's new->old pairs through the
+        // CONTRACTED graph only — no full-corpus CC. Output equals a
+        // from-scratch CC over the union of old and new pairs.
+        val oldPairs = nearDupPairs(s, dir)
+          .filter(col("a") % 5 =!= 0 && col("b") % 5 =!= 0)
+          .select(col("a"), col("b"))
+        val oldLabels = Dedup.connectedComponents(oldPairs, "a", "b")
+        val sig = Dedup.minhashSignature(
+          Dedup.shingles3FromText(tbl(s, dir, "documents"), "doc_id", "text"),
+          NumPerms).cache()
+        val newPairs = Dedup.incrementalNearDup(
+            sig.filter(col("doc_id") % 5 =!= 0),
+            sig.filter(col("doc_id") % 5 === 0),
+            NumPerms, minAgree = 6)
+          .select(col("new_id"), col("old_id"))
+        val merged = Dedup.mergeIncrementalLabels(oldLabels, newPairs)
+        tbl(s, dir, "documents").select(col("doc_id"))
+          .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("survivor_id"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val agree = (0 until NumPerms).map { k =>
+          s"CASE WHEN ns.mh_$k = os.mh_$k THEN 1 ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH RECURSIVE $nearPairsCteSql,
+            inc_cands AS (
+              SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+              FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+              WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+            inc_pairs AS (
+              SELECT new_id, old_id FROM inc_cands c
+              JOIN sig ns ON ns.doc_id = c.new_id
+              JOIN sig os ON os.doc_id = c.old_id
+              WHERE $agree >= 6),
+            e AS (SELECT a AS u, b AS v FROM pairs WHERE a % 5 <> 0 AND b % 5 <> 0
+                  UNION SELECT b AS u, a AS v FROM pairs WHERE a % 5 <> 0 AND b % 5 <> 0
+                  UNION SELECT new_id AS u, old_id AS v FROM inc_pairs
+                  UNION SELECT old_id AS u, new_id AS v FROM inc_pairs),
+            reach(u, m) AS (
+              SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.u, e.v AS m FROM reach r JOIN e ON r.m = e.u),
+            comp AS (SELECT u AS doc_id, min(m) AS survivor_id
+                     FROM reach GROUP BY u)
+            SELECT d.doc_id, coalesce(c.survivor_id, d.doc_id) AS survivor_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+            ORDER BY doc_id"""
+      }),
+
+    QDef(
       "dedup_incremental",
       (s, dir) => {
         // continuous-ingest dedup: the 20% of docs with doc_id % 5 = 0

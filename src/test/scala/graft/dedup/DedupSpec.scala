@@ -84,6 +84,43 @@ class DedupSpec extends SparkSpec {
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(labels)
   }
 
+  test("applySurvivors: chain A~B~C keeps exactly one doc with n_removed audit") {
+    val corpus = Seq(
+      (10L, "ten"), (20L, "twenty"), (30L, "thirty"),
+      (40L, "forty"), (50L, "fifty"), (99L, "unpaired")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((10L, 20L), (20L, 30L), (50L, 40L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs, "a", "b")
+    val kept = Dedup.applySurvivors(corpus, labels, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // chain 10~20~30 keeps 10 (n_removed 2); pair 40~50 keeps 40
+    // (n_removed 1); unpaired 99 survives untouched (n_removed 0)
+    assert(kept === Map(10L -> 2L, 40L -> 1L, 99L -> 0L))
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(labels)
+  }
+
+  test("mergeIncrementalLabels equals from-scratch CC over the pair union") {
+    // old graph: {1,2,3} (label 1), {6,7} (label 6); old singletons 9, 12
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("a", "b")
+    val oldLabels = Dedup.connectedComponents(oldPairs, "a", "b")
+    // batch: 100 bridges components 1 and 6 (transitive merge);
+    // 4 matches old singleton 9; 5 matches labeled member 3
+    val newPairs = Seq((100L, 3L), (100L, 7L), (4L, 9L), (5L, 3L))
+      .toDF("new_id", "old_id")
+    val merged = Dedup.mergeIncrementalLabels(oldLabels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val union = oldPairs.unionByName(
+      newPairs.select($"new_id".as("a"), $"old_id".as("b")))
+    val scratch = Dedup.connectedComponents(union, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === scratch)
+    // the bridge collapsed everything reachable to min id 1; the
+    // singleton pair {4,9} got label 4 (new id is the min)
+    assert(merged(100L) === 1L && merged(6L) === 1L && merged(9L) === 4L)
+    // untouched old singleton 12 stays out of the label table entirely
+    assert(!merged.contains(12L))
+  }
+
   test("jaccard pairs: dup pair = 1.0, near pair = 5/6, cross-block pair absent") {
     val got = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
