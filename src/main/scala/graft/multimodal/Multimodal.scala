@@ -21,15 +21,30 @@ final case class MediaMeta(
     n_frames: Int,
     px_hash: Option[Long] = None)
 
+/** Output of the WAV decode stage: container properties from a REAL JDK
+  * `AudioSystem` decode plus a CRC32 over the decoded PCM bytes.
+  * `duration_ms` is integer floor arithmetic (frames * 1000 / rate) —
+  * exact and oracle-reproducible.
+  */
+final case class AudioMeta(
+    doc_id: Long,
+    n_bytes: Long,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    n_frames: Long,
+    duration_ms: Long,
+    pcm_hash: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded batch-wise inside executors.
   *
-  * The real Spark machinery — schema, partition-parallel batch decode via
-  * typed `mapPartitions`, deterministic output schema — is implemented
-  * and tested; the pixel/sample decode itself is a clearly marked STUB
-  * (this container ships no image/audio codecs) that derives
-  * deterministic fake dimensions from the byte content, so the plumbing
-  * is oracle-checkable end-to-end.
+  * Images (PNG/GIF/BMP via ImageIO) and WAV/PCM audio (via
+  * `javax.sound.sampled.AudioSystem`) decode for REAL — both codecs ship
+  * inside the JDK. Only video (genuinely codec-less in the JDK) and
+  * unrecognizable payloads take the clearly marked deterministic STUB,
+  * which derives fake dimensions from the byte content so the plumbing
+  * stays oracle-checkable end-to-end.
   */
 object Multimodal {
 
@@ -156,10 +171,12 @@ object Multimodal {
       case None => decodeStub(b)
     }
 
-  /** STUB decoder for the genuinely codec-less media kinds (audio,
-    * video): a real codec call goes here (e.g. ffmpeg via JNI). The fake
-    * derives width/height/frames deterministically from the payload size
-    * so tests and oracles can check the plumbing.
+  /** STUB decoder for the genuinely codec-less media kinds (video; plus
+    * audio payloads that are not parseable PCM WAV — real WAV decode
+    * lives in [[decodeAudio]]): a real codec call goes here (e.g.
+    * ffmpeg via JNI). The fake derives width/height/frames
+    * deterministically from the payload size so tests and oracles can
+    * check the plumbing.
     */
   def decodeStub(b: MediaBlob): MediaMeta = {
     val n = b.content.length.toLong
@@ -413,5 +430,126 @@ object Multimodal {
       MediaBlob(-11L - img, "image", out.toByteArray)
     }
     blobs.toDS()
+  }
+
+  // ---- audio (WAV/PCM) decode -------------------------------------------
+
+  /** Frame-count bomb guard, the audio analogue of [[MaxDecodePixels]]. */
+  val MaxDecodeFrames: Long = 256L * 1024 * 1024
+
+  /** Decode a WAV payload with the JDK's own codec
+    * (`javax.sound.sampled.AudioSystem` — ships with the JVM exactly
+    * like ImageIO does): `(sample_rate, channels, bits, n_frames,
+    * pcm_crc)`. Only raw PCM encodings are accepted — for them the
+    * decoded byte stream is the data chunk verbatim, so the CRC32
+    * fingerprint is bit-stable across JVMs (compressed encodings such
+    * as a-law/mu-law decode through conversion paths that are not part
+    * of this determinism contract). Returns None for anything that is
+    * not a parseable PCM WAV — including ordinary text bytes, which is
+    * what routes non-audio payloads away from this path.
+    */
+  def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val enc = f.getEncoding
+        val pcm = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val frames = ais.getFrameLength
+        if (!pcm || frames <= 0 || frames > MaxDecodeFrames) None
+        else {
+          val crc = new java.util.zip.CRC32()
+          val buf = new Array[Byte](8192)
+          var n = ais.read(buf)
+          while (n > 0) { crc.update(buf, 0, n); n = ais.read(buf) }
+          Some((f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, frames, crc.getValue))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batch audio decode: one row per blob that really decodes as PCM
+    * WAV; everything else (text bytes, images, video) is dropped by the
+    * [[decodeWavPcm]] gate. Same one-decoder-per-partition
+    * mapPartitions batch shape as [[decode]].
+    */
+  def decodeAudio(blobs: Dataset[MediaBlob]): Dataset[AudioMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        decodeWavPcm(b.content).map { case (rate, ch, bits, frames, crc) =>
+          AudioMeta(b.doc_id, b.content.length.toLong, rate, ch, bits,
+            frames, frames * 1000L / rate, crc)
+        }
+      }
+    }
+  }
+
+  /** Little-endian 16-bit PCM encoding of `samples` — the data chunk of
+    * [[makeWav]], kept separate so oracle CRCs come from pure
+    * arithmetic, independent of the AudioSystem path under test.
+    */
+  def pcm16Bytes(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      out(2 * i) = (samples(i) & 0xff).toByte
+      out(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Hand-assembled canonical RIFF/WAVE container (16-bit PCM, 44-byte
+    * header) — deterministic bytes with no encoder in the loop.
+    */
+  def makeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      "sample count must be a whole number of frames")
+    val data = pcm16Bytes(samples)
+    val blockAlign = channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)       // PCM, channels
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)    // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+
+  /** Fixture WAV definitions: 0 = 8 kHz mono 64-sample ramp, 1 = 16 kHz
+    * stereo 48 frames. Pure arithmetic — both the blobs and the
+    * expected oracle values derive from here.
+    */
+  def fixtureWavSamples(which: Int): (Int, Int, Array[Short]) = which match {
+    case 0 => (8000, 1, Array.tabulate(64)(i => (i * 997 - 31000).toShort))
+    case _ => (16000, 2, Array.tabulate(96)(i => ((i * 571) % 60000 - 30000).toShort))
+  }
+
+  /** The fixture WAVs as blobs (doc_id -21 mono, -22 stereo — ids that
+    * can never collide with the documents table).
+    */
+  def fixtureWavBlobs(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    (0 until 2).map { i =>
+      val (rate, ch, samples) = fixtureWavSamples(i)
+      MediaBlob(-21L - i, "audio", makeWav(rate, ch, samples))
+    }.toDS()
+  }
+
+  /** Expected PCM CRC of fixture `which` from the synthesized samples
+    * alone — an independent path from makeWav->AudioSystem-decode, so
+    * the oracle constants are honest.
+    */
+  def fixtureWavCrc(which: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(pcm16Bytes(fixtureWavSamples(which)._3))
+    c.getValue
   }
 }

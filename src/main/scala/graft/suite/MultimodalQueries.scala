@@ -66,6 +66,38 @@ object MultimodalQueries {
         ORDER BY doc_id""")),
 
     QDef(
+      "mm_audio_meta",
+      (s, dir) =>
+        // REAL JDK audio decode (javax.sound.sampled): documents-as-blobs
+        // (text bytes are no WAV -> dropped by the PCM gate) plus two
+        // hand-assembled WAV fixtures; the oracle's expected values come
+        // from the fixture arithmetic alone, independent of the
+        // AudioSystem path under test
+        Multimodal.decodeAudio(
+          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureWavBlobs(s)))
+          .toDF()
+          .select(col("doc_id"), col("n_bytes"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("channels").cast("long").as("channels"),
+            col("bits").cast("long").as("bits"),
+            col("n_frames"), col("duration_ms"), col("pcm_hash"))
+          .orderBy("doc_id"),
+      Some {
+        def row(i: Int) = {
+          val (rate, ch, samples) = Multimodal.fixtureWavSamples(i)
+          val frames = samples.length / ch
+          s"(CAST(${-21 - i} AS BIGINT), CAST(${44 + samples.length * 2} AS BIGINT), " +
+            s"CAST($rate AS BIGINT), CAST($ch AS BIGINT), CAST(16 AS BIGINT), " +
+            s"CAST($frames AS BIGINT), CAST(${frames * 1000L / rate} AS BIGINT), " +
+            s"CAST(${Multimodal.fixtureWavCrc(i)} AS BIGINT))"
+        }
+        s"""SELECT * FROM (VALUES ${row(1)}, ${row(0)}) AS t(doc_id, n_bytes,
+              sample_rate, channels, bits, n_frames, duration_ms, pcm_hash)
+            ORDER BY doc_id"""
+      }),
+
+    QDef(
       "mm_frame_sample",
       (s, dir) =>
         Multimodal.sampleFrames(

@@ -94,6 +94,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.phashNearDup(tooFar, maxHam = 4).isEmpty)
   }
 
+  test("WAV decode: AudioSystem round-trip equals the pure-arithmetic fixture values") {
+    import spark.implicits._
+    val mixed = Multimodal.fixtureWavBlobs(spark).unionByName(Seq(
+      graft.multimodal.MediaBlob(7L, "audio", "not a wav at all".getBytes("UTF-8")),
+      graft.multimodal.MediaBlob(8L, "audio",
+        Multimodal.makeWav(8000, 1, Array.tabulate(4)(_.toShort)).take(20))
+    ).toDS())
+    val got = Multimodal.decodeAudio(mixed).collect()
+      .map(m => m.doc_id -> m).toMap
+    // text bytes and the truncated header are dropped by the PCM gate
+    assert(got.keySet === Set(-21L, -22L))
+    for (i <- 0 until 2) {
+      val (rate, ch, samples) = Multimodal.fixtureWavSamples(i)
+      val m = got(-21L - i)
+      assert(m.sample_rate === rate && m.channels === ch && m.bits === 16)
+      assert(m.n_frames === samples.length / ch)
+      assert(m.duration_ms === m.n_frames * 1000L / rate)
+      // the decoded PCM byte stream fingerprint equals the CRC of the
+      // synthesized data chunk — proof the real codec ran losslessly
+      assert(m.pcm_hash === Multimodal.fixtureWavCrc(i))
+    }
+  }
+
   test("resize via PNG-encode -> ImageIO-decode equals the pure-arithmetic CRC") {
     val blobs = Multimodal.patternImageBlobs(spark)
     for (dim <- Seq(8, 32)) {
