@@ -359,26 +359,39 @@ object DedupQueries {
     QDef(
       "dedup_simhash_near",
       (s, dir) =>
-        // 32-bit signature: 4 bands of 8 bits keep block populations at
-        // N/256 per band — the width/banding a 100 TB corpus needs
-        Dedup.simhashNear(Dedup.simhash(docWordIds(s, dir), bits = 32),
-            bits = 32, maxHam = 3)
+        // 64-bit signature: 4 bands of 16 bits keep band populations at
+        // N/65536 — candidate volume shrinks ~2^8 vs the 32-bit form at
+        // identical pigeonhole recall; this is the width a 100 TB corpus
+        // needs (and the top bench line before it)
+        Dedup.simhashNear(Dedup.simhash64(docWordIds(s, dir)),
+            bits = 64, maxHam = 3)
           .orderBy("a", "b"),
       Some {
-        val bits = 32
-        val bitSums = (0 until bits).map { k =>
-          s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s_$k"
-        }.mkString(", ")
-        val sig = (0 until bits).map { k =>
+        val bitSums = ((0 until 32).map { k =>
+          s"sum(CASE WHEN (h0 >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s_$k"
+        } ++ (0 until 32).map { k =>
+          s"sum(CASE WHEN (h1 >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS t_$k"
+        }).mkString(", ")
+        val lo = (0 until 32).map { k =>
           s"CASE WHEN s_$k > 0 THEN ${1L << k} ELSE 0 END"
+        }.mkString(" + ")
+        val hi = (0 until 32).map { k =>
+          s"CASE WHEN t_$k > 0 THEN ${1L << k} ELSE 0 END"
         }.mkString(" + ")
         s"""WITH $vocabSql,
             pw AS (SELECT DISTINCT doc_id, word_id FROM ids),
-            hs AS (SELECT doc_id, (word_id * 40503 + 9973) % ${1L << bits} AS h FROM pw),
+            hs AS (SELECT doc_id,
+                     (word_id * 40503 + 9973) % ${1L << 32} AS h0,
+                     (word_id * 31973 + 7919) % ${1L << 32} AS h1 FROM pw),
             bs AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id),
-            sh AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bs),
+            hl AS (SELECT doc_id, CAST($lo AS BIGINT) AS lo,
+                     CAST($hi AS BIGINT) AS hi FROM bs),
+            sh AS (SELECT doc_id,
+                     (hi - CASE WHEN hi >= ${1L << 31} THEN ${1L << 32} ELSE 0 END)
+                       * ${1L << 32} + lo AS simhash FROM hl),
             keyed AS (
-              SELECT doc_id, simhash, band, (simhash >> (8 * band)) % 256 AS nib
+              SELECT doc_id, simhash, band,
+                     (simhash >> (16 * band)) & 65535 AS nib
               FROM sh, (VALUES (0), (1), (2), (3)) AS bands(band))
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming

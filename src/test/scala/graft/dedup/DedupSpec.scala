@@ -61,6 +61,19 @@ class DedupSpec extends SparkSpec {
     assert(near((1L, 2L)) === 0) // exact dup: identical signature
   }
 
+  test("simhash64: identical texts equal; halves compose as hi<<32|lo") {
+    val ids = Dedup.docWordIds(docs, "doc_id", "text")
+    val sh = Dedup.simhash64(ids).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) <= hamming(sh(1L), sh(4L)))
+    // the low half must equal the 32-bit single-modulus simhash (same
+    // word hash), proving the composition really is hi<<32|lo
+    val sh32 = Dedup.simhash(ids, bits = 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.forall { case (id, v) => (v & 0xffffffffL) === sh32(id) })
+  }
+
   test("connected components: chain A~B~C (A!~C) collapses to one survivor") {
     val pairs = Seq((10L, 20L), (20L, 30L), (50L, 40L)).toDF("a", "b")
     val comp = Dedup.connectedComponents(pairs, "a", "b")
