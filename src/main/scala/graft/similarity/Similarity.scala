@@ -187,10 +187,20 @@ object Similarity {
       numCells: Int): DataFrame =
     ivfArgmin(ivfDists(vectors, idCol, embCol, numCells))
 
-  /** IVF ANN top-k: queries probe their `nprobe` nearest cells and rank
-    * only the vectors assigned there — the inverted-file analogue of
-    * [[annTopK]]'s hash buckets. Per-query candidate count is bounded by
-    * the probed cells' population (~ nprobe * N / numCells), never N.
+  /** IVF ANN top-k: queries probe their `nprobe` nearest cells and
+    * exact-rank only the vectors assigned there — the inverted-file
+    * analogue of [[annTopK]]'s hash buckets. Per-query candidate count
+    * is bounded by the probed cells' population (~ nprobe * N /
+    * numCells), never N.
+    *
+    * The final ranking is by exact COSINE over the integer embeddings —
+    * `idot / (sqrt(q·q) * sqrt(c·c))` — not by raw dot: raw-dot order
+    * diverges from the true neighbor order whenever corpus norms vary,
+    * which costs recall that no amount of probing recovers. Every step
+    * (integer dot, sqrt, divide) is a single correctly-rounded IEEE op,
+    * so the oracle reproduces the ranking bit-for-bit. This is the
+    * re-rank half of the probe-wider/exact-rank recall recipe; nprobe
+    * is the other half (see AnnRecallSpec's sweep).
     */
   def ivfTopK(
       vectors: DataFrame,
@@ -212,18 +222,25 @@ object Similarity {
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("v_id")).orderBy(col("d2"), col("cid"))))
       .filter(col("pr") <= nprobe)
-      .select(col("v_id").as("q_id"), col("ie").as("q_ie"), col("cid").as("cell"))
+      .select(col("v_id").as("q_id"), col("ie").as("q_ie"),
+        col("aa").as("q_aa"), col("cid").as("cell"))
     val candidates = probes
-      .join(assign.select(col("v_id").as("c_id"), col("ie").as("c_ie"), col("cell")),
+      .join(assign.select(col("v_id").as("c_id"), col("ie").as("c_ie"),
+          col("aa").as("c_aa"), col("cell")),
         Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        graft.functions.VectorExpressions.dotLong(col("q_ie"), col("c_ie")).as("idot"))
+        graft.functions.VectorExpressions.dotLong(col("q_ie"), col("c_ie")).as("idot"),
+        col("q_aa"), col("c_aa"))
+      .withColumn("cos",
+        when(col("q_aa") === 0L || col("c_aa") === 0L, lit(0.0))
+          .otherwise(col("idot") /
+            (sqrt(col("q_aa").cast("double")) * sqrt(col("c_aa").cast("double")))))
     candidates
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("c_id"))))
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("idot"), col("rank"))
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
   /** Blocked near-duplicate pairs by cosine: candidate pairs come from

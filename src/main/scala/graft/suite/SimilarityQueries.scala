@@ -109,22 +109,35 @@ object SimilarityQueries {
     QDef(
       "sim_ivf_topk",
       (s, dir) =>
+        // probe nprobe cells, then exact-rank the candidate superset by
+        // COSINE over the integer embeddings (idot/(sqrt(q·q)sqrt(c·c)),
+        // all correctly-rounded IEEE ops) — raw-dot order loses recall
+        // whenever corpus norms vary; see AnnRecallSpec for the recorded
+        // nprobe/numCells recall sweep
         Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
             IvfCells, IvfProbe, k = 3)
           .orderBy("q_id", "rank"),
       Some(s"""
         WITH $ivfPreludeSql,
-        probes AS (SELECT vec_id AS q_id, ie AS q_ie, cid AS cell FROM (
-                     SELECT *, row_number() OVER (PARTITION BY vec_id
-                       ORDER BY d2, cid) AS pr FROM dists)
+        probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
+                     SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY d2, cid) AS pr
+                     FROM dists d JOIN av a ON a.vec_id = d.vec_id)
                    WHERE pr <= $IvfProbe),
         cand AS (SELECT p.q_id, s.vec_id AS c_id,
-                   ${intDotSql("p.q_ie", "s.ie")} AS idot
-                 FROM probes p JOIN assign s ON s.cell = p.cell
-                   AND s.vec_id != p.q_id),
+                   ${intDotSql("p.q_ie", "s.ie")} AS idot,
+                   p.q_aa, sa.aa AS c_aa
+                 FROM probes p
+                 JOIN assign s ON s.cell = p.cell AND s.vec_id != p.q_id
+                 JOIN av sa ON sa.vec_id = s.vec_id),
+        scored AS (SELECT q_id, c_id,
+                     CASE WHEN q_aa = 0 OR c_aa = 0 THEN 0.0
+                          ELSE idot / (sqrt(CAST(q_aa AS DOUBLE))
+                                       * sqrt(CAST(c_aa AS DOUBLE))) END AS cos
+                   FROM cand),
         ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                     ORDER BY idot DESC, c_id) AS rank FROM cand)
-        SELECT q_id, c_id, idot, CAST(rank AS INT) AS rank
+                     ORDER BY cos DESC, c_id) AS rank FROM scored)
+        SELECT q_id, c_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     QDef(

@@ -32,9 +32,9 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.3, f"ANN recall collapsed: $recall%.2f")
   }
 
-  test("IVF ANN: disjoint cells, bounded candidates, recall@3 floor") {
+  test("IVF ANN: disjoint cells, bounded candidates, recall sweep, quality point") {
     val dir = "/root/testdata/sf0.001"
-    val emb = Registry.tbl(spark, dir, "embeddings")
+    val emb = Registry.tbl(spark, dir, "embeddings").cache()
 
     val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
     // every vector lands in exactly one cell
@@ -45,16 +45,35 @@ class AnnRecallSpec extends SparkSpec {
         "vec_id", "embedding", k = 3)
       .select("q_id", "c_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        numCells = 8, nprobe = 3, k = 3)
-      .filter(col("q_id") < 50)
-      .select("q_id", "c_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val recall = (exact & ivf).size.toDouble / exact.size
-    info(f"ivf recall@3 = $recall%.2f (${(exact & ivf).size}/${exact.size})")
-    // learned (2-iter k-means) codebook: 0.69 on this data; the floor
-    // guards the training-free baseline's 0.62 against regressions
-    assert(recall >= 0.6, f"IVF recall collapsed: $recall%.2f")
+    def recallAt(cells: Int, np: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          numCells = cells, nprobe = np, k = 3)
+        .filter(col("q_id") < 50)
+        .select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache() // release ivfTopK's dists persist
+      emb.cache()
+      (exact & ivf).size.toDouble / exact.size
+    }
+
+    // the recorded nprobe/numCells sweep (cosine re-rank active in all):
+    //   cells=8:  np=2 .63 | np=3 .69 | np=4 .79 | np=5 .89 | np=6 .93
+    //   cells=16: np=2 .55 | np=3 .63 | np=4 .70 | np=6 .79
+    //   cells=8, np=8 (full probe) = .99 — the residual is the
+    //   floor(x*1000) integer-quantization ranking noise, not coverage.
+    // On this 500-vector corpus 8 cells ≈ 60 vectors/cell; at real N the
+    // cell count scales ~sqrt(N) and the same nprobe/cells RATIO holds.
+    val sweep = for ((cells, np) <- Seq((8, 2), (8, 4), (8, 6), (16, 2)))
+      yield ((cells, np), recallAt(cells, np))
+    sweep.foreach { case ((c, np), r) => info(f"cells=$c nprobe=$np recall@3=$r%.3f") }
+    val byKey = sweep.toMap
+
+    // quality point: probe wider + exact cosine re-rank ≥ 0.9
+    assert(byKey((8, 6)) >= 0.9, f"quality point collapsed: ${byKey((8, 6))}%.3f")
+    // monotone in nprobe (probing more cells never hurts recall)
+    assert(byKey((8, 2)) <= byKey((8, 4)) && byKey((8, 4)) <= byKey((8, 6)))
+    // throughput point (the registered query's 16-cell shape) keeps a floor
+    assert(byKey((16, 2)) >= 0.5, f"throughput point collapsed: ${byKey((16, 2))}%.3f")
   }
 }
