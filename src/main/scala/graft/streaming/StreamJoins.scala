@@ -24,11 +24,19 @@ object StreamJoins {
     *
     * Emits (user_id, view_id, purchase_id, delta_sec), delta in whole
     * seconds by integer division — engine-exact.
+    *
+    * `joinType`: "inner" (default) or "left_outer". Left-outer answers
+    * the attribution question's other half — views that never converted.
+    * On a stream Spark holds an unmatched view only until the watermark
+    * passes `view_ts + windowSec` (the range bound closes the match
+    * window), then emits it once with null purchase columns; join state
+    * stays O(window x arrival rate) either way.
     */
   def attributionJoin(
       impressions: DataFrame,
       conversions: DataFrame,
-      windowSec: Long): DataFrame = {
+      windowSec: Long,
+      joinType: String = "inner"): DataFrame = {
     val v = impressions.select(col("user_id"), col("ts").as("view_ts"),
       col("event_id").as("view_id"))
     val p = conversions.select(col("user_id").as("p_user"),
@@ -36,7 +44,8 @@ object StreamJoins {
     v.join(p,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("view_ts") &&
-          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+        joinType)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000")
           .as("delta_sec"))

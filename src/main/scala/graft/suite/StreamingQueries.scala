@@ -88,6 +88,34 @@ object StreamingQueries {
          AND v.event_type = 'view' AND p.event_type = 'purchase'
          AND epoch_us(p.ts) >= epoch_us(v.ts)
          AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
-        ORDER BY user_id, view_id, purchase_id"""))
+        ORDER BY user_id, view_id, purchase_id""")),
+
+    QDef(
+      "stream_interval_join_outer",
+      (s, dir) => {
+        // the attribution question's other half: every view, matched or
+        // not — unmatched views carry null purchase columns. Streaming
+        // left-outer emits an unmatched view exactly once, after the
+        // watermark passes view_ts + window (StreamJoinSpec proves
+        // stream == batch including the never-converted rows). Nulls
+        // sort FIRST here to pin a single cross-engine order.
+        val e = tbl(s, dir, "events")
+        graft.streaming.StreamJoins.attributionJoin(
+            e.filter(col("event_type") === "view"),
+            e.filter(col("event_type") === "purchase"),
+            windowSec = 1800L, joinType = "left_outer")
+          .orderBy(col("user_id"), col("view_id"),
+            col("purchase_id").asc_nulls_first)
+      },
+      Some("""
+        SELECT v.user_id AS user_id, v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS delta_sec
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND epoch_us(p.ts) >= epoch_us(v.ts)
+         AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+        ORDER BY user_id, view_id, purchase_id NULLS FIRST"""))
   )
 }
