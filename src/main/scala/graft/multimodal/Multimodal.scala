@@ -448,8 +448,15 @@ object Multimodal {
     * not a parseable PCM WAV — including ordinary text bytes, which is
     * what routes non-audio payloads away from this path.
     */
-  def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long)] =
-    try {
+  def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    // magic-number gate ('RIFF'....'WAVE') before AudioSystem: the
+    // corpus is overwhelmingly non-audio, and routing those through
+    // provider probing + UnsupportedAudioFileException costs more than
+    // the decode itself. WAV-only is already this function's contract.
+    val riffWave = bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+    if (!riffWave) None else try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -469,6 +476,7 @@ object Multimodal {
         }
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Batch audio decode: one row per blob that really decodes as PCM
     * WAV; everything else (text bytes, images, video) is dropped by the
