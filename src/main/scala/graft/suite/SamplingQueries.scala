@@ -191,6 +191,28 @@ object SamplingQueries {
             SELECT min(doc_id) AS doc_id, max(n_tokens) AS n_tokens,
                    count(*) AS n_copies
             FROM kept GROUP BY text ORDER BY doc_id"""
-      })
+      }),
+
+    QDef(
+      "pipeline_chunk_documents",
+      (s, dir) =>
+        // stride-windowed chunking: 32-token windows advancing by 24
+        // (8-token overlap), offsets traceable to the source span; a
+        // zero-shuffle projection + explode (the orderBy exists only for
+        // the deterministic oracle compare)
+        graft.text.Corpus.chunkDocuments(
+            tbl(s, dir, "documents"), "doc_id", "text",
+            chunkTokens = 32, stride = 24)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts
+                   FROM documents),
+        c AS (SELECT doc_id, ts,
+              unnest(generate_series(0, greatest(len(ts) - 1, 0), 24)) AS start_tok
+              FROM t)
+        SELECT doc_id, start_tok // 24 AS chunk_idx, start_tok,
+               least(32, len(ts) - start_tok) AS n_tok,
+               array_to_string(ts[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_idx"""))
   )
 }

@@ -116,6 +116,30 @@ object TextQueries {
         FROM toks GROUP BY 1 ORDER BY n DESC, word_id LIMIT 20""")),
 
     QDef(
+      "text_bigram_topk",
+      (s, dir) =>
+        // corpus bigram frequencies, top 20: the adjacent-pair extraction
+        // is array-side (zip_with over two shifted slices — zero shuffle
+        // until the count groupBy); orderBy().limit() again plans as
+        // TakeOrderedAndProject. ASCII-only corpus, so the string
+        // tie-break collates identically in both engines.
+        tbl(s, dir, "documents")
+          .select(TextFunctions.tokens(col("text")).as("ts"))
+          .select(explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20),
+      Some("""
+        WITH t AS (SELECT string_split_regex(text, '\s+') AS ts FROM documents),
+        b AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i + 1])) AS bigram FROM t)
+        SELECT bigram, count(*) AS n FROM b
+        GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""")),
+
+    QDef(
       "text_tfidf_topk",
       (s, dir) =>
         graft.text.Corpus.tfidfTopTerms(tbl(s, dir, "documents"),

@@ -144,4 +144,39 @@ object Corpus {
     invertedIndex(docs, idCol, textCol, minDf, maxDf)
       .select(col("word_id"), col("df"),
         concat_ws(",", col("postings")).as("doc_ids"))
+
+  /** Stride-windowed chunking: split each document into fixed token
+    * windows `chunkTokens` wide, advancing by `stride` tokens, so
+    * consecutive chunks overlap by `chunkTokens - stride` — the
+    * pre-tokenization step of every context-window training pipeline
+    * (overlap preserves cross-boundary context; offsets keep chunks
+    * traceable to their source span). Emits one row per chunk:
+    * (doc_id, chunk_idx, start_tok, n_tok, chunk_text); the final chunk
+    * of a document may be short (n_tok < chunkTokens).
+    *
+    * Scale shape: a pure per-row projection + explode — zero shuffles,
+    * fully codegen'd, chunk fan-out is ceil(n_tok / stride) per
+    * document. Unlike [[graft.operators.Packing]] (which bin-packs
+    * whole documents into budgets), chunking is embarrassingly parallel
+    * and needs no ordering guarantee.
+    */
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      "need 1 <= stride <= chunkTokens")
+    docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"), col("__ts"),
+        explode(sequence(lit(0L),
+          greatest(size(col("__ts")).cast("long") - 1, lit(0L)),
+          lit(stride.toLong))).as("start_tok"))
+      .select(col("doc_id"),
+        expr(s"start_tok div $stride").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(chunkTokens.toLong),
+          size(col("__ts")).cast("long") - col("start_tok")).as("n_tok"),
+        array_join(slice(col("__ts"), (col("start_tok") + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
 }

@@ -41,4 +41,27 @@ class CorpusSpec extends SparkSpec {
     // doc 10 shares shingles (alpha,beta,gamma) and (beta,gamma,delta)
     assert(got.toSeq === Seq((10L, 1L, 2L)))
   }
+
+  test("chunkDocuments: stride windows overlap, offsets trace, tail is short") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, "solo")                                    // single token
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkDocuments(d, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 3L, 4L, "w4 w5 w6 w7"),   // 1-token overlap with previous
+      (1L, 2L, 6L, 4L, "w7 w8 w9 w10"),
+      (1L, 3L, 9L, 1L, "w10"),           // short tail
+      (2L, 0L, 0L, 3L, "a b c"),
+      (3L, 0L, 0L, 1L, "solo")))
+    // zero-shuffle claim: no Exchange in the unordered plan
+    val plan = Corpus.chunkDocuments(d, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
+  }
 }
