@@ -47,6 +47,26 @@ object ExtrasQueries {
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
     QDef(
+      "agg_histogram",
+      (s, dir) =>
+        // fixed-width histogram per group — the data-profiling staple:
+        // one map-side-combined pass, bucket = floor(value / width) in
+        // single IEEE ops both engines compute identically; money sums
+        // in integer cents (the HUGEINT cast lesson applied in the
+        // oracle)
+        tbl(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(col("value") / 25).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("value"))).as("sum_cents"))
+          .orderBy("event_type", "bucket"),
+      Some("""
+        SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QDef(
       "f_zorder_cluster",
       (s, dir) =>
         // Morton/Z-order locality key (native codegen'd graft_zorder2):
