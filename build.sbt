@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole "cluster" in this one JVM: storage for the
+  // suite's persisted artifacts + 32 task threads' execution memory all
+  // share the heap, and 8g left the second bench lap GC-bound once ~125
+  // queries' caches accumulated. The box has 128 GiB; give the rig room.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )
