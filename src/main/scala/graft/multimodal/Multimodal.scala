@@ -26,6 +26,19 @@ final case class MediaMeta(
   * `duration_ms` is integer floor arithmetic (frames * 1000 / rate) —
   * exact and oracle-reproducible.
   */
+/** Output of the MP4 container walk: movie-header properties read from
+  * REAL ISO-BMFF box structure (no codec involved — container metadata
+  * is pure byte arithmetic). `duration_ms = duration * 1000 / timescale`
+  * in integer division.
+  */
+final case class VideoMeta(
+    doc_id: Long,
+    n_bytes: Long,
+    timescale: Long,
+    duration: Long,
+    n_tracks: Long,
+    duration_ms: Long)
+
 final case class AudioMeta(
     doc_id: Long,
     n_bytes: Long,
@@ -171,12 +184,12 @@ object Multimodal {
       case None => decodeStub(b)
     }
 
-  /** STUB decoder for the genuinely codec-less media kinds (video; plus
-    * audio payloads that are not parseable PCM WAV — real WAV decode
-    * lives in [[decodeAudio]]): a real codec call goes here (e.g.
-    * ffmpeg via JNI). The fake derives width/height/frames
-    * deterministically from the payload size so tests and oracles can
-    * check the plumbing.
+  /** STUB decoder for what genuinely needs a codec: video FRAME/pixel
+    * decode (container metadata is real — [[parseMp4Meta]]), plus audio
+    * payloads that are not parseable PCM WAV (real WAV decode lives in
+    * [[decodeAudio]]). A real codec call goes here (e.g. ffmpeg via
+    * JNI). The fake derives width/height/frames deterministically from
+    * the payload size so tests and oracles can check the plumbing.
     */
   def decodeStub(b: MediaBlob): MediaMeta = {
     val n = b.content.length.toLong
@@ -493,6 +506,125 @@ object Multimodal {
         }
       }
     }
+  }
+
+  // ---- MP4 / ISO-BMFF container metadata --------------------------------
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Minimal ISO-BMFF (MP4) walk: top-level boxes to `moov`, then moov's
+    * children for `mvhd` (timescale + duration, version 0 and 1 layouts)
+    * and a `trak` count. Container metadata is pure byte arithmetic — no
+    * codec — which is exactly the part of "video decode" a JVM pipeline
+    * CAN do honestly; frame/pixel decode (which needs a real codec)
+    * stays in [[decodeStub]]. Returns None for anything that is not a
+    * well-formed ftyp-led MP4 — including ordinary text bytes, same
+    * routing role as the WAV magic gate.
+    */
+  def parseMp4Meta(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (bytes.length < 16 || fourcc(bytes, 4) != "ftyp") return None
+    // box header: u32 size + fourcc; size==1 -> 64-bit largesize followup
+    def header(off: Long, end: Long): Option[(String, Long, Long)] = {
+      if (off + 8 > end) return None
+      val sz0 = be32(bytes, off.toInt)
+      val typ = fourcc(bytes, off.toInt + 4)
+      val (hdr, sz) =
+        if (sz0 == 1 && off + 16 <= end) (16L, be64(bytes, off.toInt + 8))
+        else (8L, sz0)
+      if (sz < hdr || off + sz > end) None else Some((typ, off + hdr, off + sz))
+    }
+    var off = 0L
+    var moov: Option[(Long, Long)] = None
+    while (off < bytes.length && moov.isEmpty) header(off, bytes.length) match {
+      case Some(("moov", body, end)) => moov = Some((body, end))
+      case Some((_, _, end)) => off = end
+      case None => return None
+    }
+    moov match {
+      case None => None
+      case Some((body, end)) =>
+        var o = body
+        var ts = -1L; var dur = -1L; var tracks = 0L
+        while (o < end) header(o, end) match {
+          case Some(("trak", _, boxEnd)) => tracks += 1; o = boxEnd
+          case Some(("mvhd", p0, boxEnd)) =>
+            val p = p0.toInt
+            val ver = bytes(p) & 0xff
+            if (ver == 1 && p0 + 32 <= boxEnd) {
+              ts = be32(bytes, p + 20); dur = be64(bytes, p + 24)
+            } else if (ver == 0 && p0 + 20 <= boxEnd) {
+              ts = be32(bytes, p + 12); dur = be32(bytes, p + 16)
+            }
+            o = boxEnd
+          case Some((_, _, boxEnd)) => o = boxEnd
+          case None => return None
+        }
+        if (ts <= 0 || dur < 0) None
+        else Some((ts, dur, tracks, dur * 1000L / ts))
+    }
+  }
+
+  /** Batch MP4 metadata extraction: one row per blob that really parses
+    * as an ftyp-led ISO-BMFF container; everything else is dropped by
+    * the [[parseMp4Meta]] gate. Same mapPartitions batch shape as
+    * [[decode]] / [[decodeAudio]].
+    */
+  def decodeVideo(blobs: Dataset[MediaBlob]): Dataset[VideoMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        parseMp4Meta(b.content).map { case (ts, dur, tracks, ms) =>
+          VideoMeta(b.doc_id, b.content.length.toLong, ts, dur, tracks, ms)
+        }
+      }
+    }
+  }
+
+  /** Hand-assembled minimal MP4: ftyp + moov(mvhd version 0 + `nTracks`
+    * empty trak boxes). The fixture is built from the box grammar
+    * directly, so expected values in oracles come from the arguments
+    * alone — independent of the walker under test.
+    */
+  def makeMp4(timescale: Int, duration: Int, nTracks: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + payload.length)
+      val sz = out.length
+      out(0) = (sz >>> 24).toByte; out(1) = (sz >>> 16).toByte
+      out(2) = (sz >>> 8).toByte; out(3) = sz.toByte
+      System.arraycopy(typ.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+        0, out, 4, 4)
+      System.arraycopy(payload, 0, out, 8, payload.length)
+      out
+    }
+    def putBe32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+      a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+    }
+    val ftypPayload = new Array[Byte](8)
+    System.arraycopy("isom".getBytes, 0, ftypPayload, 0, 4)
+    val mvhdPayload = new Array[Byte](100) // version 0 layout, zeros elsewhere
+    putBe32(mvhdPayload, 12, timescale)
+    putBe32(mvhdPayload, 16, duration)
+    val moovPayload = box("mvhd", mvhdPayload) ++
+      Array.fill(nTracks)(box("trak", Array.emptyByteArray)).flatten
+    box("ftyp", ftypPayload) ++ box("moov", moovPayload)
+  }
+
+  /** The two MP4 fixture blobs (doc_id -31/-32): (600 Hz timescale,
+    * 7207 ticks, 2 tracks) and (90 kHz, 450000 ticks, 1 track).
+    */
+  def fixtureMp4Blobs(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Seq(
+      MediaBlob(-31L, "video", makeMp4(600, 7207, 2)),
+      MediaBlob(-32L, "video", makeMp4(90000, 450000, 1))
+    ).toDS()
   }
 
   /** Little-endian 16-bit PCM encoding of `samples` — the data chunk of

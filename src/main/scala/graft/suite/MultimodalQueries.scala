@@ -98,6 +98,34 @@ object MultimodalQueries {
       }),
 
     QDef(
+      "mm_video_meta",
+      (s, dir) =>
+        // REAL MP4 container metadata (ISO-BMFF box walk — pure byte
+        // arithmetic, no codec): documents-as-blobs (text bytes are no
+        // ftyp -> dropped by the gate) plus two hand-assembled MP4
+        // fixtures; expected values come from the fixture arguments
+        // alone, independent of the walker under test
+        Multimodal.decodeVideo(
+          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureMp4Blobs(s)))
+          .toDF()
+          .select(col("doc_id"), col("n_bytes"), col("timescale"),
+            col("duration"), col("n_tracks"), col("duration_ms"))
+          .orderBy("doc_id"),
+      Some {
+        def row(docId: Int, ts: Int, dur: Int, tracks: Int) = {
+          val nBytes = 16 + 8 + 108 + 8 * tracks // ftyp + moov hdr + mvhd + traks
+          s"(CAST($docId AS BIGINT), CAST($nBytes AS BIGINT), " +
+            s"CAST($ts AS BIGINT), CAST($dur AS BIGINT), " +
+            s"CAST($tracks AS BIGINT), CAST(${dur * 1000L / ts} AS BIGINT))"
+        }
+        s"""SELECT * FROM (VALUES ${row(-32, 90000, 450000, 1)},
+              ${row(-31, 600, 7207, 2)}) AS t(doc_id, n_bytes,
+              timescale, duration, n_tracks, duration_ms)
+            ORDER BY doc_id"""
+      }),
+
+    QDef(
       "mm_frame_sample",
       (s, dir) =>
         Multimodal.sampleFrames(

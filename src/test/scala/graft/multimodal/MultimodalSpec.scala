@@ -127,4 +127,45 @@ class MultimodalSpec extends SparkSpec {
           s"pattern $i at ${dim}x$dim")
     }
   }
+
+  test("MP4 container walk: mvhd v0/v1, trak count, gate on non-MP4 and malformed") {
+    // round-trip the v0 fixture builder
+    assert(Multimodal.parseMp4Meta(Multimodal.makeMp4(600, 7207, 2))
+      === Some((600L, 7207L, 2L, 12011L)))
+    assert(Multimodal.parseMp4Meta(Multimodal.makeMp4(90000, 450000, 1))
+      === Some((90000L, 450000L, 1L, 5000L)))
+    // hand-build a version-1 mvhd (64-bit times/duration)
+    val v1 = {
+      val p = new Array[Byte](112) // v1 layout: 4 + 8 + 8 + 4 + 8 + rest
+      p(0) = 1 // version
+      def be32(off: Int, v: Int): Unit = {
+        p(off) = (v >>> 24).toByte; p(off + 1) = (v >>> 16).toByte
+        p(off + 2) = (v >>> 8).toByte; p(off + 3) = v.toByte
+      }
+      be32(20, 1000)       // timescale
+      be32(24, 0); be32(28, 98765) // duration as u64
+      val box = new Array[Byte](8 + p.length)
+      be32WithTarget(box, 0, box.length); copy4cc(box, 4, "mvhd")
+      System.arraycopy(p, 0, box, 8, p.length); box
+    }
+    val moov = {
+      val b = new Array[Byte](8 + v1.length)
+      be32WithTarget(b, 0, b.length); copy4cc(b, 4, "moov")
+      System.arraycopy(v1, 0, b, 8, v1.length); b
+    }
+    val ftyp = Multimodal.makeMp4(1, 0, 0).take(16)
+    assert(Multimodal.parseMp4Meta(ftyp ++ moov) === Some((1000L, 98765L, 0L, 98765L)))
+    // gate: text bytes, empty, truncated box all None
+    assert(Multimodal.parseMp4Meta("just some text".getBytes) === None)
+    assert(Multimodal.parseMp4Meta(Array.emptyByteArray) === None)
+    val truncated = Multimodal.makeMp4(600, 7207, 2).dropRight(5)
+    assert(Multimodal.parseMp4Meta(truncated) === None)
+  }
+
+  private def be32WithTarget(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+    a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+  }
+  private def copy4cc(a: Array[Byte], off: Int, s: String): Unit =
+    System.arraycopy(s.getBytes("ISO-8859-1"), 0, a, off, 4)
 }

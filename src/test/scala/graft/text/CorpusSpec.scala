@@ -64,4 +64,30 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
   }
+
+  test("chunkDocuments reconstruction: stride == chunk size partitions losslessly") {
+    // non-overlapping chunks concatenate back to the document, and chunk
+    // token counts sum to the document's token count — for any doc length
+    // around the window boundary (multiple, off-by-one, shorter)
+    val d = (1 to 17).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Corpus.chunkDocuments(d, "doc_id", "text", chunkTokens = 5, stride = 5)
+    // collect_list order is not guaranteed post-shuffle: sort the
+    // (chunk_idx, chunk_text) structs inside the aggregation instead
+    val rebuilt = chunks
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          x => x.getField("chunk_text")), " ").as("text2"),
+        sum(col("n_tok")).as("n2"))
+    val joined = d.join(rebuilt, Seq("doc_id"))
+      .withColumn("n", size(split(col("text"), " ")))
+      .collect()
+    joined.foreach { r =>
+      assert(r.getAs[String]("text") === r.getAs[String]("text2"))
+      assert(r.getAs[Long]("n2") === r.getAs[Int]("n").toLong)
+    }
+    assert(joined.length === 17)
+  }
 }
