@@ -314,4 +314,50 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("idot"), col("rank"))
   }
+
+  /** Embedding-quality audit: the `k` vectors per label FARTHEST (lowest
+    * cosine) from their own label's centroid — the standard
+    * mislabeled/outlier sweep a training-data pipeline runs before
+    * using labels for mixing or eval splits.
+    *
+    * Determinism: the centroid is the per-dimension floor(mean) of the
+    * INTEGER embedding ([[intEmbedding]]) — integer sums are
+    * order-independent where float sums are not (the same trick as
+    * [[kmeansCodebook]]); the cosine then uses only single
+    * correctly-rounded IEEE ops per row. Ties break by ascending
+    * vec_id.
+    *
+    * Scale shape: one (label, dim) groupBy for the centroids (map-side
+    * combined), centroids broadcast back (one row per label), ranking a
+    * per-label window — no all-pairs anything.
+    */
+  def labelOutliers(
+      embs: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val dotL = graft.functions.VectorExpressions.dotLong _
+    val v = embs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        intEmbedding(col(embCol)).as("ie"))
+      .withColumn("aa", dotL(col("ie"), col("ie")))
+    val perDim = v
+      .select(col("label"), posexplode(col("ie")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("mu"))
+    val cents = perDim.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mu")))),
+        _.getField("mu")).as("ce"))
+      .withColumn("cc", dotL(col("ce"), col("ce")))
+    v.join(broadcast(cents), Seq("label"))
+      .withColumn("idot", dotL(col("ie"), col("ce")))
+      .withColumn("cos",
+        when(col("aa") === 0 || col("cc") === 0, lit(0.0))
+          .otherwise(col("idot") /
+            (sqrt(col("aa").cast("double")) * sqrt(col("cc").cast("double")))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("cos").asc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("vec_id"), col("cos"), col("rank"))
+  }
 }

@@ -224,6 +224,37 @@ object SimilarityQueries {
                        unnest(generate_series(1, len(q))) AS i
                 FROM quant)
         SELECT vec_id, scale, CAST(i - 1 AS INT) AS pos, q[i] AS q
-        FROM idx ORDER BY vec_id, pos"""))
+        FROM idx ORDER BY vec_id, pos""")),
+
+    QDef(
+      "sim_label_outliers",
+      (s, dir) =>
+        // embedding-quality audit: the 3 vectors per label farthest from
+        // their own label's centroid (lowest cosine) — the mislabel
+        // sweep before labels drive mixing/eval splits. Centroid =
+        // per-dim floor(mean) of the INTEGER embedding (order-free
+        // sums); one (label, dim) groupBy, centroids broadcast back.
+        Similarity.labelOutliers(tbl(s, dir, "embeddings"),
+            "vec_id", "embedding", "label", k = 3)
+          .orderBy("label", "rank"),
+      Some(s"""
+        WITH iv AS (SELECT vec_id, label, $intEmbSql AS ie FROM embeddings),
+        av AS (SELECT vec_id, label, ie, ${intDotSql("ie", "ie")} AS aa FROM iv),
+        m AS (SELECT label, dd.d,
+                CAST(floor(CAST(sum(a.ie[dd.d]) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+              FROM av a, (SELECT unnest(generate_series(1, $Dims)) AS d) dd
+              GROUP BY label, dd.d),
+        cents AS (SELECT label, list(mu ORDER BY d) AS ce FROM m GROUP BY label),
+        cc AS (SELECT label, ce, ${intDotSql("ce", "ce")} AS cc FROM cents),
+        scored AS (SELECT a.label, a.vec_id,
+                     CASE WHEN a.aa = 0 OR c.cc = 0 THEN 0.0
+                          ELSE ${intDotSql("a.ie", "c.ce")} /
+                               (sqrt(CAST(a.aa AS DOUBLE)) * sqrt(CAST(c.cc AS DOUBLE)))
+                     END AS cos
+                   FROM av a JOIN cc c ON c.label = a.label),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY label
+                     ORDER BY cos ASC, vec_id) AS rank FROM scored)
+        SELECT label, vec_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY label, rank"""))
   )
 }

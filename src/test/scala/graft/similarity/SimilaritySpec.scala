@@ -76,4 +76,23 @@ class SimilaritySpec extends SparkSpec {
     val plan = blocked.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("labelOutliers: a planted flipped vector ranks as its label's top outlier") {
+    // label 0: three near-identical vectors plus one pointing the other
+    // way; label 1: a clean cluster. The flipped vector must be rank 1
+    // for label 0, and every clean cluster member scores near 1.
+    def vec(sign: Double, jitter: Double): Seq[Float] =
+      (0 until 8).map(i => (sign * (1.0 + (if (i == 0) jitter else 0))).toFloat)
+    val rows = Seq(
+      (1L, "a", vec(1, 0)), (2L, "a", vec(1, 0.01)), (3L, "a", vec(1, 0.02)),
+      (4L, "a", vec(-1, 0)), // planted outlier
+      (10L, "b", vec(1, 0)), (11L, "b", vec(1, 0.01))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelOutliers(rows, "vec_id", "embedding", "label", k = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val a = got.filter(_._1 == "a").sortBy(_._4)
+    assert(a.head._2 === 4L, s"flipped vector should rank first: ${a.toSeq}")
+    assert(a.head._3 < 0, "outlier cosine to centroid should be negative")
+    assert(a.tail.forall(_._3 > 0.9), s"clean members should score ~1: ${a.toSeq}")
+  }
 }
