@@ -213,6 +213,53 @@ object SamplingQueries {
         SELECT doc_id, start_tok // 24 AS chunk_idx, start_tok,
                least(32, len(ts) - start_tok) AS n_tok,
                array_to_string(ts[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
-        FROM c ORDER BY doc_id, chunk_idx"""))
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    QDef(
+      "pipeline_pack_chunks",
+      (s, dir) => {
+        // the composed chunk -> pack chain: stride-chunk every document
+        // (here non-overlapping 32-token windows so no token is counted
+        // twice), then concat-and-pack the CHUNKS into 512-token context
+        // windows per source — chunking bounds item size, packing bounds
+        // window fill; together they are the standard pretraining layout
+        // for long documents
+        val docs = tbl(s, dir, "documents")
+        val chunks = graft.text.Corpus.chunkDocuments(
+            docs, "doc_id", "text", chunkTokens = 32, stride = 32)
+          .select(col("doc_id"), col("chunk_idx"), col("n_tok"))
+        val items = chunks
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("source"),
+            (col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
+            col("n_tok"))
+        graft.operators.Packing.packOffsets(items, "source", "chunk_key",
+            "n_tok", 512L)
+          .select(col("source"), col("chunk_key"), col("n_tok"),
+            col("start_off"), col("end_off"),
+            col("first_window"), col("last_window"))
+          .orderBy("source", "chunk_key")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS ts
+                   FROM documents),
+        c AS (SELECT doc_id, source, len(ts) AS n,
+              unnest(generate_series(0, greatest(len(ts) - 1, 0), 32)) AS start_tok
+              FROM t),
+        items AS (SELECT source,
+                    doc_id * 1000 + start_tok // 32 AS chunk_key,
+                    CAST(least(32, n - start_tok) AS BIGINT) AS n_tok
+                  FROM c),
+        o AS (SELECT source, chunk_key, n_tok,
+              CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY chunk_key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS start_off
+              FROM items)
+        SELECT source, chunk_key, n_tok, start_off,
+               CAST(start_off + n_tok AS BIGINT) AS end_off,
+               CAST(start_off // 512 AS BIGINT) AS first_window,
+               CAST(greatest(start_off, start_off + n_tok - 1) // 512 AS BIGINT)
+                 AS last_window
+        FROM o ORDER BY source, chunk_key"""))
   )
 }
