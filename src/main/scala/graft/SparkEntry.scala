@@ -19,9 +19,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.flagship(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Insertion
+    * order is preserved (ListMap): iteration order — and therefore which
+    * query pays each shared setup artifact's one-time build in a
+    * sequential replay — is the registry order, not hash order, so
+    * bench/verify attribution is stable across builds.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Registry.all.map(q => q.name -> q.fn).toMap
+    scala.collection.immutable.ListMap(
+      Registry.all.map(q => q.name -> q.fn): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check.
