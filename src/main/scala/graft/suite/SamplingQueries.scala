@@ -225,11 +225,11 @@ object SamplingQueries {
         // window fill; together they are the standard pretraining layout
         // for long documents
         val docs = tbl(s, dir, "documents")
-        val chunks = graft.text.Corpus.chunkDocuments(
-            docs, "doc_id", "text", chunkTokens = 32, stride = 32)
-          .select(col("doc_id"), col("chunk_idx"), col("n_tok"))
-        val items = chunks
-          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        // source rides the chunk projection (carryCols) — no join back
+        // to the corpus, so the whole item-prep stage is shuffle-free
+        val items = graft.text.Corpus.chunkDocuments(
+            docs, "doc_id", "text", chunkTokens = 32, stride = 32,
+            carryCols = Seq("source"))
           .select(col("source"),
             (col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
             col("n_tok"))

@@ -162,21 +162,28 @@ object Corpus {
     */
   def chunkDocuments(
       docs: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, stride: Int): DataFrame = {
+      chunkTokens: Int, stride: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
       "need 1 <= stride <= chunkTokens")
+    // carryCols ride the projection (doc-level attributes like source or
+    // lang repeat onto every chunk) — carrying them here is free, where a
+    // downstream join back to the corpus to recover them would shuffle
+    // both sides on doc_id
+    val carried = carryCols.map(col)
     docs
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__ts"))
-      .select(col("doc_id"), col("__ts"),
+      .select((col(idCol).as("doc_id") +:
+        TextFunctions.tokens(col(textCol)).as("__ts") +: carried): _*)
+      .select((col("doc_id") +: col("__ts") +:
         explode(sequence(lit(0L),
           greatest(size(col("__ts")).cast("long") - 1, lit(0L)),
-          lit(stride.toLong))).as("start_tok"))
-      .select(col("doc_id"),
-        expr(s"start_tok div $stride").as("chunk_idx"),
-        col("start_tok"),
+          lit(stride.toLong))).as("start_tok") +: carried): _*)
+      .select((col("doc_id") +:
+        expr(s"start_tok div $stride").as("chunk_idx") +:
+        col("start_tok") +:
         least(lit(chunkTokens.toLong),
-          size(col("__ts")).cast("long") - col("start_tok")).as("n_tok"),
+          size(col("__ts")).cast("long") - col("start_tok")).as("n_tok") +:
         array_join(slice(col("__ts"), (col("start_tok") + 1).cast("int"),
-          lit(chunkTokens)), " ").as("chunk_text"))
+          lit(chunkTokens)), " ").as("chunk_text") +: carried): _*)
   }
 }
