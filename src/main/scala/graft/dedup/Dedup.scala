@@ -467,11 +467,15 @@ object Dedup {
     // shuffle hash join: both sides are unbounded at 100 TB, so no
     // broadcast hint (the round-1 broadcast of the full word-set frame
     // was an OOM at scale).
+    // sort each word set ONCE at build time so the per-pair intersection
+    // is a zero-alloc two-pointer merge (SortedIntersectSizeExpr) instead
+    // of array_intersect's materialize-plus-hash-set — the pair loop is
+    // the hot path, the sort is per doc
     val wordSets = docs
       .select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy(col("blk"), col("doc_id"))
-      .agg(collect_set(wordId(col("word"))).as("words"))
+      .agg(sort_array(collect_set(wordId(col("word")))).as("words"))
       .withColumn("n_words", size(col("words")))
     val x = wordSets.select(col("blk"), col("doc_id").as("a"),
       col("words").as("wa"), col("n_words").as("na"))
@@ -482,7 +486,9 @@ object Dedup {
     // build on the bounded block is cheaper than sorting both sides)
     x.join(y.hint("shuffle_hash"), Seq("blk"))
       .filter(col("a") < col("b"))
-      .withColumn("n_inter", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("n_inter",
+        graft.functions.VectorExpressions.sortedIntersectSize(
+          col("wa"), col("wb")).cast("int"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter")).cast("double"))

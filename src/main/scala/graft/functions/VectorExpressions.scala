@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductExpr, GraftDist3Expr, LongDotProductExpr, PolyHashExpr, ZOrder2Expr}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductExpr, GraftDist3Expr, LongDotProductExpr, PolyHashExpr, SortedIntersectSizeExpr, ZOrder2Expr}
 
 /** Column-level entry points for the native vector expressions
   * (implemented in org.apache.spark.sql.graft — they need the
@@ -19,6 +19,13 @@ object VectorExpressions {
 
   def zorder2(x: Column, y: Column): Column =
     ColumnBridge.column(ZOrder2Expr(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+
+  /** |a ∩ b| of two ascending duplicate-free long arrays — zero-alloc
+    * merge walk (see SortedIntersectSizeExpr for the caller contract).
+    */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectSizeExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** ε-join-recognizable 3-D Euclidean distance: use in a join condition
     * as `dist3(...) < eps` and EpsJoinRewrite plans the grid-cell

@@ -146,6 +146,67 @@ case class PolyHashExpr(child: org.apache.spark.sql.catalyst.expressions.Express
     copy(child = newChild)
 }
 
+/** Intersection cardinality of two SORTED `array<long>` columns — a
+  * two-pointer merge walk, no intermediate array, no hash set.
+  *
+  * Why an Expression and not `size(array_intersect(a, b))`: the builtin
+  * materializes the intersection array (plus a per-call hash set) when
+  * only its size is needed — on a blocked pairwise-similarity join that
+  * allocation is the entire hot loop. Caller contract: both arrays
+  * ascending and duplicate-free (sort_array over collect_set); the merge
+  * then counts matches in O(n+m) primitive compares inside whole-stage
+  * codegen.
+  */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var acc = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { acc += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |long $acc = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $acc++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Z-order (Morton) key over two bucketed long dimensions: interleaves
   * the low 16 bits of each (x bit b -> output bit 2b, y bit b -> 2b+1),
   * yielding a 32-bit locality key. Sorting / range-partitioning a table
