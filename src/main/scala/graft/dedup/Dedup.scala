@@ -332,22 +332,24 @@ object Dedup {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
+      val base = labels.select(col("node"), col("label"))
       val nbr = edges
-        .join(labels.select(col("node").as("v"), col("label").as("vl")), Seq("v"))
+        .join(base.select(col("node").as("v"), col("label").as("vl")), Seq("v"))
         .groupBy(col("u").as("node")).agg(min(col("vl")).as("nl"))
-      val stepped = labels.join(nbr, Seq("node"), "left")
-        .select(col("node"),
+      // carry the pre-step label (__old) through the round so convergence
+      // detection is a filter over the already-checkpointed frame — not
+      // another labels-vs-labels join per round
+      val stepped = base.join(nbr, Seq("node"), "left")
+        .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // path shortcut: also take the label of my label-node this round
       val next = stepped
         .join(stepped.select(col("node").as("label"), col("label").as("__ll")),
           Seq("label"), "left")
-        .select(col("node"),
+        .select(col("node"), col("__old"),
           least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "__old"), Seq("node"))
-        .filter(col("label") =!= col("__old")).count()
+      val changed = next.filter(col("label") =!= col("__old")).count()
       // drop the previous round's checkpointed copy now that the change
       // count consumed it — otherwise O(rounds) full label frames stay
       // resident in executor storage for the rest of the application.
@@ -364,7 +366,7 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"connectedComponents did not converge in $maxRounds rounds; " +
           "labels may be non-canonical for components of diameter > 2^rounds")
-    labels
+    labels.select(col("node"), col("label")) // drop the round-local __old
   }
 
   /** Apply component `labels` (`(node, label)` rows from
