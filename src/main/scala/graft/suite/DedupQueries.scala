@@ -58,7 +58,12 @@ object DedupQueries {
     * only LSH hits. Shared by `dedup_near_pipeline` (pair surface) and
     * `dedup_survivors` (components over the pair graph).
     */
-  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** Verified LSH-candidate statistics — (a, b, ni, na, nb) for every
+    * banded-MinHash candidate pair, with exact shingle intersection and
+    * set sizes. Both symmetric (Jaccard) and asymmetric (containment)
+    * near-dup derive from this one frame.
+    */
+  private def candidateStats(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val shingles = Dedup.shingles3FromText(
       tbl(s, dir, "documents"), "doc_id", "text").cache()
     // n_sh rides the signature groupBy (one shuffle serves both the
@@ -75,11 +80,14 @@ object DedupQueries {
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
+  }
+
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    sharedStats(s, dir)
       .withColumn("jac",
         col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
       .filter(col("jac") >= 0.7)
       .select(col("a"), col("b"), col("jac"))
-  }
 
   /** Corpus indexing artifacts — the verified near-dup pair graph and its
     * component labels — computed ONCE per (session, corpus dir) and
@@ -103,6 +111,12 @@ object DedupQueries {
       df.count()
       df
     })
+
+  /** Candidate statistics are THE memoized artifact; the Jaccard pair
+    * surface and the containment surface are cheap projections over it.
+    */
+  private def sharedStats(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    memo(s, dir, "stats")(candidateStats(s, dir))
 
   private def sharedPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     memo(s, dir, "pairs")(nearDupPairs(s, dir))
@@ -220,6 +234,35 @@ object DedupQueries {
       (s, dir) => sharedPairs(s, dir).orderBy("a", "b"),
       Some(s"""WITH $nearPairsCteSql
             SELECT a, b, jac FROM pairs ORDER BY a, b""")),
+
+    QDef(
+      "dedup_containment",
+      (s, dir) =>
+        // asymmetric near-dup: containment = |A∩B| / min(|A|,|B|) — the
+        // small-doc-quoted-inside-big-doc case Jaccard structurally
+        // misses (a 30-shingle doc fully inside a 300-shingle doc has
+        // jac ~0.1 but containment 1.0). Same banded candidates, same
+        // memoized stats frame; the smaller side is the contained doc
+        // (ties -> a, which is already the lower id).
+        sharedStats(s, dir)
+          .withColumn("containment",
+            col("ni").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .filter(col("containment") >= 0.8)
+          .select(
+            when(col("na") <= col("nb"), col("a")).otherwise(col("b")).as("contained_id"),
+            when(col("na") <= col("nb"), col("b")).otherwise(col("a")).as("container_id"),
+            col("containment"))
+          .orderBy("contained_id", "container_id"),
+      Some(s"""WITH $nearPairsCteSql
+            SELECT CASE WHEN za.n_sh <= zb.n_sh THEN a ELSE b END AS contained_id,
+                   CASE WHEN za.n_sh <= zb.n_sh THEN b ELSE a END AS container_id,
+                   CAST(ni AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE)
+                     AS containment
+            FROM inter
+            JOIN sizes za ON za.doc_id = a
+            JOIN sizes zb ON zb.doc_id = b
+            WHERE CAST(ni AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) >= 0.8
+            ORDER BY contained_id, container_id""")),
 
     QDef(
       "dedup_survivors",
