@@ -143,4 +143,42 @@ object Sampling {
           col("__n") < col("__cap") * lit(1000000L))
       .drop("__stratum", "__n", "__cap")
   }
+
+  /** Temperature-flattened domain sampling: keep each stratum with rate
+    * `(n_min / n_d) ^ (1 - alpha)` — `alpha = 1` keeps the natural
+    * distribution, `alpha = 0` flattens to [[mixToSmallest]]'s balanced
+    * mix, values between interpolate (the standard multilingual /
+    * multi-domain rebalancing exponent). Sampled sizes are then
+    * proportional to `n_d ^ alpha`.
+    *
+    * Determinism: the keep-rate is materialized as an integer
+    * per-million threshold — `floor(pow(n_min/n_d, 1-alpha) * 1e6)` is
+    * two correctly-rounded IEEE ops on exact integer inputs, so the
+    * oracle reproduces the exact gate; membership is the same
+    * stratum|key hash as the other samplers. Same scale shape as
+    * [[mixToSmallest]]: one counts groupBy, a broadcast of one row per
+    * stratum, a pure-projection gate.
+    */
+  def temperatureSample(
+      df: DataFrame, stratumCol: String, keyCol: String, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = df
+      .groupBy(col(stratumCol).as("__stratum")).agg(count(lit(1)).as("__n"))
+      .withColumn("__min", min(col("__n")).over(Window.partitionBy()))
+      .withColumn("__thresh", {
+        // sqrt is correctly rounded everywhere (IEEE 754 requirement);
+        // pow is only ~1 ulp — route the common alpha = 0.5 through sqrt
+        // so the floored threshold is bit-identical in any SQL oracle
+        // (alpha 0 and 1 are exact in pow too; other alphas carry a
+        // last-ulp caveat)
+        val ratio = col("__min").cast("double") / col("__n").cast("double")
+        val rate = if (1.0 - alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+        floor(rate * lit(1000000.0)).cast("long")
+      })
+    df.join(broadcast(counts), col(stratumCol) <=> col("__stratum"))
+      .filter(
+        hashBucket(concat_ws("|", col(stratumCol), col(keyCol)), 1000000) <
+          col("__thresh"))
+      .drop("__stratum", "__n", "__min", "__thresh")
+  }
 }

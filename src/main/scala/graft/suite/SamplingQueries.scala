@@ -216,6 +216,27 @@ object SamplingQueries {
         FROM c ORDER BY doc_id, chunk_idx""")),
 
     QDef(
+      "sample_temperature",
+      (s, dir) =>
+        // alpha = 0.5 temperature rebalancing over the skewed lang
+        // column (en is ~3x fr here): sampled stratum sizes become
+        // proportional to sqrt(n_d) — between natural (alpha 1) and
+        // balanced (alpha 0, = pipeline_mix_domains). sqrt route so the
+        // per-million threshold floors identically in both engines.
+        Sampling.temperatureSample(
+            tbl(s, dir, "documents"), "lang", "doc_id", alpha = 0.5)
+          .select(col("lang"), col("doc_id"))
+          .orderBy("lang", "doc_id"),
+      Some(s"""
+        WITH n AS (SELECT lang AS st, count(*) AS nd FROM documents GROUP BY 1),
+        t AS (SELECT st, CAST(floor(sqrt(CAST((SELECT min(nd) FROM n) AS DOUBLE)
+                 / CAST(nd AS DOUBLE)) * 1000000.0) AS BIGINT) AS thresh FROM n)
+        SELECT d.lang, d.doc_id
+        FROM documents d JOIN t ON t.st = d.lang
+        WHERE ${hashSql("lang || '|' || CAST(doc_id AS VARCHAR)", 1000000)} < t.thresh
+        ORDER BY lang, doc_id""")),
+
+    QDef(
       "pipeline_pack_chunks",
       (s, dir) => {
         // the composed chunk -> pack chain: stride-chunk every document
