@@ -67,6 +67,41 @@ object ExtrasQueries {
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QDef(
+      "agg_profile_value",
+      (s, dir) =>
+        // column profiling with exact moments: sums and sums-of-squares
+        // in integer cents are order-independent (float accumulation is
+        // not, and stddev_samp would drift across partitionings); mean
+        // and population variance derive from the exact sums by single
+        // IEEE divisions, so any engine agrees bit-for-bit
+        tbl(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(cents(col("value"))).as("min_cents"),
+            max(cents(col("value"))).as("max_cents"),
+            sum(cents(col("value"))).as("sum_cents"),
+            sum(cents(col("value")) * cents(col("value"))).as("sumsq_cents"))
+          .withColumn("mean_cents",
+            col("sum_cents").cast("double") / col("n").cast("double"))
+          .withColumn("var_cents",
+            (col("n") * col("sumsq_cents") - col("sum_cents") * col("sum_cents"))
+              .cast("double") / (col("n") * col("n")).cast("double"))
+          .orderBy("event_type"),
+      Some("""
+        WITH c AS (SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        a AS (SELECT event_type, count(*) AS n,
+                min(cents) AS min_cents, max(cents) AS max_cents,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents
+              FROM c GROUP BY 1)
+        SELECT event_type, n, min_cents, max_cents, sum_cents, sumsq_cents,
+               CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+               CAST(n * sumsq_cents - sum_cents * sum_cents AS DOUBLE)
+                 / CAST(n * n AS DOUBLE) AS var_cents
+        FROM a ORDER BY event_type""")),
+
+    QDef(
       "f_zorder_cluster",
       (s, dir) =>
         // Morton/Z-order locality key (native codegen'd graft_zorder2):
