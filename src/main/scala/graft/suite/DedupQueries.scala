@@ -265,6 +265,37 @@ object DedupQueries {
             ORDER BY contained_id, container_id""")),
 
     QDef(
+      "dedup_edit_distance",
+      (s, dir) => {
+        // character-level verification of the banded candidates:
+        // Levenshtein over fixed 80-char prefixes — the title/short-text
+        // dedup check (token-level measures can't see one-character
+        // typo families). Prefix-bounding caps the O(n*m) DP per pair;
+        // candidates come from the same shared stats frame, the prefix
+        // table joins in twice on doc_id.
+        val pfx = tbl(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 80).as("pfx"))
+        sharedStats(s, dir).select(col("a"), col("b"))
+          .join(pfx.withColumnRenamed("doc_id", "a")
+            .withColumnRenamed("pfx", "pa"), Seq("a"))
+          .join(pfx.withColumnRenamed("doc_id", "b")
+            .withColumnRenamed("pfx", "pb"), Seq("b"))
+          .select(col("a"), col("b"),
+            levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+          .filter(col("edit_dist") <= 24)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $nearPairsCteSql,
+            pfx AS (SELECT doc_id, substr(text, 1, 80) AS p FROM documents)
+            SELECT i.a, i.b,
+                   CAST(levenshtein(da.p, db.p) AS BIGINT) AS edit_dist
+            FROM inter i
+            JOIN pfx da ON da.doc_id = i.a
+            JOIN pfx db ON db.doc_id = i.b
+            WHERE levenshtein(da.p, db.p) <= 24
+            ORDER BY a, b""")),
+
+    QDef(
       "dedup_survivors",
       (s, dir) => {
         // transitive survivor selection: verified near-dup pairs form a
