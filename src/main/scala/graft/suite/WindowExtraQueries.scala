@@ -180,6 +180,37 @@ object WindowExtraQueries {
               list_transform(embedding, x -> CAST(x AS DOUBLE))),
               z -> z[1] * z[2])),
             (acc, x) -> acc + x) AS self_dot
-        FROM embeddings ORDER BY vec_id"""))
+        FROM embeddings ORDER BY vec_id""")),
+
+    QDef(
+      "win_trailing_range",
+      (s, dir) => {
+        // TIME-based frame (RANGE, not ROWS): per user, events + cents in
+        // the trailing hour at each event — peers at the same second get
+        // identical frames, so the result is order-independent under
+        // ties (a ROWS frame would not be). The feature-engineering
+        // staple for rate/velocity signals.
+        val e = tbl(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("sec"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(-3600, 0)
+        e.select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("cents")).over(w).as("sum_cents_1h"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_1h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""))
   )
 }
