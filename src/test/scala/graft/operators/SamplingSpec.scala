@@ -54,6 +54,31 @@ class SamplingSpec extends SparkSpec {
     assert(mixed.exceptAll(withNull).isEmpty)
   }
 
+  test("temperatureSample: alpha=1 keeps everything, alpha=0 equals the balanced mix") {
+    // strongly skewed strata: 600 / 300 / 100
+    val skewed = (1L to 1000L).map { i =>
+      (i, if (i <= 600) "big" else if (i <= 900) "mid" else "small")
+    }.toDF("doc_id", "lang")
+    val natural = Sampling.temperatureSample(skewed, "lang", "doc_id", alpha = 1.0)
+    assert(natural.count() === 1000L) // exponent 0: every threshold is 1e6
+    // alpha=0's floored per-million threshold is up to one hash value
+    // stricter than mixToSmallest's exact integer cross-multiply, so
+    // assert containment + near-equal counts rather than equality
+    val flat = Sampling.temperatureSample(skewed, "lang", "doc_id", alpha = 0.0)
+    val balanced = Sampling.mixToSmallest(skewed, "lang", "doc_id")
+    assert(flat.exceptAll(balanced).isEmpty)
+    assert(balanced.count() - flat.count() <= 3)
+    // alpha=0.5: kept sizes track sqrt(n_min/n_d) * n_d = sqrt(n_min*n_d)
+    val half = Sampling.temperatureSample(skewed, "lang", "doc_id", alpha = 0.5)
+    val counts = half.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = Map("big" -> math.sqrt(100.0 * 600), "mid" -> math.sqrt(100.0 * 300),
+      "small" -> 100.0)
+    expect.foreach { case (k, e) =>
+      assert(math.abs(counts(k) - e) < 0.4 * e, s"$k: got ${counts(k)}, want ~$e")
+    }
+  }
+
   test("shuffleOrder is a deterministic, partitioning-independent permutation") {
     val a = Sampling.shuffleOrder(docs, "doc_id")
     val ids = a.select("doc_id").collect().map(_.getLong(0)).toSeq
