@@ -174,6 +174,49 @@ object MultimodalQueries {
       }),
 
     QDef(
+      "pipeline_dedup_images", {
+        (s, dir) =>
+          // the text-dedup machinery generalized across modalities:
+          // perceptual pairs (real ImageIO pixels -> aHash -> banded
+          // Hamming) feed the SAME connected-components + survivor
+          // application used for documents — one dedup stack, any
+          // modality. Three twin pairs collapse to three survivors,
+          // each carrying n_removed = 1.
+          val hashes = Multimodal.aHashImages(Multimodal.patternImageBlobs(s))
+          val pairs = Multimodal.phashNearDup(hashes, maxHam = 4)
+            .select(col("a_id").as("a"), col("b_id").as("b"))
+          val labels = graft.dedup.Dedup.connectedComponents(pairs, "a", "b")
+          graft.dedup.Dedup.applySurvivors(
+              hashes.select(col("doc_id")), labels, "doc_id")
+            .select(col("doc_id"), col("n_removed"))
+            .orderBy("doc_id")
+      },
+      Some {
+        val rows = (0 until 6)
+          .map(i => s"(CAST(${-11 - i} AS BIGINT), " +
+            s"CAST(${Multimodal.patternAHash(i)} AS BIGINT))")
+          .mkString(", ")
+        s"""
+        WITH RECURSIVE h(doc_id, ahash) AS (VALUES $rows),
+        p AS (SELECT a.doc_id AS a, b.doc_id AS b
+              FROM h a JOIN h b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.ahash, b.ahash)) <= 4),
+        e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+        reach(u, m) AS (
+          SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT r.u, e.v AS m FROM reach r JOIN e ON r.m = e.u),
+        comp AS (SELECT u AS doc_id, min(m) AS lab FROM reach GROUP BY u),
+        removed AS (SELECT lab, count(*) - 1 AS n_removed FROM comp GROUP BY lab)
+        SELECT d.doc_id, CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+        FROM h d
+        LEFT JOIN comp c USING (doc_id)
+        LEFT JOIN removed r ON r.lab = d.doc_id
+        WHERE c.lab IS NULL OR c.lab = d.doc_id
+        ORDER BY doc_id"""
+      }),
+
+    QDef(
       "mm_resize", {
         (s, dir) =>
           // integer-exact nearest-neighbor resize over REAL decoded
