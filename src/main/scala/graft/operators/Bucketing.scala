@@ -76,7 +76,7 @@ object Bucketing {
     s"${bucketCols.mkString(",")}|$buckets|" +
       df.queryExecution.analyzed.semanticHash() + "|" + contentFingerprint(df)
 
-  private def contentFingerprint(df: DataFrame): Long = {
+  private[graft] def contentFingerprint(df: DataFrame): Long = {
     var h = 1125899906842597L // FNV-ish fold over (path, len, mtime)
     def mix(x: Long): Unit = { h = h * 31 + x }
     df.queryExecution.analyzed.foreach {

@@ -37,6 +37,9 @@ object StreamJoins {
       conversions: DataFrame,
       windowSec: Long,
       joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"attributionJoin supports inner/left_outer only, got '$joinType' " +
+        "(other outer types have different streaming watermark contracts)")
     val v = impressions.select(col("user_id"), col("ts").as("view_ts"),
       col("event_id").as("view_id"))
     val p = conversions.select(col("user_id").as("p_user"),

@@ -82,8 +82,8 @@ object DedupQueries {
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
   }
 
-  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    sharedStats(s, dir)
+  private def nearDupPairsFrom(stats: DataFrame): DataFrame =
+    stats
       .withColumn("jac",
         col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
       .filter(col("jac") >= 0.7)
@@ -98,32 +98,91 @@ object DedupQueries {
     * pair surface / survivor labels / deduplicated corpus are all reads
     * of that index — same setup/query split as
     * [[graft.operators.Bucketing.ensureBucketed]]. Both frames are tiny
-    * (paired documents only), so pinning them for the session is cheap;
-    * computeIfAbsent keeps concurrent first callers from double-building.
+    * (paired documents only), so pinning them for the session is cheap.
+    *
+    * Keying: (session, dir, corpus content fingerprint, artifact kind).
+    * The fingerprint (size+mtime of every `documents` input file, same
+    * scheme as [[graft.operators.Bucketing]]'s write-skip signature) makes
+    * data regenerated AT THE SAME PATH rebuild the index instead of
+    * silently serving the previous corpus's pair graph. A rebuild also
+    * unpersists the superseded frames, so stale executor storage doesn't
+    * accumulate across regenerations; [[clearArtifacts]] (auto-wired to
+    * application end) drops a session's entries entirely.
+    *
+    * Builds run under a plain reentrant lock, NOT computeIfAbsent: the
+    * build lambdas memoize their own dependencies (labels -> pairs ->
+    * stats), and ConcurrentHashMap forbids recursive updates from inside
+    * a mapping function.
     */
   private val artifactCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, String), DataFrame]()
+    (org.apache.spark.sql.SparkSession, String, Long, String), DataFrame]()
+  private val cleanupHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+
+  private def corpusFingerprint(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    graft.operators.Bucketing.contentFingerprint(tbl(s, dir, "documents"))
+
+  /** Drop (and unpersist) every cached artifact belonging to `s`. */
+  def clearArtifacts(s: org.apache.spark.sql.SparkSession): Unit = {
+    val it = artifactCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
 
   private def memo(s: org.apache.spark.sql.SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame =
-    artifactCache.computeIfAbsent((s, dir, key), _ => {
+      build: => DataFrame): DataFrame = {
+    val fp = corpusFingerprint(s, dir)
+    val k = (s, dir, fp, key)
+    val hit = artifactCache.get(k)
+    if (hit ne null) return hit
+    artifactCache.synchronized {
+      val again = artifactCache.get(k)
+      if (again ne null) return again
+      if (cleanupHooked.add(s))
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            clearArtifacts(s)
+        })
+      // evict artifacts built from a previous generation of this corpus
+      val it = artifactCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if ((e.getKey._1 eq s) && e.getKey._2 == dir && e.getKey._3 != fp) {
+          try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
+          it.remove()
+        }
+      }
       val df = build.persist()
       df.count()
+      artifactCache.put(k, df)
       df
-    })
+    }
+  }
 
   /** Candidate statistics are THE memoized artifact; the Jaccard pair
     * surface and the containment surface are cheap projections over it.
+    * Each level resolves its dependency BEFORE entering its own memo
+    * build, so a cold chain never builds a dependency mid-build.
     */
   private def sharedStats(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     memo(s, dir, "stats")(candidateStats(s, dir))
 
-  private def sharedPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    memo(s, dir, "pairs")(nearDupPairs(s, dir))
+  private def sharedPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val stats = sharedStats(s, dir)
+    memo(s, dir, "pairs")(nearDupPairsFrom(stats))
+  }
 
-  private def sharedLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  private def sharedLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val pairs = sharedPairs(s, dir)
     memo(s, dir, "labels")(Dedup.connectedComponents(
-      sharedPairs(s, dir).select(col("a"), col("b")), "a", "b"))
+      pairs.select(col("a"), col("b")), "a", "b"))
+  }
 
   /** The "persisted label table" precondition of incremental maintenance:
     * component labels over the index side (doc_id % 5 != 0) of the pair
@@ -131,11 +190,13 @@ object DedupQueries {
     * arrives — building them is setup, not part of the incremental path
     * under measurement.
     */
-  private def sharedOldLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  private def sharedOldLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val pairs = sharedPairs(s, dir)
     memo(s, dir, "labels_old")(Dedup.connectedComponents(
-      sharedPairs(s, dir)
+      pairs
         .filter(col("a") % 5 =!= 0 && col("b") % 5 =!= 0)
         .select(col("a"), col("b")), "a", "b"))
+  }
 
   /** DuckDB CTE chain ending in `pairs(a, b, jac)` — the oracle mirror of
     * [[nearDupPairs]].
