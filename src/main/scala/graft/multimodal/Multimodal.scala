@@ -39,6 +39,17 @@ final case class VideoMeta(
     n_tracks: Long,
     duration_ms: Long)
 
+/** One sampled video frame resolved to its REAL byte range in the
+  * container: `offset`/`size` come from the MP4 sample table (stsz +
+  * stsc + stco), not stub arithmetic — everything short of running a
+  * codec over those bytes.
+  */
+final case class FrameRef(
+    doc_id: Long,
+    frame_idx: Long,
+    offset: Long,
+    size: Long)
+
 final case class AudioMeta(
     doc_id: Long,
     n_bytes: Long,
@@ -527,31 +538,57 @@ object Multimodal {
     * well-formed ftyp-led MP4 — including ordinary text bytes, same
     * routing role as the WAV magic gate.
     */
-  def parseMp4Meta(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
-    if (bytes.length < 16 || fourcc(bytes, 4) != "ftyp") return None
-    // box header: u32 size + fourcc; size==1 -> 64-bit largesize followup
-    def header(off: Long, end: Long): Option[(String, Long, Long)] = {
-      if (off + 8 > end) return None
-      val sz0 = be32(bytes, off.toInt)
-      val typ = fourcc(bytes, off.toInt + 4)
-      val (hdr, sz) =
-        if (sz0 == 1 && off + 16 <= end) (16L, be64(bytes, off.toInt + 8))
-        else (8L, sz0)
-      if (sz < hdr || off + sz > end) None else Some((typ, off + hdr, off + sz))
+  /** Box header at `off` within `[off, end)`: (type, payloadStart,
+    * boxEnd). `size==1` is the 64-bit largesize form; `size==0` is the
+    * legal "box extends to the end of the enclosing space" form (common
+    * for a trailing `mdat`).
+    */
+  private def mp4Box(
+      bytes: Array[Byte], off: Long, end: Long): Option[(String, Long, Long)] = {
+    if (off + 8 > end) return None
+    val sz0 = be32(bytes, off.toInt)
+    val typ = fourcc(bytes, off.toInt + 4)
+    val (hdr, sz) =
+      if (sz0 == 1 && off + 16 <= end) (16L, be64(bytes, off.toInt + 8))
+      else if (sz0 == 0) (8L, end - off)
+      else (8L, sz0)
+    if (sz < hdr || off + sz > end) None else Some((typ, off + hdr, off + sz))
+  }
+
+  /** First child box named `typ` inside `[start, end)`. */
+  private def mp4Child(
+      bytes: Array[Byte], start: Long, end: Long, typ: String): Option[(Long, Long)] = {
+    var off = start
+    while (off < end) mp4Box(bytes, off, end) match {
+      case Some((t, body, boxEnd)) =>
+        if (t == typ) return Some((body, boxEnd))
+        off = boxEnd
+      case None => return None
     }
+    None
+  }
+
+  /** Top-level walk to `moov`'s payload bounds; None when the bytes are
+    * not a well-formed ftyp-led container.
+    */
+  private def mp4Moov(bytes: Array[Byte]): Option[(Long, Long)] = {
+    if (bytes.length < 16 || fourcc(bytes, 4) != "ftyp") return None
     var off = 0L
-    var moov: Option[(Long, Long)] = None
-    while (off < bytes.length && moov.isEmpty) header(off, bytes.length) match {
-      case Some(("moov", body, end)) => moov = Some((body, end))
+    while (off < bytes.length) mp4Box(bytes, off, bytes.length) match {
+      case Some(("moov", body, end)) => return Some((body, end))
       case Some((_, _, end)) => off = end
       case None => return None
     }
-    moov match {
+    None
+  }
+
+  def parseMp4Meta(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    mp4Moov(bytes) match {
       case None => None
       case Some((body, end)) =>
         var o = body
         var ts = -1L; var dur = -1L; var tracks = 0L
-        while (o < end) header(o, end) match {
+        while (o < end) mp4Box(bytes, o, end) match {
           case Some(("trak", _, boxEnd)) => tracks += 1; o = boxEnd
           case Some(("mvhd", p0, boxEnd)) =>
             val p = p0.toInt
@@ -567,6 +604,104 @@ object Multimodal {
         }
         if (ts <= 0 || dur < 0) None
         else Some((ts, dur, tracks, dur * 1000L / ts))
+    }
+
+  private val MaxSamples = 1000000L
+
+  /** Per-sample `(file offset, byte size)` pairs reconstructed from the
+    * FIRST trak's sample table — `stsz` (sizes, constant or per-sample),
+    * `stsc` (samples-per-chunk runs), `stco`/`co64` (chunk offsets) —
+    * the same pure byte arithmetic as the `mvhd` walk, no codec. This is
+    * everything a pipeline needs to slice real frame payloads out of a
+    * container; only decoding those payloads to pixels needs a codec.
+    */
+  def parseMp4SampleTable(bytes: Array[Byte]): Option[Array[(Long, Long)]] = {
+    val stbl = for {
+      (mBody, mEnd) <- mp4Moov(bytes)
+      (tBody, tEnd) <- mp4Child(bytes, mBody, mEnd, "trak")
+      (dBody, dEnd) <- mp4Child(bytes, tBody, tEnd, "mdia")
+      (fBody, fEnd) <- mp4Child(bytes, dBody, dEnd, "minf")
+      s <- mp4Child(bytes, fBody, fEnd, "stbl")
+    } yield s
+    stbl.flatMap { case (sBody, sEnd) =>
+      val stsz = mp4Child(bytes, sBody, sEnd, "stsz")
+      val stsc = mp4Child(bytes, sBody, sEnd, "stsc")
+      val stco = mp4Child(bytes, sBody, sEnd, "stco")
+      val co64 = mp4Child(bytes, sBody, sEnd, "co64")
+      (stsz, stsc, stco.orElse(co64)) match {
+        case (Some((zB, zE)), Some((cB, cE)), Some((oB, oE))) =>
+          expandSampleTable(bytes, zB, zE, cB, cE, oB, oE, wide = stco.isEmpty)
+        case _ => None
+      }
+    }
+  }
+
+  private def expandSampleTable(
+      bytes: Array[Byte],
+      szBody: Long, szEnd: Long,
+      scBody: Long, scEnd: Long,
+      coBody: Long, coEnd: Long,
+      wide: Boolean): Option[Array[(Long, Long)]] = {
+    // stsz: version/flags, sample_size (0 = per-sample table), sample_count
+    if (szBody + 12 > szEnd) return None
+    val zp = szBody.toInt
+    val constSize = be32(bytes, zp + 4)
+    val n = be32(bytes, zp + 8)
+    if (n <= 0 || n > MaxSamples) return None
+    if (constSize == 0 && szBody + 12 + 4L * n > szEnd) return None
+    def sizeOf(i: Int): Long =
+      if (constSize != 0) constSize else be32(bytes, zp + 12 + 4 * i)
+    // stsc: version/flags, entry_count, (first_chunk, samples_per_chunk, desc)*
+    if (scBody + 8 > scEnd) return None
+    val cp = scBody.toInt
+    val nRuns = be32(bytes, cp + 4)
+    if (nRuns <= 0 || scBody + 8 + 12L * nRuns > scEnd) return None
+    def runFirstChunk(r: Int): Long = be32(bytes, cp + 8 + 12 * r)
+    def runSpc(r: Int): Long = be32(bytes, cp + 8 + 12 * r + 4)
+    // stco/co64: version/flags, entry_count, offsets
+    if (coBody + 8 > coEnd) return None
+    val op = coBody.toInt
+    val nChunks = be32(bytes, op + 4)
+    val width = if (wide) 8 else 4
+    if (nChunks <= 0 || coBody + 8 + width.toLong * nChunks > coEnd) return None
+    def chunkOffset(c: Int): Long = // c is 1-based
+      if (wide) be64(bytes, op + 8 + 8 * (c - 1)) else be32(bytes, op + 8 + 4 * (c - 1))
+
+    val out = new Array[(Long, Long)](n.toInt)
+    var sample = 0
+    var run = 0
+    var chunk = 1
+    while (sample < n && chunk <= nChunks) {
+      while (run + 1 < nRuns && runFirstChunk(run + 1) <= chunk) run += 1
+      var o = chunkOffset(chunk)
+      var j = 0L
+      val spc = runSpc(run)
+      while (j < spc && sample < n) {
+        val sz = sizeOf(sample)
+        out(sample) = (o, sz)
+        o += sz
+        sample += 1; j += 1
+      }
+      chunk += 1
+    }
+    if (sample < n) None else Some(out)
+  }
+
+  /** Frame sampling over REAL containers: every `step`-th sample of each
+    * blob that parses as an MP4 with a sample table, resolved to its
+    * actual byte range. Non-MP4 payloads are dropped by the parse gate —
+    * same routing role as the WAV/ftyp magic gates.
+    */
+  def sampleFrameRefs(blobs: Dataset[MediaBlob], step: Int): Dataset[FrameRef] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        parseMp4SampleTable(b.content).iterator.flatMap { samples =>
+          Iterator.range(0, samples.length, step).map { i =>
+            FrameRef(b.doc_id, i.toLong, samples(i)._1, samples(i)._2)
+          }
+        }
+      }
     }
   }
 
@@ -614,6 +749,126 @@ object Multimodal {
     val moovPayload = box("mvhd", mvhdPayload) ++
       Array.fill(nTracks)(box("trak", Array.emptyByteArray)).flatten
     box("ftyp", ftypPayload) ++ box("moov", moovPayload)
+  }
+
+  private def mp4BoxBytes(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + payload.length)
+    mp4PutBe32(out, 0, out.length)
+    System.arraycopy(typ.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+      0, out, 4, 4)
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+
+  private def mp4PutBe32(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+    a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+  }
+
+  /** Hand-assembled MP4 WITH a real sample table: ftyp + moov(mvhd +
+    * trak(mdia(minf(stbl(stsz + stsc + stco))))) + mdat. Chunks are laid
+    * out contiguously in sample order starting at the mdat payload, so
+    * expected frame offsets in oracles are closed-form over the sample
+    * sizes — independent of the parser under test.
+    *
+    * `stscRuns` are 1-based `(first_chunk, samples_per_chunk)` run
+    * starts, the real stsc encoding; the last chunk may be partial.
+    * `constantStsz` writes the fixed-sample_size stsz form (all sizes
+    * must then be equal).
+    */
+  def makeMp4WithSamples(
+      timescale: Int,
+      duration: Int,
+      sampleSizes: Array[Int],
+      stscRuns: Seq[(Int, Int)],
+      constantStsz: Boolean = false): Array[Byte] = {
+    val n = sampleSizes.length
+    require(n > 0 && stscRuns.nonEmpty && stscRuns.head._1 == 1,
+      "need samples and an stsc run starting at chunk 1")
+    require(!constantStsz || sampleSizes.distinct.length == 1,
+      "constant stsz needs uniform sizes")
+    // expand the runs into per-chunk sample counts until n are placed
+    val chunkCounts = scala.collection.mutable.ArrayBuffer[Int]()
+    var used = 0
+    while (used < n) {
+      val spc = stscRuns.takeWhile(_._1 <= chunkCounts.length + 1).last._2
+      val take = math.min(spc, n - used)
+      chunkCounts += take; used += take
+    }
+    val nChunks = chunkCounts.length
+    val dataStart =
+      mp4SampleDataStart(n, nChunks, stscRuns.length, constantStsz).toInt
+
+    val stszPayload = new Array[Byte](12 + (if (constantStsz) 0 else 4 * n))
+    mp4PutBe32(stszPayload, 4, if (constantStsz) sampleSizes(0) else 0)
+    mp4PutBe32(stszPayload, 8, n)
+    if (!constantStsz)
+      sampleSizes.zipWithIndex.foreach { case (sz, i) =>
+        mp4PutBe32(stszPayload, 12 + 4 * i, sz)
+      }
+    val stscPayload = new Array[Byte](8 + 12 * stscRuns.length)
+    mp4PutBe32(stscPayload, 4, stscRuns.length)
+    stscRuns.zipWithIndex.foreach { case ((first, spc), r) =>
+      mp4PutBe32(stscPayload, 8 + 12 * r, first)
+      mp4PutBe32(stscPayload, 8 + 12 * r + 4, spc)
+      mp4PutBe32(stscPayload, 8 + 12 * r + 8, 1)
+    }
+    val stcoPayload = new Array[Byte](8 + 4 * nChunks)
+    mp4PutBe32(stcoPayload, 4, nChunks)
+    var sampleIdx = 0
+    var off = dataStart
+    chunkCounts.zipWithIndex.foreach { case (cnt, c) =>
+      mp4PutBe32(stcoPayload, 8 + 4 * c, off)
+      (0 until cnt).foreach { _ => off += sampleSizes(sampleIdx); sampleIdx += 1 }
+    }
+    val mdatPayload = new Array[Byte](sampleSizes.sum)
+    var p = 0
+    sampleSizes.zipWithIndex.foreach { case (sz, i) =>
+      java.util.Arrays.fill(mdatPayload, p, p + sz, (i % 251).toByte); p += sz
+    }
+
+    val mvhdPayload = new Array[Byte](100) // version 0 layout
+    mp4PutBe32(mvhdPayload, 12, timescale)
+    mp4PutBe32(mvhdPayload, 16, duration)
+    val stbl = mp4BoxBytes("stbl",
+      mp4BoxBytes("stsz", stszPayload) ++ mp4BoxBytes("stsc", stscPayload) ++
+        mp4BoxBytes("stco", stcoPayload))
+    val moov = mp4BoxBytes("moov",
+      mp4BoxBytes("mvhd", mvhdPayload) ++
+        mp4BoxBytes("trak", mp4BoxBytes("mdia", mp4BoxBytes("minf", stbl))))
+    val ftypPayload = new Array[Byte](8)
+    System.arraycopy("isom".getBytes, 0, ftypPayload, 0, 4)
+    val bytes = mp4BoxBytes("ftyp", ftypPayload) ++ moov ++
+      mp4BoxBytes("mdat", mdatPayload)
+    assert(bytes.length - mdatPayload.length == dataStart,
+      "layout arithmetic out of sync with assembly")
+    bytes
+  }
+
+  /** mdat payload start of a [[makeMp4WithSamples]] container — box-size
+    * arithmetic over the construction arguments only, so oracles derive
+    * expected offsets without touching the parser.
+    */
+  def mp4SampleDataStart(
+      n: Int, nChunks: Int, nRuns: Int, constantStsz: Boolean): Long = {
+    val stsz = 20 + (if (constantStsz) 0 else 4 * n)
+    val stbl = 8 + stsz + (16 + 12 * nRuns) + (16 + 4 * nChunks)
+    16L + (8 + 108 + (8 + (8 + (8 + stbl)))) + 8
+  }
+
+  /** Sample-table MP4 fixtures (doc_id -41/-42): -41 exercises per-sample
+    * stsz sizes (16+i), a two-run stsc (3 samples in chunk 1, then 4 per
+    * chunk) and a partial last chunk; -42 exercises the constant
+    * sample_size form in a single chunk.
+    */
+  def fixtureMp4SampleBlobs(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Seq(
+      MediaBlob(-41L, "video",
+        makeMp4WithSamples(1000, 25000, Array.tabulate(25)(16 + _), Seq((1, 3), (2, 4)))),
+      MediaBlob(-42L, "video",
+        makeMp4WithSamples(30, 300, Array.fill(10)(20), Seq((1, 10)), constantStsz = true))
+    ).toDS()
   }
 
   /** The two MP4 fixture blobs (doc_id -31/-32): (600 Hz timescale,

@@ -17,6 +17,19 @@ import Registry.tbl
   */
 object ExtrasQueries {
 
+  /** Write the bucketed join tables up front — the bench's declared setup
+    * phase for the write-once/join-many pattern, mirroring the calls
+    * inside `join_bucketed_colocated`.
+    */
+  def prebuildBucketed(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    graft.operators.Bucketing.ensureBucketed(
+      tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      "g_orders_bucketed", Seq("o_orderkey"), 8)
+    graft.operators.Bucketing.ensureBucketed(
+      tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+      "g_lineitem_bucketed", Seq("l_orderkey"), 8)
+  }
+
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 

@@ -128,23 +128,36 @@ object MultimodalQueries {
     QDef(
       "mm_frame_sample",
       (s, dir) =>
-        Multimodal.sampleFrames(
-          Multimodal.decode(
-            Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))).toDF(),
-          step = 30)
-          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+        // REAL frame sampling: every 4th sample of each MP4, resolved to
+        // its actual (offset, size) byte range via the stsz/stsc/stco
+        // sample table — no stub arithmetic. Corpus text blobs carry no
+        // ftyp and are dropped by the parse gate; the two sample-table
+        // fixtures (-41 per-sample sizes across a partial last chunk,
+        // -42 constant size) are what survives. Expected offsets are
+        // closed-form: fixtures lay chunks contiguously from the mdat
+        // payload start, so offset_i = dataStart + sum of sizes before i.
+        Multimodal.sampleFrameRefs(
+          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureMp4SampleBlobs(s)),
+          step = 4)
+          .toDF()
           .orderBy("doc_id", "frame_idx"),
-      Some("""
-        WITH m AS (SELECT doc_id,
-            (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS fmt,
-            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-          FROM documents),
-        fr AS (SELECT doc_id,
-            CASE WHEN fmt = 'video' THEN 1 + n_bytes % 240 ELSE 1 END AS n_frames
-          FROM m)
-        SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 30)) AS BIGINT)
-          AS frame_idx
-        FROM fr ORDER BY doc_id, frame_idx""")),
+      Some {
+        val dsA = Multimodal.mp4SampleDataStart(25, 7, 2, constantStsz = false)
+        val dsB = Multimodal.mp4SampleDataStart(10, 1, 1, constantStsz = true)
+        s"""WITH a AS (
+              SELECT CAST(-41 AS BIGINT) AS doc_id, CAST(i AS BIGINT) AS frame_idx,
+                     CAST($dsA + 16 * i + (i * (i - 1)) // 2 AS BIGINT) AS "offset",
+                     CAST(16 + i AS BIGINT) AS size
+              FROM (SELECT unnest(generate_series(0, 24, 4)) AS i)),
+            b AS (
+              SELECT CAST(-42 AS BIGINT) AS doc_id, CAST(i AS BIGINT) AS frame_idx,
+                     CAST($dsB + 20 * i AS BIGINT) AS "offset",
+                     CAST(20 AS BIGINT) AS size
+              FROM (SELECT unnest(generate_series(0, 9, 4)) AS i))
+            SELECT * FROM a UNION ALL SELECT * FROM b
+            ORDER BY doc_id, frame_idx"""
+      }),
 
     QDef(
       "mm_phash_neardup", {

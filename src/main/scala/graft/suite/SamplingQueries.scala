@@ -281,6 +281,123 @@ object SamplingQueries {
                CAST(start_off // 512 AS BIGINT) AS first_window,
                CAST(greatest(start_off, start_off + n_tok - 1) // 512 AS BIGINT)
                  AS last_window
-        FROM o ORDER BY source, chunk_key"""))
+        FROM o ORDER BY source, chunk_key""")),
+
+    QDef(
+      "pipeline_corpus_training_set",
+      (s, dir) => {
+        // THE end-to-end corpus-to-training-set flow, every stage an
+        // operator that is individually green elsewhere in the registry:
+        //   clean (quality + length gates, eval source held out)
+        //   -> near-dup dedup via the SHARED corpus index (survivors only)
+        //   -> decontaminate (drop docs sharing >= 3 3-shingles with eval)
+        //   -> temperature-mix over lang (alpha 0.5) on what survived
+        //   -> chunk (non-overlapping 32-token windows, source carried)
+        //   -> pack chunks into 512-token context windows per source
+        //   -> reproducible hash shuffle of the packed items.
+        // Shuffle count stays the production shape: the label/contract
+        // joins are skinny frames against one corpus scan, chunking is a
+        // zero-shuffle projection+explode, packing is one window per
+        // source, the final order is the shuffle contract itself.
+        val docs = tbl(s, dir, "documents")
+        val cleaned = docs
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            TextFunctions.qualityScore(col("text")).as("score"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .filter(col("source") =!= "src0" &&
+            col("score") >= 5.0 && col("n_tokens") >= 10)
+        val labels = DedupQueries.survivorLabels(s, dir)
+        val deduped = cleaned
+          .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .filter(col("label").isNull || col("label") === col("doc_id"))
+          .drop("label")
+        val contaminated = graft.text.Corpus.contamination(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", minShared = 3)
+          .select(col("doc_id"))
+        val survived = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        val mixed = Sampling.temperatureSample(survived, "lang", "doc_id", alpha = 0.5)
+        val items = graft.text.Corpus.chunkDocuments(
+            mixed, "doc_id", "text", chunkTokens = 32, stride = 32,
+            carryCols = Seq("source"))
+          .select(col("source"),
+            (col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
+            col("n_tok"))
+        val packed = graft.operators.Packing.packOffsets(
+          items, "source", "chunk_key", "n_tok", 512L)
+        Sampling.shuffleOrder(packed, "chunk_key")
+          .select(col("source"), col("chunk_key"), col("n_tok"),
+            col("start_off"), col("end_off"),
+            col("first_window"), col("last_window"), col("shuffle_key"))
+      },
+      Some {
+        s"""WITH RECURSIVE ${DedupQueries.nearPairsCteSql},
+            e AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b AS u, a AS v FROM pairs),
+            reach(u, m) AS (
+              SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.u, e.v AS m FROM reach r JOIN e ON r.m = e.u),
+            comp AS (SELECT u AS doc_id, min(m) AS survivor_id
+                     FROM reach GROUP BY u),
+            t0 AS (SELECT doc_id, text, lang, source,
+                     string_split_regex(text, '\\s+') AS tok0 FROM documents),
+            cleaned AS (SELECT doc_id, text, lang, source FROM t0
+              WHERE source != 'src0'
+                AND ${TextQueries.qualitySql("text", "tok0")} >= 5.0
+                AND len(tok0) >= 10),
+            dd AS (SELECT c.* FROM cleaned c
+                   LEFT JOIN comp ON comp.doc_id = c.doc_id
+                   WHERE comp.survivor_id IS NULL OR comp.survivor_id = c.doc_id),
+            tr AS (SELECT s.doc_id, s.shingle FROM shing s
+                   JOIN documents d USING (doc_id) WHERE d.source != 'src0'),
+            te AS (SELECT s.doc_id AS eval_id, s.shingle FROM shing s
+                   JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+            contam AS (SELECT DISTINCT doc_id FROM (
+                SELECT tr.doc_id, te.eval_id, count(*) AS shared
+                FROM tr JOIN te USING (shingle) GROUP BY 1, 2) x
+              WHERE shared >= 3),
+            survived AS (SELECT d.* FROM dd d
+                         LEFT JOIN contam c ON c.doc_id = d.doc_id
+                         WHERE c.doc_id IS NULL),
+            nst AS (SELECT lang AS st, count(*) AS nd FROM survived GROUP BY 1),
+            th AS (SELECT st,
+                     CAST(floor(sqrt(CAST((SELECT min(nd) FROM nst) AS DOUBLE)
+                       / CAST(nd AS DOUBLE)) * 1000000.0) AS BIGINT) AS thresh
+                   FROM nst),
+            mixed AS (SELECT s.* FROM survived s
+              JOIN th ON th.st IS NOT DISTINCT FROM s.lang
+              WHERE ${hashSql("concat_ws('|', s.lang, CAST(s.doc_id AS VARCHAR))",
+                1000000)} < th.thresh),
+            ct AS (SELECT doc_id, source,
+                     string_split_regex(text, '\\s+') AS ts FROM mixed),
+            cc AS (SELECT doc_id, source, len(ts) AS n,
+                   unnest(generate_series(0, greatest(len(ts) - 1, 0), 32))
+                     AS start_tok
+                   FROM ct),
+            items AS (SELECT source,
+                        doc_id * 1000 + start_tok // 32 AS chunk_key,
+                        CAST(least(32, n - start_tok) AS BIGINT) AS n_tok
+                      FROM cc),
+            o AS (SELECT source, chunk_key, n_tok,
+                  CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+                    ORDER BY chunk_key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_off
+                  FROM items),
+            packed AS (SELECT source, chunk_key, n_tok, start_off,
+                   CAST(start_off + n_tok AS BIGINT) AS end_off,
+                   CAST(start_off // 512 AS BIGINT) AS first_window,
+                   CAST(greatest(start_off, start_off + n_tok - 1) // 512
+                     AS BIGINT) AS last_window
+                 FROM o)
+            SELECT source, chunk_key, n_tok, start_off, end_off,
+                   first_window, last_window,
+                   ${hashSql("CAST(chunk_key AS VARCHAR)", 1000000000)}
+                     AS shuffle_key
+            FROM packed
+            ORDER BY shuffle_key, chunk_key"""
+      })
   )
 }

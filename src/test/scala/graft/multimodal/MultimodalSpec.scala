@@ -162,6 +162,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4Meta(truncated) === None)
   }
 
+  test("MP4 sample table: stsz/stsc/stco expansion matches independent arithmetic") {
+    // per-sample sizes 16+i, chunk pattern 3,4,4,... with a partial tail
+    val sizes = Array.tabulate(25)(16 + _)
+    val bytes = Multimodal.makeMp4WithSamples(1000, 25000, sizes, Seq((1, 3), (2, 4)))
+    val got = Multimodal.parseMp4SampleTable(bytes).get
+    assert(got.length === 25)
+    val dataStart = Multimodal.mp4SampleDataStart(25, 7, 2, constantStsz = false)
+    // chunks are contiguous -> offsets are plain prefix sums of sizes
+    var off = dataStart
+    sizes.zipWithIndex.foreach { case (sz, i) =>
+      assert(got(i) === (off, sz.toLong), s"sample $i")
+      off += sz
+    }
+    assert(off === bytes.length.toLong, "last sample ends at EOF")
+
+    // constant-sample_size stsz form, one chunk
+    val const = Multimodal.makeMp4WithSamples(
+      30, 300, Array.fill(10)(20), Seq((1, 10)), constantStsz = true)
+    val gotC = Multimodal.parseMp4SampleTable(const).get
+    val dsC = Multimodal.mp4SampleDataStart(10, 1, 1, constantStsz = true)
+    assert(gotC.toSeq === (0 until 10).map(i => (dsC + 20 * i, 20L)))
+
+    // size==0 trailing mdat ("extends to end of file") still parses
+    val zeroMdat = bytes.clone()
+    val mdatHdr = (dataStart - 8).toInt
+    zeroMdat(mdatHdr) = 0; zeroMdat(mdatHdr + 1) = 0
+    zeroMdat(mdatHdr + 2) = 0; zeroMdat(mdatHdr + 3) = 0
+    assert(Multimodal.parseMp4SampleTable(zeroMdat).get.toSeq === got.toSeq)
+    assert(Multimodal.parseMp4Meta(zeroMdat).isDefined)
+
+    // gate: a container without a sample table yields None, not garbage
+    assert(Multimodal.parseMp4SampleTable(Multimodal.makeMp4(600, 7207, 2)) === None)
+    assert(Multimodal.parseMp4SampleTable("plain text".getBytes) === None)
+  }
+
   private def be32WithTarget(a: Array[Byte], off: Int, v: Int): Unit = {
     a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
     a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte

@@ -76,4 +76,35 @@ class AnnRecallSpec extends SparkSpec {
     // throughput point (the registered query's 16-cell shape) keeps a floor
     assert(byKey((16, 2)) >= 0.5, f"throughput point collapsed: ${byKey((16, 2))}%.3f")
   }
+
+  test("IVF recall@10 at the common retrieval operating point") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Registry.tbl(spark, dir, "embeddings").cache()
+
+    val exact = Similarity.cosineTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 10)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recallAt10(np: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          numCells = 8, nprobe = np, k = 10)
+        .filter(col("q_id") < 50)
+        .select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache()
+      emb.cache()
+      (exact & ivf).size.toDouble / exact.size
+    }
+
+    // k=10 wants a larger candidate pool than k=3: the true 10-NN of a
+    // query spread over more cells, so recall at fixed nprobe sits below
+    // the @3 curve — the standard ANN tradeoff the sweep records.
+    val sweep = for (np <- Seq(2, 4, 6)) yield (np, recallAt10(np))
+    sweep.foreach { case (np, r) => info(f"cells=8 nprobe=$np recall@10=$r%.3f") }
+    val byNp = sweep.toMap
+    assert(byNp(6) >= 0.9, f"recall@10 quality point collapsed: ${byNp(6)}%.3f")
+    assert(byNp(2) <= byNp(4) && byNp(4) <= byNp(6),
+      "recall@10 must be monotone in nprobe")
+  }
 }
