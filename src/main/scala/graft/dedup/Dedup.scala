@@ -455,6 +455,49 @@ object Dedup {
     * language to bound the pair space). Intersections via equi-join on
     * (block, word) — shuffle-partitioned, no cross join.
     */
+  /** Per-doc sorted distinct word-id set as one compact long array —
+    * sorted ONCE at build time so every downstream pair intersection is
+    * a zero-alloc two-pointer merge (SortedIntersectSizeExpr).
+    */
+  def docWordSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.text.TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(wordId(col("word")))).as("words"))
+      .withColumn("n_words", size(col("words")))
+
+  /** Exact unigram-Jaccard verification over an existing candidate pair
+    * frame `(a, b)`: the pair space is whatever the candidate generator
+    * produced — at scale the banded-MinHash index, whose bucket
+    * populations stay at the base density as the corpus grows. This is
+    * the scale-correct form of [[jaccardPairs]]: blocking on any
+    * BOUNDED-cardinality column (source, language) makes the pair space
+    * Σ n_block², i.e. quadratic in corpus size — measured 27× wall at
+    * 10× rows before this re-base (SCALE.md round-5).
+    */
+  def jaccardVerify(
+      cands: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double): DataFrame = {
+    val sets = docWordSets(docs, idCol, textCol)
+    cands.select(col("a"), col("b"))
+      .join(sets.select(col("doc_id").as("a"),
+        col("words").as("wa"), col("n_words").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"),
+        col("words").as("wb"), col("n_words").as("nb")), Seq("b"))
+      .withColumn("n_inter",
+        graft.functions.VectorExpressions.sortedIntersectSize(
+          col("wa"), col("wb")).cast("int"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   def jaccardPairs(
       docs: DataFrame,
       idCol: String,

@@ -114,6 +114,49 @@ object Sampling {
     df.withColumn("shuffle_key", hashBucket(col(keyCol), 1000000000))
       .orderBy(col("shuffle_key"), col(keyCol))
 
+  /** Deterministic token-budget subsample: rows taken in reproducible
+    * shuffle order until the running token total reaches `budgetTokens`
+    * — the "give me ~N tokens of corpus" selection a training run
+    * starts from. A row is kept when the running total BEFORE it is
+    * still under budget, so the crossing document is included and the
+    * selection is never empty for a positive budget.
+    *
+    * The global running sum uses the distributed two-level prefix sum:
+    * per-bucket partial sums (buckets are contiguous shuffle_key
+    * ranges, so bucket order == global order) collapse to a
+    * `buckets`-row frame whose prefix is the only globally-ordered
+    * window — bounded rows, broadcast back as offsets; the in-bucket
+    * prefix is an ordinary partitioned window. No single-partition
+    * window over the corpus anywhere.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      keyCol: String,
+      nTokensCol: String,
+      budgetTokens: Long,
+      buckets: Int = 256): DataFrame = {
+    require(budgetTokens > 0 && buckets > 0, "need a positive budget and buckets")
+    val bsz = 1000000000L / buckets + 1 // monotone bucketing of [0, 1e9)
+    val keyed = df
+      .withColumn("shuffle_key", hashBucket(col(keyCol), 1000000000))
+      .withColumn("__b", expr(s"shuffle_key div $bsz"))
+    val bucketOffsets = keyed
+      .groupBy(col("__b")).agg(sum(col(nTokensCol)).as("__bt"))
+      .withColumn("__boff", coalesce(sum(col("__bt")).over(
+        Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__boff"))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("shuffle_key"), col(keyCol))
+    keyed
+      .join(broadcast(bucketOffsets), Seq("__b"))
+      .withColumn("start_tok",
+        (col("__boff") + coalesce(sum(col(nTokensCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))).cast("long"))
+      .filter(col("start_tok") < budgetTokens)
+      .drop("__b", "__boff")
+  }
+
   /** Domain mixing: downsample every stratum to (approximately) the size
     * of the smallest one — the balanced-mixture pass a training pipeline
     * runs before interleaving sources. Two-phase shape that scales:

@@ -609,27 +609,31 @@ object DedupQueries {
     QDef(
       "dedup_ngram_jaccard",
       (s, dir) =>
-        Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", "source", 0.5)
+        // exact unigram-Jaccard verification (zero-alloc sorted-merge
+        // intersection) over the banded-MinHash candidates from the
+        // SHARED corpus index. Candidates used to come from blocking on
+        // `source` — a bounded-cardinality column, so the pair space was
+        // Σ n_source² = quadratic in corpus size (measured 27× wall at
+        // 10× rows in the sf1 replay); the LSH bucket structure keeps
+        // pair density at the base rate as the corpus grows.
+        Dedup.jaccardVerify(sharedStats(s, dir),
+            tbl(s, dir, "documents"), "doc_id", "text", minJaccard = 0.5)
           .orderBy("a", "b"),
       Some(s"""
-        WITH raw AS (
-          SELECT source AS blk, doc_id,
-            unnest(string_split_regex(text, '\\s+')) AS word
-          FROM documents),
-        w AS (
-          SELECT DISTINCT blk, doc_id, ${wordHashSql("word")} AS word
-          FROM raw),
-        sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
-        inter AS (
-          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
-          FROM w x JOIN w y ON x.blk = y.blk AND x.word = y.word
-            AND x.doc_id < y.doc_id
+        WITH $nearPairsCteSql,
+        uw AS (SELECT DISTINCT doc_id, word_id FROM ids),
+        us AS (SELECT doc_id, count(*) AS n FROM uw GROUP BY doc_id),
+        uinter AS (
+          SELECT i.a, i.b, count(*) AS ni
+          FROM inter i
+          JOIN uw x ON x.doc_id = i.a
+          JOIN uw y ON y.doc_id = i.b AND y.word_id = x.word_id
           GROUP BY 1, 2)
         SELECT a, b,
                CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = a
-        JOIN sizes sb ON sb.doc_id = b
+        FROM uinter
+        JOIN us sa ON sa.doc_id = a
+        JOIN us sb ON sb.doc_id = b
         WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.5
         ORDER BY a, b""")),
 

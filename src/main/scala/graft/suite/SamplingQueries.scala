@@ -284,6 +284,34 @@ object SamplingQueries {
         FROM o ORDER BY source, chunk_key""")),
 
     QDef(
+      "sample_token_budget",
+      (s, dir) => {
+        // deterministic token-budget fill: docs in reproducible shuffle
+        // order until 10k tokens; the global prefix sum is the two-level
+        // bucket form (the only globally-ordered window is over <=257
+        // bucket rows)
+        val docs = tbl(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Sampling.tokenBudgetSample(docs, "doc_id", "n_tokens",
+            budgetTokens = 10000L)
+          .select(col("doc_id"), col("n_tokens"),
+            col("shuffle_key"), col("start_tok"))
+          .orderBy("start_tok")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+              CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+              ${hashSql("CAST(doc_id AS VARCHAR)", 1000000000)} AS shuffle_key
+            FROM documents),
+        o AS (SELECT doc_id, n_tokens, shuffle_key,
+              CAST(coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_tok
+              FROM t)
+        SELECT doc_id, n_tokens, shuffle_key, start_tok
+        FROM o WHERE start_tok < 10000 ORDER BY start_tok""")),
+
+    QDef(
       "pipeline_corpus_training_set",
       (s, dir) => {
         // THE end-to-end corpus-to-training-set flow, every stage an

@@ -79,6 +79,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSample: two-level prefix equals a single global window; budget respected") {
+    val sized = docs.withColumn("n_tokens", (col("doc_id") % 40 + 1).cast("long"))
+    val got = Sampling.tokenBudgetSample(sized, "doc_id", "n_tokens", 3000L, buckets = 16)
+      .select("doc_id", "start_tok")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference: the same selection with one global window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val ref = sized
+      .withColumn("shuffle_key", Sampling.hashBucket(col("doc_id"), 1000000000))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("start_tok") < 3000L)
+      .select("doc_id", "start_tok")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+
+    // crossing doc included, next one excluded: max start_tok < budget,
+    // and the kept set's token total reaches (or crosses) the budget
+    val total = sized.join(
+        Sampling.tokenBudgetSample(sized, "doc_id", "n_tokens", 3000L)
+          .select("doc_id"), Seq("doc_id"))
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(total >= 3000L)
+    // partitioning-independence
+    val re = Sampling.tokenBudgetSample(sized.repartition(13), "doc_id",
+        "n_tokens", 3000L, buckets = 16)
+      .select("doc_id", "start_tok")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === got)
+  }
+
   test("shuffleOrder is a deterministic, partitioning-independent permutation") {
     val a = Sampling.shuffleOrder(docs, "doc_id")
     val ids = a.select("doc_id").collect().map(_.getLong(0)).toSeq
