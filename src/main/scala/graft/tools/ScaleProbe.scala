@@ -85,6 +85,31 @@ object ScaleProbe {
       graft.dedup.Dedup.bandedHammingPairs(sig, "doc_id", "simhash", 64, 3)
     }
 
+    // IVF corpus-vs-corpus top-k: the cell count is the knob that decides
+    // the scaling law. Fixed cells -> candidates/query grow with N ->
+    // O(N^2/cells) total. Cells scaled ~sqrt(N) -> candidates/query grow
+    // ~sqrt(N) -> O(N^1.5) total — the inherent floor for N queries
+    // against N vectors (per-QUERY cost is the serving metric and stays
+    // O(sqrt N)). Both are probed so the difference is data, not theory.
+    {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val one = emb.cache(); one.count()
+      val ten = scaled(emb, Seq("vec_id"), 10).cache(); ten.count()
+      def ivf(d: DataFrame, cells: Int) =
+        graft.similarity.Similarity.ivfTopK(d, "vec_id", "embedding",
+          cells, nprobe = 2, k = 3)
+      ivf(one, 16).count() // codegen warm
+      val t1 = time { ivf(one, 16).count() }
+      spark.catalog.clearCache(); one.cache(); ten.cache()
+      val tFixed = time { ivf(ten, 16).count() }
+      spark.catalog.clearCache(); one.cache(); ten.cache()
+      val tSqrt = time { ivf(ten, 51).count() } // 16 * sqrt(10) ≈ 50.6
+      println(f"SCALE ivf_topk_fixed_cells   1x=${t1}%6.2fs 10x=${tFixed}%6.2fs ratio=${tFixed / t1}%5.1f")
+      println(f"SCALE ivf_topk_sqrt_cells    1x=${t1}%6.2fs 10x=${tSqrt}%6.2fs ratio=${tSqrt / t1}%5.1f")
+      one.unpersist(); ten.unpersist()
+    }
+
     spark.stop()
   }
 }
