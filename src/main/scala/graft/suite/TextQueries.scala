@@ -57,6 +57,27 @@ object TextQueries {
         FROM documents ORDER BY doc_id""")),
 
     QDef(
+      "text_token_count_bpe",
+      (s, dir) =>
+        // BPE-ish pre-tokenizer count next to the whitespace count: the
+        // pattern (letter runs | digit runs | punctuation runs) is
+        // lookahead-free, so the IDENTICAL regex runs in Java and RE2 —
+        // a pure codegen'd projection, no UDF
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens_ws"),
+            TextFunctions.tokenCountBpeIsh(col("text")).cast("long")
+              .as("n_tokens_bpe"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens_ws,
+               CAST(len(regexp_extract_all(text,
+                 '${graft.text.TextFunctions.BpeIshPattern}')) AS BIGINT)
+                 AS n_tokens_bpe
+        FROM documents ORDER BY doc_id""")),
+
+    QDef(
       "text_quality_score",
       (s, dir) =>
         tbl(s, dir, "documents")

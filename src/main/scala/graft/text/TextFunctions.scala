@@ -16,8 +16,17 @@ object TextFunctions {
     */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** BPE-ish pre-tokenization pattern: letter runs, digit runs, and
+    * punctuation runs as separate tokens (the GPT-2 pre-tokenizer family
+    * minus its lookahead clauses, so the SAME pattern runs verbatim
+    * under Java regex and RE2/DuckDB — lookarounds are Java-only).
+    */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
   def tokensBpeIsh(text: Column): Column =
-    split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+    regexp_extract_all(text, lit(BpeIshPattern), lit(0))
+
+  def tokenCountBpeIsh(text: Column): Column = size(tokensBpeIsh(text))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
