@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact order statistics without a global sort.
+  *
+  * `approx_percentile` trades exactness for one pass; a global
+  * `row_number()` window is exact but single-partition — the classic
+  * scale-killer. This is the exact AND distributed form: the same
+  * two-level decomposition as [[Sampling.tokenBudgetSample]], applied to
+  * value order instead of shuffle order.
+  */
+object Quantiles {
+
+  /** The exact q-quantile row of `df` under `(value, tiebreak)` order
+    * (0-based index `floor(q * (n-1))` — the discrete quantile, no
+    * interpolation, so the result is an actual row and any engine
+    * agrees exactly).
+    *
+    * Plan shape, all declarative (no driver-side count):
+    *  1. bucket rows by `value div bucketWidth` — monotone in value, so
+    *     bucket order == value order;
+    *  2. per-bucket counts collapse to a tiny frame; its prefix sums +
+    *     the grand total locate the ONE bucket holding the target index
+    *     (the only globally-ordered window runs over that bounded
+    *     frame);
+    *  3. the located bucket broadcasts back; only ITS rows are ranked
+    *     by an in-bucket window and the row at `target - offset` wins.
+    *
+    * `bucketWidth` bounds the in-bucket sort: pick it so a bucket's
+    * population fits one partition (a third level generalizes if not).
+    */
+  def exactQuantile(
+      df: DataFrame,
+      valueCol: String,
+      tiebreakCol: String,
+      q: Double,
+      bucketWidth: Long): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val rows = df.select(col(valueCol).as("__v"), col(tiebreakCol).as("__k"))
+      .withColumn("__b", expr(s"__v div $bucketWidth"))
+    val counts = rows.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val located = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+      .withColumn("__target", floor(lit(q) * (col("__n") - 1).cast("double")).cast("long"))
+      .filter(col("__target") >= col("__off") &&
+        col("__target") < col("__off") + col("__c"))
+      .select(col("__b"), col("__off"), col("__target"))
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col("__v"), col("__k"))
+    rows.join(broadcast(located), Seq("__b"))
+      .withColumn("__r", row_number().over(inBucket).cast("long") - 1)
+      .filter(col("__off") + col("__r") === col("__target"))
+      .select(col("__v").as(valueCol), col("__k").as(tiebreakCol))
+  }
+}

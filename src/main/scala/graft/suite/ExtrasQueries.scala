@@ -80,6 +80,39 @@ object ExtrasQueries {
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QDef(
+      "agg_exact_median",
+      (s, dir) => {
+        // exact global median (and p90) of events.value in integer
+        // cents, with NO global sort and NO single-partition window:
+        // two-level bucket selection — per-bucket counts locate the one
+        // bucket holding the target index (the only ordered window runs
+        // over the tiny bucket frame), then only that bucket's rows are
+        // ranked. approx_percentile is one pass but approximate; a
+        // global row_number is exact but single-partition; this is both
+        // exact and distributed.
+        val ev = tbl(s, dir, "events")
+          .select(cents(col("value")).as("cents"), col("event_id"))
+        val med = graft.operators.Quantiles.exactQuantile(
+            ev, "cents", "event_id", q = 0.5, bucketWidth = 500L)
+          .withColumn("q", lit(0.5))
+        val p90 = graft.operators.Quantiles.exactQuantile(
+            ev, "cents", "event_id", q = 0.9, bucketWidth = 500L)
+          .withColumn("q", lit(0.9))
+        med.unionByName(p90).orderBy("q")
+      },
+      Some("""
+        WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                          event_id FROM events),
+        r AS (SELECT cents, event_id,
+                row_number() OVER (ORDER BY cents, event_id) - 1 AS r0,
+                count(*) OVER () AS n
+              FROM t)
+        SELECT cents, event_id, q
+        FROM r CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q)
+        WHERE r0 = CAST(floor(q * (n - 1)) AS BIGINT)
+        ORDER BY q""")),
+
+    QDef(
       "agg_profile_value",
       (s, dir) =>
         // column profiling with exact moments: sums and sums-of-squares
