@@ -36,6 +36,7 @@ object Bench {
       val t0 = System.nanoTime(); f; setup(name) = secs(t0)
     }
     setupStep("dedup_corpus_index")(suite.DedupQueries.prebuildArtifacts(spark, sfDir))
+    setupStep("ivf_index")(suite.SimilarityQueries.prebuildArtifacts(spark, sfDir))
     setupStep("bucketed_tables")(suite.ExtrasQueries.prebuildBucketed(spark, sfDir))
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -55,10 +56,10 @@ object Bench {
         name -> (if (ok) secs(t0) else -1.0)
       }
 
-    // drop per-query cache accumulation, keep the shared index warm
+    // drop per-query cache accumulation, keep the shared indexes warm
     def resetCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
-      suite.DedupQueries.rewarmArtifacts(spark, sfDir)
+      suite.Artifacts.rewarmAll(spark)
     }
 
     val cold = lap()

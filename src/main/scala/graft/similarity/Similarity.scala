@@ -156,7 +156,7 @@ object Similarity {
     * frame both the argmin assignment and the probe ranking derive from.
     * The codebook is the deterministic k-means of [[kmeansCodebook]].
     */
-  private def ivfDists(
+  def ivfDists(
       vectors: DataFrame,
       idCol: String,
       embCol: String,
@@ -186,6 +186,9 @@ object Similarity {
       embCol: String,
       numCells: Int): DataFrame =
     ivfArgmin(ivfDists(vectors, idCol, embCol, numCells))
+
+  /** [[ivfAssign]] over a prebuilt [[ivfDists]] frame. */
+  def ivfAssignFrom(dists: DataFrame): DataFrame = ivfArgmin(dists)
 
   /** IVF ANN top-k: queries probe their `nprobe` nearest cells and
     * exact-rank only the vectors assigned there — the inverted-file
@@ -217,6 +220,14 @@ object Similarity {
     // sweeps can clear it via spark.catalog.clearCache().
     val dists = ivfDists(vectors, idCol, embCol, numCells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfTopKFrom(dists, nprobe, k)
+  }
+
+  /** [[ivfTopK]] over a prebuilt (already persisted) [[ivfDists]] frame —
+    * the setup/query split: the distance frame IS the IVF index, built
+    * once per corpus and probed by every retrieval query.
+    */
+  def ivfTopKFrom(dists: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val assign = ivfArgmin(dists)
     val probes = dists
       .withColumn("pr", row_number().over(

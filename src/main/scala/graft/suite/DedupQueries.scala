@@ -99,71 +99,13 @@ object DedupQueries {
     * of that index — same setup/query split as
     * [[graft.operators.Bucketing.ensureBucketed]]. Both frames are tiny
     * (paired documents only), so pinning them for the session is cheap.
-    *
-    * Keying: (session, dir, corpus content fingerprint, artifact kind).
-    * The fingerprint (size+mtime of every `documents` input file, same
-    * scheme as [[graft.operators.Bucketing]]'s write-skip signature) makes
-    * data regenerated AT THE SAME PATH rebuild the index instead of
-    * silently serving the previous corpus's pair graph. A rebuild also
-    * unpersists the superseded frames, so stale executor storage doesn't
-    * accumulate across regenerations; [[clearArtifacts]] (auto-wired to
-    * application end) drops a session's entries entirely.
-    *
-    * Builds run under a plain reentrant lock, NOT computeIfAbsent: the
-    * build lambdas memoize their own dependencies (labels -> pairs ->
-    * stats), and ConcurrentHashMap forbids recursive updates from inside
-    * a mapping function.
+    * The cache itself — content-fingerprinted keys, same-path staleness
+    * eviction, session-end cleanup, reentrant build lock — lives in
+    * [[Artifacts]], shared with the IVF index in [[SimilarityQueries]].
     */
-  private val artifactCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Long, String), DataFrame]()
-  private val cleanupHooked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
-
-  private def corpusFingerprint(s: org.apache.spark.sql.SparkSession, dir: String): Long =
-    graft.operators.Bucketing.contentFingerprint(tbl(s, dir, "documents"))
-
-  /** Drop (and unpersist) every cached artifact belonging to `s`. */
-  def clearArtifacts(s: org.apache.spark.sql.SparkSession): Unit = {
-    val it = artifactCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq s) {
-        try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
-        it.remove()
-      }
-    }
-  }
-
   private def memo(s: org.apache.spark.sql.SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = {
-    val fp = corpusFingerprint(s, dir)
-    val k = (s, dir, fp, key)
-    val hit = artifactCache.get(k)
-    if (hit ne null) return hit
-    artifactCache.synchronized {
-      val again = artifactCache.get(k)
-      if (again ne null) return again
-      if (cleanupHooked.add(s))
-        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            clearArtifacts(s)
-        })
-      // evict artifacts built from a previous generation of this corpus
-      val it = artifactCache.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if ((e.getKey._1 eq s) && e.getKey._2 == dir && e.getKey._3 != fp) {
-          try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
-          it.remove()
-        }
-      }
-      val df = build.persist()
-      df.count()
-      artifactCache.put(k, df)
-      df
-    }
-  }
+      build: => DataFrame): DataFrame =
+    Artifacts.memo(s, dir, "documents", key)(build)
 
   /** Build every shared corpus-index artifact for `dir` up front — the
     * bench's declared setup phase, so one-time index cost is measured as
@@ -173,21 +115,6 @@ object DedupQueries {
     sharedStats(s, dir); sharedPairs(s, dir)
     sharedLabels(s, dir); sharedOldLabels(s, dir)
     ()
-  }
-
-  /** Re-pin artifacts after a session-wide cache clear (the bench clears
-    * per-query cache accumulation between laps; the shared index must
-    * stay warm or its rebuild cost reappears inside query timings).
-    */
-  def rewarmArtifacts(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val fp = corpusFingerprint(s, dir)
-    val it = artifactCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if ((e.getKey._1 eq s) && e.getKey._2 == dir && e.getKey._3 == fp) {
-        e.getValue.persist(); e.getValue.count()
-      }
-    }
   }
 
   /** Candidate statistics are THE memoized artifact; the Jaccard pair
