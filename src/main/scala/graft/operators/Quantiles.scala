@@ -58,4 +58,27 @@ object Quantiles {
       .filter(col("__off") + col("__r") === col("__target"))
       .select(col("__v").as(valueCol), col("__k").as(tiebreakCol))
   }
+
+  /** Per-group exact q-quantile — the partitioned form. Each group ranks
+    * independently inside an ordinary partitioned window, so parallelism
+    * is the group count and no global order exists anywhere; scalable as
+    * long as single groups fit a partition (for one huge group — or the
+    * global case — use [[exactQuantile]]'s bucket decomposition).
+    */
+  def exactQuantileByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tiebreakCol: String,
+      q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tiebreakCol))
+    val cw = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol), col(tiebreakCol))
+      .withColumn("__r", row_number().over(w).cast("long") - 1)
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__r") ===
+        floor(lit(q) * (col("__n") - 1).cast("double")).cast("long"))
+      .select(col(groupCol), col(valueCol), col(tiebreakCol))
+  }
 }

@@ -113,6 +113,31 @@ object ExtrasQueries {
         ORDER BY q""")),
 
     QDef(
+      "agg_group_median",
+      (s, dir) =>
+        // per-group exact median: the partitioned companion of
+        // agg_exact_median — ranking is an ordinary partitioned window,
+        // parallel across groups, no global order anywhere
+        graft.operators.Quantiles.exactQuantileByGroup(
+            tbl(s, dir, "events")
+              .select(col("event_type"), cents(col("value")).as("cents"),
+                col("event_id")),
+            "event_type", "cents", "event_id", q = 0.5)
+          .orderBy("event_type"),
+      Some("""
+        WITH t AS (SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     event_id FROM events),
+        r AS (SELECT event_type, cents, event_id,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY cents, event_id) - 1 AS r0,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM t)
+        SELECT event_type, cents, event_id
+        FROM r WHERE r0 = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+        ORDER BY event_type""")),
+
+    QDef(
       "agg_profile_value",
       (s, dir) =>
         // column profiling with exact moments: sums and sums-of-squares
