@@ -37,8 +37,25 @@ object Quantiles {
       valueCol: String,
       tiebreakCol: String,
       q: Double,
+      bucketWidth: Long): DataFrame =
+    exactQuantiles(df, valueCol, tiebreakCol, Seq(q), bucketWidth)
+      .drop("q")
+
+  /** All of `qs` in ONE pass over the data: the per-bucket count frame
+    * is computed once, every target index is located on that tiny frame
+    * (cross join with the bounded quantile list), and only the buckets
+    * holding some target get their rows ranked. Output carries a `q`
+    * column — one row per requested quantile. This is how equi-depth
+    * bin edges (deciles etc.) are extracted without B passes.
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      tiebreakCol: String,
+      qs: Seq[Double],
       bucketWidth: Long): DataFrame = {
-    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
     require(bucketWidth > 0, "bucketWidth must be positive")
     val rows = df.select(col(valueCol).as("__v"), col(tiebreakCol).as("__k"))
       .withColumn("__b", expr(s"__v div $bucketWidth"))
@@ -48,15 +65,23 @@ object Quantiles {
         Window.orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
-      .withColumn("__target", floor(lit(q) * (col("__n") - 1).cast("double")).cast("long"))
+      // attach the bounded quantile list by exploding a literal array —
+      // no join node at all, so the registry-wide no-CartesianProduct
+      // plan guard stays meaningful
+      .withColumn("q", explode(typedLit(qs)))
+      .withColumn("__target",
+        floor(col("q") * (col("__n") - 1).cast("double")).cast("long"))
       .filter(col("__target") >= col("__off") &&
         col("__target") < col("__off") + col("__c"))
-      .select(col("__b"), col("__off"), col("__target"))
-    val inBucket = Window.partitionBy(col("__b")).orderBy(col("__v"), col("__k"))
+      .select(col("__b"), col("__off"), col("__target"), col("q"))
+    // rank per (bucket, q): several quantiles can land in one bucket,
+    // and the join fans each of its rows out once per matching q
+    val inBucket = Window.partitionBy(col("__b"), col("q"))
+      .orderBy(col("__v"), col("__k"))
     rows.join(broadcast(located), Seq("__b"))
       .withColumn("__r", row_number().over(inBucket).cast("long") - 1)
       .filter(col("__off") + col("__r") === col("__target"))
-      .select(col("__v").as(valueCol), col("__k").as(tiebreakCol))
+      .select(col("q"), col("__v").as(valueCol), col("__k").as(tiebreakCol))
   }
 
   /** Per-group exact q-quantile — the partitioned form. Each group ranks

@@ -113,6 +113,31 @@ object ExtrasQueries {
         ORDER BY q""")),
 
     QDef(
+      "agg_equidepth_bins",
+      (s, dir) =>
+        // equi-depth bin edges: all nine deciles in ONE pass over the
+        // data (targets located on the tiny bucket-count frame, only
+        // target buckets ranked) — the profiling histogram whose bins
+        // hold equal row counts
+        graft.operators.Quantiles.exactQuantiles(
+            tbl(s, dir, "events")
+              .select(cents(col("value")).as("cents"), col("event_id")),
+            "cents", "event_id", (1 to 9).map(_ / 10.0), bucketWidth = 500L)
+          .orderBy("q"),
+      Some("""
+        WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                          event_id FROM events),
+        r AS (SELECT cents, event_id,
+                row_number() OVER (ORDER BY cents, event_id) - 1 AS r0,
+                count(*) OVER () AS n
+              FROM t)
+        SELECT q, cents, event_id
+        FROM r CROSS JOIN (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+                                          0.6, 0.7, 0.8, 0.9]) AS q)
+        WHERE r0 = CAST(floor(q * (n - 1)) AS BIGINT)
+        ORDER BY q""")),
+
+    QDef(
       "agg_group_median",
       (s, dir) =>
         // per-group exact median: the partitioned companion of
