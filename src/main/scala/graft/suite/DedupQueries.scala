@@ -572,6 +572,43 @@ object DedupQueries {
         ORDER BY a, b""")),
 
     QDef(
+      "dedup_event_bursts",
+      (s, dir) => {
+        // burst-collapse dedup: consecutive events of the same
+        // (user, type) within 300 s form one burst (the gaps-and-islands
+        // operator in a dedup role); only the burst's first event
+        // survives, carrying how many it absorbed — the
+        // retry/double-fire collapse an event pipeline runs at ingest
+        val ev = tbl(s, dir, "events").select(col("user_id"),
+          col("event_type"), unix_timestamp(col("ts")).as("sec"),
+          col("event_id"))
+        graft.operators.Islands
+          .assignIds(ev, Seq("user_id", "event_type"), "sec", maxGap = 300L)
+          .groupBy(col("user_id"), col("event_type"), col("island_id"))
+          .agg(min(struct(col("sec"), col("event_id"))).as("f"),
+            (count(lit(1)) - 1).as("n_collapsed"))
+          .select(col("user_id"), col("event_type"),
+            col("f.sec").as("sec"), col("f.event_id").as("event_id"),
+            col("n_collapsed"))
+          .orderBy("user_id", "event_type", "sec", "event_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id FROM events),
+        b AS (SELECT *,
+              CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id, event_type
+                   ORDER BY sec) > 300 THEN 1 ELSE 0 END AS brk FROM e),
+        g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id, event_type
+                ORDER BY sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island_id FROM b)
+        SELECT user_id, event_type,
+               first(sec ORDER BY sec, event_id) AS sec,
+               first(event_id ORDER BY sec, event_id) AS event_id,
+               count(*) - 1 AS n_collapsed
+        FROM g GROUP BY user_id, event_type, island_id
+        ORDER BY user_id, event_type, sec, event_id""")),
+
+    QDef(
       "dedup_embedding_cosine",
       (s, dir) =>
         // LSH-blocked near-dup: candidates from hyperplane buckets
