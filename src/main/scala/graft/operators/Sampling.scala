@@ -129,6 +129,29 @@ object Sampling {
     * prefix is an ordinary partitioned window. No single-partition
     * window over the corpus anywhere.
     */
+  /** Per-stratum token budget: every stratum fills `budgetTokens` of its
+    * own docs in reproducible shuffle order — the "N tokens per domain"
+    * selection a training mixture is specified in. The running sum is an
+    * ordinary window partitioned by stratum (parallel across strata; a
+    * single huge stratum would use [[tokenBudgetSample]]'s bucket
+    * decomposition instead).
+    */
+  def tokenBudgetByStratum(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      nTokensCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "need a positive budget")
+    val keyed = df.withColumn("shuffle_key", hashBucket(col(keyCol), 1000000000))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("shuffle_key"), col(keyCol))
+    keyed
+      .withColumn("start_tok", coalesce(sum(col(nTokensCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+      .filter(col("start_tok") < budgetTokens)
+  }
+
   def tokenBudgetSample(
       df: DataFrame,
       keyCol: String,

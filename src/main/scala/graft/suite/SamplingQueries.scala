@@ -312,6 +312,36 @@ object SamplingQueries {
         FROM o WHERE start_tok < 10000 ORDER BY start_tok""")),
 
     QDef(
+      "sample_token_budget_stratified",
+      (s, dir) => {
+        // "2000 tokens per source": each stratum fills its own budget in
+        // reproducible shuffle order — the unit a training mixture is
+        // specified in; ranking is an ordinary window partitioned by
+        // source, parallel across strata
+        val docs = tbl(s, dir, "documents").select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Sampling.tokenBudgetByStratum(docs, "source", "doc_id", "n_tokens",
+            budgetTokens = 2000L)
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            col("shuffle_key"), col("start_tok"))
+          .orderBy("source", "start_tok", "doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT source, doc_id,
+              CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+              ${hashSql("CAST(doc_id AS VARCHAR)", 1000000000)} AS shuffle_key
+            FROM documents),
+        o AS (SELECT source, doc_id, n_tokens, shuffle_key,
+              CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                ORDER BY shuffle_key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_tok
+              FROM t)
+        SELECT source, doc_id, n_tokens, shuffle_key, start_tok
+        FROM o WHERE start_tok < 2000
+        ORDER BY source, start_tok, doc_id""")),
+
+    QDef(
       "pipeline_corpus_training_set",
       (s, dir) => {
         // THE end-to-end corpus-to-training-set flow, every stage an
