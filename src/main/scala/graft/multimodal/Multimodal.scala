@@ -50,6 +50,17 @@ final case class FrameRef(
     offset: Long,
     size: Long)
 
+/** [[FrameRef]] plus the frame's REAL presentation time from the stts
+  * time-to-sample table: `t_ms = start_ticks * 1000 / media timescale`
+  * in integer division.
+  */
+final case class FrameTimeRef(
+    doc_id: Long,
+    frame_idx: Long,
+    t_ms: Long,
+    offset: Long,
+    size: Long)
+
 final case class AudioMeta(
     doc_id: Long,
     n_bytes: Long,
@@ -687,6 +698,58 @@ object Multimodal {
     if (sample < n) None else Some(out)
   }
 
+  /** Media timescale + per-sample start ticks from the FIRST trak's
+    * `mdhd` (media header, v0/v1) and `stts` (time-to-sample run-length
+    * deltas) — the time half of the sample table, same pure byte
+    * arithmetic. Start tick of sample i = cumulative sum of the deltas
+    * before it.
+    */
+  def parseMp4FrameTimes(bytes: Array[Byte]): Option[(Long, Array[Long])] = {
+    val mdia = for {
+      (mBody, mEnd) <- mp4Moov(bytes)
+      (tBody, tEnd) <- mp4Child(bytes, mBody, mEnd, "trak")
+      d <- mp4Child(bytes, tBody, tEnd, "mdia")
+    } yield d
+    mdia.flatMap { case (dBody, dEnd) =>
+      val ts = mp4Child(bytes, dBody, dEnd, "mdhd").flatMap { case (hB, hE) =>
+        val p = hB.toInt
+        if (hB + 4 > hE) None
+        else {
+          val ver = bytes(p) & 0xff
+          if (ver == 1 && hB + 28 <= hE) Some(be32(bytes, p + 20))
+          else if (ver == 0 && hB + 16 <= hE) Some(be32(bytes, p + 12))
+          else None
+        }
+      }
+      val stts = for {
+        (fBody, fEnd) <- mp4Child(bytes, dBody, dEnd, "minf")
+        (sBody, sEnd) <- mp4Child(bytes, fBody, fEnd, "stbl")
+        t <- mp4Child(bytes, sBody, sEnd, "stts")
+      } yield t
+      (ts, stts) match {
+        case (Some(scale), Some((tB, tE))) if scale > 0 =>
+          val p = tB.toInt
+          if (tB + 8 > tE) return None
+          val nRuns = be32(bytes, p + 4)
+          if (nRuns <= 0 || tB + 8 + 8L * nRuns > tE) return None
+          val starts = scala.collection.mutable.ArrayBuffer[Long]()
+          var tick = 0L
+          var r = 0
+          while (r < nRuns && starts.length <= MaxSamples) {
+            val cnt = be32(bytes, p + 8 + 8 * r)
+            val delta = be32(bytes, p + 8 + 8 * r + 4)
+            var j = 0L
+            while (j < cnt && starts.length <= MaxSamples) {
+              starts += tick; tick += delta; j += 1
+            }
+            r += 1
+          }
+          if (starts.length > MaxSamples) None else Some((scale, starts.toArray))
+        case _ => None
+      }
+    }
+  }
+
   /** Frame sampling over REAL containers: every `step`-th sample of each
     * blob that parses as an MP4 with a sample table, resolved to its
     * actual byte range. Non-MP4 payloads are dropped by the parse gate —
@@ -703,6 +766,39 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Timed frame sampling: every `step`-th sample with its byte range
+    * AND its real presentation time (stsz/stsc/stco x mdhd/stts — the
+    * complete sample table). Blobs missing either half are dropped.
+    */
+  def sampleFrameTimeRefs(
+      blobs: Dataset[MediaBlob], step: Int): Dataset[FrameTimeRef] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        (parseMp4SampleTable(b.content), parseMp4FrameTimes(b.content)) match {
+          case (Some(samples), Some((scale, starts)))
+              if samples.length == starts.length =>
+            Iterator.range(0, samples.length, step).map { i =>
+              FrameTimeRef(b.doc_id, i.toLong, starts(i) * 1000L / scale,
+                samples(i)._1, samples(i)._2)
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** Timed sample-table fixture (doc_id -43): 12 samples (sizes 24+i) in
+    * 5-sample chunks, stts deltas 100 ticks for the first 8 then 250 for
+    * the last 4, media timescale 1000 (so ms == ticks).
+    */
+  def fixtureMp4TimedBlobs(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Seq(MediaBlob(-43L, "video",
+      makeMp4WithSamples(1000, 2000, Array.tabulate(12)(24 + _), Seq((1, 5)),
+        timeDeltas = Seq((8, 100), (4, 250)), mediaTimescale = 1000))).toDS()
   }
 
   /** Batch MP4 metadata extraction: one row per blob that really parses
@@ -781,12 +877,18 @@ object Multimodal {
       duration: Int,
       sampleSizes: Array[Int],
       stscRuns: Seq[(Int, Int)],
-      constantStsz: Boolean = false): Array[Byte] = {
+      constantStsz: Boolean = false,
+      timeDeltas: Seq[(Int, Int)] = Nil,
+      mediaTimescale: Int = 0): Array[Byte] = {
     val n = sampleSizes.length
     require(n > 0 && stscRuns.nonEmpty && stscRuns.head._1 == 1,
       "need samples and an stsc run starting at chunk 1")
     require(!constantStsz || sampleSizes.distinct.length == 1,
       "constant stsz needs uniform sizes")
+    require(timeDeltas.isEmpty == (mediaTimescale <= 0),
+      "timeDeltas and mediaTimescale come together")
+    require(timeDeltas.isEmpty || timeDeltas.map(_._1).sum == n,
+      "stts run counts must cover every sample exactly")
     // expand the runs into per-chunk sample counts until n are placed
     val chunkCounts = scala.collection.mutable.ArrayBuffer[Int]()
     var used = 0
@@ -796,8 +898,8 @@ object Multimodal {
       chunkCounts += take; used += take
     }
     val nChunks = chunkCounts.length
-    val dataStart =
-      mp4SampleDataStart(n, nChunks, stscRuns.length, constantStsz).toInt
+    val dataStart = mp4SampleDataStart(
+      n, nChunks, stscRuns.length, constantStsz, timeDeltas.length).toInt
 
     val stszPayload = new Array[Byte](12 + (if (constantStsz) 0 else 4 * n))
     mp4PutBe32(stszPayload, 4, if (constantStsz) sampleSizes(0) else 0)
@@ -830,12 +932,31 @@ object Multimodal {
     val mvhdPayload = new Array[Byte](100) // version 0 layout
     mp4PutBe32(mvhdPayload, 12, timescale)
     mp4PutBe32(mvhdPayload, 16, duration)
+    val sttsBoxes =
+      if (timeDeltas.isEmpty) Array.emptyByteArray
+      else {
+        val sttsPayload = new Array[Byte](8 + 8 * timeDeltas.length)
+        mp4PutBe32(sttsPayload, 4, timeDeltas.length)
+        timeDeltas.zipWithIndex.foreach { case ((cnt, delta), r) =>
+          mp4PutBe32(sttsPayload, 8 + 8 * r, cnt)
+          mp4PutBe32(sttsPayload, 8 + 8 * r + 4, delta)
+        }
+        mp4BoxBytes("stts", sttsPayload)
+      }
     val stbl = mp4BoxBytes("stbl",
       mp4BoxBytes("stsz", stszPayload) ++ mp4BoxBytes("stsc", stscPayload) ++
-        mp4BoxBytes("stco", stcoPayload))
+        mp4BoxBytes("stco", stcoPayload) ++ sttsBoxes)
+    val mdhdBoxes =
+      if (timeDeltas.isEmpty) Array.emptyByteArray
+      else {
+        val mdhdPayload = new Array[Byte](24) // version 0 layout
+        mp4PutBe32(mdhdPayload, 12, mediaTimescale)
+        mp4BoxBytes("mdhd", mdhdPayload)
+      }
     val moov = mp4BoxBytes("moov",
       mp4BoxBytes("mvhd", mvhdPayload) ++
-        mp4BoxBytes("trak", mp4BoxBytes("mdia", mp4BoxBytes("minf", stbl))))
+        mp4BoxBytes("trak",
+          mp4BoxBytes("mdia", mdhdBoxes ++ mp4BoxBytes("minf", stbl))))
     val ftypPayload = new Array[Byte](8)
     System.arraycopy("isom".getBytes, 0, ftypPayload, 0, 4)
     val bytes = mp4BoxBytes("ftyp", ftypPayload) ++ moov ++
@@ -850,10 +971,13 @@ object Multimodal {
     * expected offsets without touching the parser.
     */
   def mp4SampleDataStart(
-      n: Int, nChunks: Int, nRuns: Int, constantStsz: Boolean): Long = {
+      n: Int, nChunks: Int, nRuns: Int, constantStsz: Boolean,
+      timeRuns: Int = 0): Long = {
     val stsz = 20 + (if (constantStsz) 0 else 4 * n)
-    val stbl = 8 + stsz + (16 + 12 * nRuns) + (16 + 4 * nChunks)
-    16L + (8 + 108 + (8 + (8 + (8 + stbl)))) + 8
+    val stts = if (timeRuns > 0) 16 + 8 * timeRuns else 0
+    val mdhd = if (timeRuns > 0) 32 else 0
+    val stbl = 8 + stsz + (16 + 12 * nRuns) + (16 + 4 * nChunks) + stts
+    16L + (8 + 108 + (8 + (8 + mdhd + (8 + stbl)))) + 8
   }
 
   /** Sample-table MP4 fixtures (doc_id -41/-42): -41 exercises per-sample

@@ -160,6 +160,33 @@ object MultimodalQueries {
       }),
 
     QDef(
+      "mm_frame_times",
+      (s, dir) =>
+        // TIMED frame sampling: byte range AND real presentation time
+        // from the complete sample table (stsz/stsc/stco x mdhd/stts) —
+        // the "sample around t seconds" primitive video pipelines
+        // actually use. Corpus text blobs fail the parse gate; the
+        // timed fixture (-43) has two stts runs so the cumulative-delta
+        // expansion is exercised across a run boundary.
+        Multimodal.sampleFrameTimeRefs(
+          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureMp4TimedBlobs(s)),
+          step = 2)
+          .toDF()
+          .orderBy("doc_id", "frame_idx"),
+      Some {
+        val ds = Multimodal.mp4SampleDataStart(12, 3, 1, constantStsz = false,
+          timeRuns = 2)
+        s"""SELECT CAST(-43 AS BIGINT) AS doc_id, CAST(i AS BIGINT) AS frame_idx,
+                   CAST(CASE WHEN i < 8 THEN 100 * i
+                             ELSE 800 + 250 * (i - 8) END AS BIGINT) AS t_ms,
+                   CAST($ds + 24 * i + (i * (i - 1)) // 2 AS BIGINT) AS "offset",
+                   CAST(24 + i AS BIGINT) AS size
+            FROM (SELECT unnest(generate_series(0, 11, 2)) AS i)
+            ORDER BY doc_id, frame_idx"""
+      }),
+
+    QDef(
       "mm_phash_neardup", {
         (s, dir) =>
           // perceptual image dedup over REAL decoded pixels: six PNG

@@ -197,6 +197,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4SampleTable("plain text".getBytes) === None)
   }
 
+  test("MP4 time-to-sample: mdhd timescale + stts cumulative deltas across runs") {
+    val timed = Multimodal.makeMp4WithSamples(1000, 2000,
+      Array.tabulate(12)(24 + _), Seq((1, 5)),
+      timeDeltas = Seq((8, 100), (4, 250)), mediaTimescale = 1000)
+    val (scale, starts) = Multimodal.parseMp4FrameTimes(timed).get
+    assert(scale === 1000L)
+    assert(starts.toSeq ===
+      (0 until 8).map(i => 100L * i) ++ (0 until 4).map(j => 800L + 250L * j))
+    // the byte-range half still parses on the same container
+    val samples = Multimodal.parseMp4SampleTable(timed).get
+    assert(samples.length === 12)
+    val ds = Multimodal.mp4SampleDataStart(12, 3, 1, constantStsz = false,
+      timeRuns = 2)
+    assert(samples(0) === (ds, 24L))
+    // a container without stts has no frame times
+    val untimed = Multimodal.makeMp4WithSamples(1000, 2000,
+      Array.tabulate(12)(24 + _), Seq((1, 5)))
+    assert(Multimodal.parseMp4FrameTimes(untimed) === None)
+  }
+
   private def be32WithTarget(a: Array[Byte], off: Int, v: Int): Unit = {
     a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
     a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
