@@ -113,6 +113,37 @@ object ExtrasQueries {
         ORDER BY q""")),
 
     QDef(
+      "agg_mode_value",
+      (s, dir) =>
+        // exact per-group mode: two map-side-combined aggregations
+        // ((group, value) counts, then a lexicographic min over
+        // (-count, value) structs), no window over data anywhere;
+        // tie-break is deterministic (highest count, then smallest
+        // value) so any partitioning agrees
+        tbl(s, dir, "events")
+          .select(col("event_type"), cents(col("value")).as("cents"))
+          .groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(min(struct((-col("n")).as("negn"), col("cents"))).as("m"),
+            sum(col("n")).as("total"))
+          .select(col("event_type"), col("m.cents").as("mode_cents"),
+            (-col("m.negn")).as("n_mode"), col("total"))
+          .orderBy("event_type"),
+      Some("""
+        WITH t AS (SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        c AS (SELECT event_type, cents, count(*) AS n FROM t GROUP BY 1, 2),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY n DESC, cents) AS rn,
+                CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+              FROM c)
+        SELECT event_type, cents AS mode_cents, CAST(n AS BIGINT) AS n_mode,
+               total
+        FROM r WHERE rn = 1 ORDER BY event_type""")),
+
+    QDef(
       "agg_equidepth_bins",
       (s, dir) =>
         // equi-depth bin edges: all nine deciles in ONE pass over the
