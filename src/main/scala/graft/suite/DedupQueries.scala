@@ -572,6 +572,35 @@ object DedupQueries {
         ORDER BY a, b""")),
 
     QDef(
+      "dedup_normalized",
+      (s, dir) => {
+        // normalize-then-exact-dedup: lowercase, strip punctuation,
+        // collapse whitespace, THEN group — catches the trivial
+        // reformat/casing duplicates exact dedup misses and every
+        // pipeline runs before the fuzzy passes. Pure codegen'd
+        // projection + one groupBy; the regexes are RE2-compatible so
+        // the oracle runs them verbatim
+        val norm = trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), norm.as("norm"))
+          .groupBy(col("norm"))
+          .agg(min(col("doc_id")).as("survivor_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("survivor_id"), col("n_copies"),
+            length(col("norm")).cast("long").as("n_chars_norm"))
+          .orderBy("survivor_id")
+      },
+      Some("""
+        WITH n AS (SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+            FROM documents)
+        SELECT min(doc_id) AS survivor_id, count(*) AS n_copies,
+               CAST(length(norm) AS BIGINT) AS n_chars_norm
+        FROM n GROUP BY norm ORDER BY survivor_id""")),
+
+    QDef(
       "dedup_event_bursts",
       (s, dir) => {
         // burst-collapse dedup: consecutive events of the same
