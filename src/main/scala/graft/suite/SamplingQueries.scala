@@ -342,6 +342,35 @@ object SamplingQueries {
         ORDER BY source, start_tok, doc_id""")),
 
     QDef(
+      "pipeline_interleave_sources",
+      (s, dir) => {
+        // deterministic round-robin source interleave: rank within each
+        // source by reproducible hash (partitioned window, parallel
+        // across sources), then order by (rank, source) — consecutive
+        // output rows cycle through the sources, the balanced shard
+        // order training writers use where shuffle_order gives the
+        // random one. The result ORDER is the operator's contract.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("shuffle_key"), col("doc_id"))
+        tbl(s, dir, "documents")
+          .select(col("source"), col("doc_id"))
+          .withColumn("shuffle_key",
+            Sampling.hashBucket(col("doc_id"), 1000000000))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .orderBy(col("rnk"), col("source"), col("doc_id"))
+          .select(col("rnk"), col("source"), col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT source, doc_id,
+              ${hashSql("CAST(doc_id AS VARCHAR)", 1000000000)} AS shuffle_key
+            FROM documents)
+        SELECT CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY shuffle_key, doc_id) AS BIGINT) AS rnk,
+               source, doc_id
+        FROM t ORDER BY rnk, source, doc_id""")),
+
+    QDef(
       "pipeline_corpus_training_set",
       (s, dir) => {
         // THE end-to-end corpus-to-training-set flow, every stage an
