@@ -642,6 +642,64 @@ object ExtrasQueries {
         JOIN customer ON o_custkey = c_custkey
         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         JOIN nation ON s_nationkey = n_nationkey
-        GROUP BY n_name ORDER BY revenue_c2 DESC, n_name"""))
+        GROUP BY n_name ORDER BY revenue_c2 DESC, n_name""")),
+
+    QDef(
+      "sink_parquet_partitioned",
+      (s, dir) => {
+        // the lake layout write: parquet partitioned by a low-cardinality
+        // column (lang), then a pruned read-back — the filter becomes a
+        // PartitionFilter on the scan, so a 100 TB corpus query over one
+        // language reads one directory, not the lake
+        // (PartitionPruneSpec asserts the pruned plan shape + file
+        // counts). The write
+        // runs from executor tasks; partitionBy adds no extra shuffle on
+        // top of the scan.
+        val out = sys.props("java.io.tmpdir") + "/graft_sink_parquet_partitioned"
+        tbl(s, dir, "documents")
+          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        s.read.parquet(out)
+          .filter(col("lang") === "en")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE lang = 'en'
+        GROUP BY lang ORDER BY lang""")),
+
+    QDef(
+      "join_bloom_prefilter",
+      (s, dir) => {
+        // runtime-filter pattern as a first-class step: the selective
+        // build side (high-quantity lineitems) collapses to a one-row
+        // bloom sketch, the probe side is pre-filtered by might_contain
+        // BEFORE its shuffle, the real equi-join removes the false
+        // positives — exact results, probe shuffle cut to
+        // ~(selectivity + fpp). BloomJoinSpec measures the pruning and
+        // proves no-false-negative on this exact shape.
+        val li = tbl(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 49)
+          .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
+        val o = tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val pruned = graft.operators.BloomJoin.prune(
+          o, "o_orderkey", li, "l_orderkey",
+          expectedItems = 1L << 16, numBits = 1L << 20)
+        pruned.join(li, pruned("o_orderkey") === li("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_li"), sum(col("price_c")).as("rev_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_li,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 49
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

