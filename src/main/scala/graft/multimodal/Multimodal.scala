@@ -61,6 +61,18 @@ final case class FrameTimeRef(
     offset: Long,
     size: Long)
 
+/** One REAL decoded video frame: true pixels out of an uncompressed-DIB
+  * AVI (RIFF container walk + bottom-up BGR row decode — byte
+  * arithmetic end to end, no codec), fingerprinted with the same
+  * ARGB-scan CRC as still images.
+  */
+final case class VideoFramePx(
+    doc_id: Long,
+    frame_idx: Long,
+    width: Long,
+    height: Long,
+    px_crc: Long)
+
 final case class AudioMeta(
     doc_id: Long,
     n_bytes: Long,
@@ -206,8 +218,10 @@ object Multimodal {
       case None => decodeStub(b)
     }
 
-  /** STUB decoder for what genuinely needs a codec: video FRAME/pixel
-    * decode (container metadata is real — [[parseMp4Meta]]), plus audio
+  /** STUB decoder for what genuinely needs a codec: COMPRESSED video
+    * frame decode (H.264/VP9/MJPEG payloads — container metadata is
+    * real via [[parseMp4Meta]], and uncompressed-DIB AVI frames decode
+    * for REAL via [[parseAviDib]]/[[decodeVideoFrames]]), plus audio
     * payloads that are not parseable PCM WAV (real WAV decode lives in
     * [[decodeAudio]]). A real codec call goes here (e.g. ffmpeg via
     * JNI). The fake derives width/height/frames deterministically from
@@ -1070,5 +1084,235 @@ object Multimodal {
     val c = new java.util.zip.CRC32()
     c.update(pcm16Bytes(fixtureWavSamples(which)._3))
     c.getValue
+  }
+
+  // ---- AVI (uncompressed DIB) video frame decode ------------------------
+  //
+  // The one video family whose FRAMES decode with pure byte arithmetic:
+  // RIFF/AVI with BI_RGB 24-bit DIB frames ('00db' chunks — bottom-up
+  // rows, BGR samples, stride padded to 4 bytes). No codec, so unlike
+  // MJPEG/H.264 the decoded pixels are bit-identical everywhere and the
+  // determinism contract of [[pixelCrc]] extends to video. Compressed
+  // codecs still route to [[decodeStub]] — that boundary is honest: this
+  // is everything the JVM can decode for real.
+
+  /** Row-major 0xRRGGBB pixels -> the exact CRC [[pixelCrc]] would
+    * produce for the same image (ARGB byte scan with opaque alpha) —
+    * one fingerprint space across stills and video frames.
+    */
+  def pixelCrcInts(px: Array[Int]): Long = {
+    val c = new java.util.zip.CRC32()
+    val buf = new Array[Byte](4)
+    var i = 0
+    while (i < px.length) {
+      val p = 0xff000000 | px(i)
+      buf(0) = (p >>> 24).toByte; buf(1) = (p >>> 16).toByte
+      buf(2) = (p >>> 8).toByte; buf(3) = p.toByte
+      c.update(buf, 0, 4)
+      i += 1
+    }
+    c.getValue
+  }
+
+  private def dibStride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  /** Hand-assembled canonical RIFF/AVI container: avih + one 'vids'
+    * stream (BI_RGB 24bpp) + '00db' DIB frames. `framePx` are row-major
+    * top-down 0xRRGGBB ints; the writer performs the bottom-up BGR
+    * encode the format demands. Deterministic bytes, no encoder.
+    */
+  def makeAviDib(
+      w: Int, h: Int, usPerFrame: Int, framePx: Seq[Array[Int]]): Array[Byte] = {
+    require(framePx.nonEmpty && framePx.forall(_.length == w * h),
+      "each frame must carry w*h pixels")
+    val stride = dibStride(w)
+    val frameBytes = stride * h
+    val moviContent = 4 + framePx.length * (8 + frameBytes)
+    val hdrlSize = 4 + 64 + (8 + 4 + 64 + 48) // 'hdrl' + avih + LIST strl
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviContent)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(riffSize); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlSize); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(framePx.length).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(4 + 64 + 48); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc("DIB ")
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(usPerFrame).putInt(1000000) // scale/rate: rate/scale = fps
+      .putInt(0).putInt(framePx.length).putInt(frameBytes).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    cc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(moviContent); cc("movi")
+    framePx.foreach { px =>
+      cc("00db"); bb.putInt(frameBytes)
+      var y = h - 1
+      while (y >= 0) { // bottom-up rows
+        var x = 0
+        while (x < w) {
+          val p = px(y * w + x)
+          bb.put((p & 0xff).toByte)          // B
+            .put(((p >> 8) & 0xff).toByte)   // G
+            .put(((p >> 16) & 0xff).toByte)  // R
+          x += 1
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+    }
+    bb.array()
+  }
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Decode an uncompressed-DIB AVI: `(width, height, usPerFrame,
+    * frames)` with row-major top-down 0xRRGGBB pixels per frame. Returns
+    * None unless the payload is a well-formed RIFF/AVI whose video
+    * stream is BI_RGB 24bpp inside the [[MaxDecodePixels]] bomb guard —
+    * the magic/format gate that routes text bytes, stills, WAV (RIFF
+    * but 'WAVE'), MP4, and codec'd AVIs away from this path.
+    */
+  def parseAviDib(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Seq[Array[Int]])] = {
+    val isAvi = bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+    if (!isAvi) return None
+    val end = math.min(bytes.length.toLong, 8L + le32(bytes, 4))
+    var w = 0; var h = 0; var us = 0; var bpp = 0; var comp = -1L
+    var moviStart = -1L; var moviEnd = -1L
+    // one pass over the top-level chunks; hdrl/strl walked inline
+    var off = 12L
+    while (off + 8 <= end) {
+      val id = fourcc(bytes, off.toInt)
+      val sz = le32(bytes, off.toInt + 4)
+      val body = off + 8
+      if (body + sz > end) return None
+      if (id == "LIST" && sz >= 4) {
+        val sub = fourcc(bytes, body.toInt)
+        if (sub == "hdrl") {
+          var o = body + 4
+          val hEnd = body + sz
+          while (o + 8 <= hEnd) {
+            val cid = fourcc(bytes, o.toInt)
+            val csz = le32(bytes, o.toInt + 4)
+            val cb = o + 8
+            if (cb + csz > hEnd) return None
+            if (cid == "avih" && csz >= 40) {
+              us = le32(bytes, cb.toInt).toInt
+              w = le32(bytes, cb.toInt + 32).toInt
+              h = le32(bytes, cb.toInt + 36).toInt
+            } else if (cid == "LIST" && csz >= 4 &&
+                fourcc(bytes, cb.toInt) == "strl") {
+              var so = cb + 4
+              val sEnd = cb + csz
+              while (so + 8 <= sEnd) {
+                val sid = fourcc(bytes, so.toInt)
+                val ssz = le32(bytes, so.toInt + 4)
+                if (so + 8 + ssz > sEnd) return None
+                if (sid == "strf" && ssz >= 20) {
+                  bpp = le16(bytes, so.toInt + 8 + 14)
+                  comp = le32(bytes, so.toInt + 8 + 16)
+                }
+                so += 8 + ssz + (ssz & 1)
+              }
+            }
+            o = cb + csz + (csz & 1)
+          }
+        } else if (sub == "movi") {
+          moviStart = body + 4; moviEnd = body + sz
+        }
+      }
+      off = body + sz + (sz & 1)
+    }
+    if (w <= 0 || h <= 0 || bpp != 24 || comp != 0L ||
+        w.toLong * h.toLong > MaxDecodePixels ||
+        moviStart < 0) return None
+    val stride = dibStride(w)
+    val frames = Seq.newBuilder[Array[Int]]
+    var fo = moviStart
+    while (fo + 8 <= moviEnd) {
+      val id = fourcc(bytes, fo.toInt)
+      val sz = le32(bytes, fo.toInt + 4)
+      val body = fo + 8
+      if (body + sz > moviEnd) return None
+      if ((id == "00db" || id == "00dc") && sz == stride.toLong * h) {
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          val row = body + stride.toLong * (h - 1 - y) // bottom-up
+          var x = 0
+          while (x < w) {
+            val o = (row + x * 3).toInt
+            px(y * w + x) = (bytes(o) & 0xff) |               // B
+              ((bytes(o + 1) & 0xff) << 8) |                  // G
+              ((bytes(o + 2) & 0xff) << 16)                   // R -> 0xRRGGBB
+            x += 1
+          }
+          y += 1
+        }
+        frames += px
+      }
+      fo = body + sz + (sz & 1)
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some((w, h, us, fs))
+  }
+
+  /** Batch REAL video frame decode: one row per frame of every blob that
+    * parses as an uncompressed-DIB AVI; everything else is dropped by
+    * the [[parseAviDib]] gate. Same one-decoder-per-partition
+    * mapPartitions batch shape as [[decode]]/[[decodeAudio]].
+    */
+  def decodeVideoFrames(blobs: Dataset[MediaBlob]): Dataset[VideoFramePx] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        parseAviDib(b.content).toSeq.flatMap { case (w, h, _, frames) =>
+          frames.zipWithIndex.map { case (px, i) =>
+            VideoFramePx(b.doc_id, i.toLong, w.toLong, h.toLong, pixelCrcInts(px))
+          }
+        }
+      }
+    }
+  }
+
+  /** Fixture AVI definitions — pure pattern arithmetic, shared by the
+    * blobs AND the oracle expectations (frames reuse [[patternGray]],
+    * tiled for non-16 sizes). 0: 4-frame 16x12@10fps; 1: 3-frame
+    * 16x12@25fps sharing two frame patterns with 0; 2: 2-frame
+    * 10x6@25fps (odd width exercises the stride-4 row padding).
+    */
+  def fixtureAviFrames(which: Int): (Int, Int, Int, Seq[Array[Int]]) = {
+    def frame(w: Int, h: Int, img: Int): Array[Int] =
+      Array.tabulate(w * h) { i =>
+        val g = patternGray(img, (i % w) % PatternSize, (i / w) % PatternSize)
+        (g << 16) | (g << 8) | g
+      }
+    which match {
+      case 0 => (16, 12, 100000, (0 until 4).map(frame(16, 12, _)))
+      case 1 => (16, 12, 40000, Seq(0, 1, 5).map(frame(16, 12, _)))
+      case _ => (10, 6, 40000, (2 until 4).map(frame(10, 6, _)))
+    }
+  }
+
+  /** The fixture AVIs as blobs (doc_ids -51..-53). */
+  def fixtureAviBlobs(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    (0 until 3).map { i =>
+      val (w, h, us, frames) = fixtureAviFrames(i)
+      MediaBlob(-51L - i, "video", makeAviDib(w, h, us, frames))
+    }.toDS()
   }
 }

@@ -126,6 +126,62 @@ object MultimodalQueries {
       }),
 
     QDef(
+      "mm_video_frame_pixels",
+      (s, dir) =>
+        // REAL video pixel decode: uncompressed-DIB AVI frames (RIFF
+        // walk + bottom-up BGR rows — byte arithmetic, no codec, so
+        // unlike MJPEG the pixels are bit-stable everywhere). Corpus
+        // text blobs carry no RIFF/AVI magic and are dropped by the
+        // gate; the three fixtures survive. Expected CRCs come from the
+        // fixture pattern arrays alone, independent of the
+        // write->parse->decode path under test (AviDecodeSpec pins the
+        // byte-level row order against a hand-written DIB).
+        Multimodal.decodeVideoFrames(
+          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureAviBlobs(s)))
+          .toDF()
+          .orderBy("doc_id", "frame_idx"),
+      Some {
+        val rows = (0 until 3).flatMap { i =>
+          val (w, h, _, frames) = Multimodal.fixtureAviFrames(i)
+          frames.zipWithIndex.map { case (px, f) =>
+            s"(CAST(${-51 - i} AS BIGINT), CAST($f AS BIGINT), " +
+              s"CAST($w AS BIGINT), CAST($h AS BIGINT), " +
+              s"CAST(${Multimodal.pixelCrcInts(px)} AS BIGINT))"
+          }
+        }
+        s"""SELECT * FROM (VALUES ${rows.mkString(",\n          ")})
+            AS t(doc_id, frame_idx, width, height, px_crc)
+            ORDER BY doc_id, frame_idx"""
+      }),
+
+    QDef(
+      "mm_video_neardup",
+      (s, dir) => {
+        // shared-scene video dedup: videos linked by the number of
+        // distinct frame fingerprints they share — an equi-join on the
+        // frame CRC (never all-pairs; the fingerprint IS the blocking
+        // key), then a pair-level distinct count. Fixtures -51/-52
+        // share exactly two pattern frames; the odd-size fixture
+        // matches nothing because pixel dimensions feed the CRC.
+        val fr = Multimodal.decodeVideoFrames(
+          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureAviBlobs(s)))
+          .toDF().select(col("doc_id"), col("px_crc"))
+        val x = fr.select(col("doc_id").as("a"), col("px_crc"))
+        val y = fr.select(col("doc_id").as("b"), col("px_crc"))
+        x.join(y, Seq("px_crc")).filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(countDistinct(col("px_crc")).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("a", "b")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(-52 AS BIGINT), CAST(-51 AS BIGINT), CAST(2 AS BIGINT)))
+        AS t(a, b, n_shared) ORDER BY a, b""")),
+
+    QDef(
       "mm_frame_sample",
       (s, dir) =>
         // REAL frame sampling: every 4th sample of each MP4, resolved to
