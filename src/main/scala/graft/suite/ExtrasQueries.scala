@@ -672,6 +672,60 @@ object ExtrasQueries {
         GROUP BY lang ORDER BY lang""")),
 
     QDef(
+      "agg_approx_percentile",
+      (s, dir) =>
+        // the quantile sketch (GK summaries): one map-side-combined pass,
+        // mergeable partials — the 100 TB shape where a global sort is
+        // unaffordable. At this accuracy the summary holds every group
+        // member, so the answer is the exact discrete quantile and the
+        // DuckDB oracle can match it value-for-value; production lowers
+        // the accuracy knob and keeps the identical plan (the
+        // exact-vs-sketch error budget is SketchSpec's business).
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_quantity"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(1000000)).as("qs"))
+          .select(col("l_returnflag"),
+            element_at(col("qs"), 1).as("p50"),
+            element_at(col("qs"), 2).as("p90"),
+            element_at(col("qs"), 3).as("p99"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               quantile_disc(l_quantity, 0.5) AS p50,
+               quantile_disc(l_quantity, 0.9) AS p90,
+               quantile_disc(l_quantity, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QDef(
+      "agg_hll_distinct_merge",
+      // no SQL oracle: the estimate is Spark's Datasketches HLL value,
+      // which DuckDB's own HLL cannot reproduce — the driver records the
+      // rows-only check; SketchSpec pins the error envelope of both the
+      // merged and direct estimates instead (Datasketches HLL merge is
+      // not bit-lossless, so the envelope IS the contract).
+      // exact_distinct rides along so the result is self-auditing.
+      (s, dir) => {
+        val perSource = tbl(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+            countDistinct(col("doc_id")).as("exact_distinct"))
+        val bySource = perSource.select(col("source"),
+          hll_sketch_estimate(col("sk")).as("est_distinct"),
+          col("exact_distinct"))
+        // the sketch property that matters at scale: per-shard sketches
+        // MERGE into the corpus-wide answer without re-touching rows
+        // (doc_id is unique, so per-source exact counts sum exactly)
+        val merged = perSource.agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"),
+            sum(col("exact_distinct")).as("exact_distinct"))
+          .select(lit("__all__").as("source"),
+            col("est_distinct"), col("exact_distinct"))
+        bySource.unionByName(merged).orderBy("source")
+      },
+      None),
+
+    QDef(
       "join_bloom_prefilter",
       (s, dir) => {
         // runtime-filter pattern as a first-class step: the selective
