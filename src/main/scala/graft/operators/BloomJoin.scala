@@ -57,10 +57,8 @@ object BloomJoin {
       buildKey: String,
       expectedItems: Long = 1L << 20,
       numBits: Long = 1L << 23): DataFrame = {
-    val bfPlan = build.agg(bloomAgg(col(buildKey), expectedItems, numBits).as("__bf"))
-      .queryExecution.analyzed
-    val sketch = org.apache.spark.sql.catalyst.expressions.ScalarSubquery(bfPlan)
-    probe.filter(ColumnBridge.column(BloomFilterMightContain(
-      sketch, ColumnBridge.expression(col(probeKey)))))
+    val sketch = ColumnBridge.scalar(
+      build.agg(bloomAgg(col(buildKey), expectedItems, numBits).as("__bf")))
+    probe.filter(mightContain(sketch, col(probeKey)))
   }
 }

@@ -331,6 +331,63 @@ object TextQueries {
                count(*) AS n_occurrences
         FROM g GROUP BY gram
         HAVING count(DISTINCT doc_id) >= 3
-        ORDER BY gram"""))
+        ORDER BY gram""")),
+
+    QDef(
+      "text_bigram_lm_score",
+      (s, dir) => {
+        // count-based bigram LM quality scoring — the perplexity-filter
+        // shape (train counts on the corpus, score every document
+        // against them) in exact integer arithmetic: each bigram
+        // contributes floor(1e6 * (c2+1) / (c1+V)) (add-1 smoothing),
+        // so scores are bit-identical in any engine — no libm log in
+        // the compare path. V attaches as a scalar subquery (a query
+        // constant, not a 1-row join); the count tables join back on
+        // their natural keys. Two shuffles for training (bigram +
+        // unigram groupBy), one for the per-doc rollup.
+        val w = tbl(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+        val bigrams = w.filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), size(col("w")) - lit(2)),
+            i => struct(
+              element_at(col("w"), i + lit(1)).as("w1"),
+              element_at(col("w"), i + lit(2)).as("w2")))).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val bc = bigrams.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c2"))
+        val uni = w.select(explode(col("w")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c1"))
+        val vocab = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          uni.agg(count(lit(1)).as("v")))
+        bigrams
+          .join(bc, Seq("w1", "w2"))
+          .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))
+          .withColumn("__v", vocab)
+          .withColumn("contrib",
+            expr("(1000000 * (c2 + 1)) div (c1 + __v)"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("contrib")).as("lm_score_sum"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                   FROM documents),
+        bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+               FROM t, (SELECT unnest(generate_series(1, 1000)) AS i) ii
+               WHERE i + 1 <= len(w)),
+        bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        uw AS (SELECT unnest(w) AS word FROM t),
+        uc AS (SELECT word, count(*) AS c1 FROM uw GROUP BY word),
+        v AS (SELECT count(*) AS v FROM uc)
+        SELECT b.doc_id,
+               CAST(sum((1000000 * (c.c2 + 1)) // (u.c1 + (SELECT v FROM v)))
+                 AS BIGINT) AS lm_score_sum,
+               count(*) AS n_bigrams
+        FROM bg b
+        JOIN bc c ON c.w1 = b.w1 AND c.w2 = b.w2
+        JOIN uc u ON u.word = b.w1
+        GROUP BY b.doc_id ORDER BY b.doc_id"""))
   )
 }

@@ -27,6 +27,17 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** A 1-row/1-column DataFrame as an uncorrelated scalar subquery
+    * Column: evaluated once, its value becomes a query constant on
+    * every task — the join-free way to attach a corpus-level scalar
+    * (vocabulary size, total doc count, a bloom sketch) to a big frame.
+    * The alternative — crossJoin with a 1-row frame — plans a
+    * BroadcastNestedLoopJoin; this plans nothing at all.
+    */
+  def scalar(df: org.apache.spark.sql.DataFrame): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.queryExecution.analyzed))
+
   /** Release the executor-resident copy behind a `localCheckpoint(true)`'d
     * frame. `Dataset.unpersist` only clears CacheManager entries
     * (`.persist`/`.cache` plans); a checkpoint's storage lives on the
