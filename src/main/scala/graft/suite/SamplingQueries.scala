@@ -285,6 +285,52 @@ object SamplingQueries {
         FROM c ORDER BY doc_id, chunk_idx""")),
 
     QDef(
+      "pipeline_tombstone_delete",
+      (s, dir) => {
+        // compliance deletion (takedown/GDPR): a tombstone list must
+        // vanish from the corpus AND every derived surface in the same
+        // pass — here the chunk table derived from it. Both removals
+        // are anti-joins on the doc id (broadcast at real tombstone
+        // cardinality: the list is tiny next to the corpus); the
+        // audited per-surface counts prove the propagation is
+        // consistent (chunks deleted belong exactly to docs deleted).
+        val docs = tbl(s, dir, "documents")
+        val tomb = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+        val chunks = graft.text.Corpus.chunkDocuments(
+          docs, "doc_id", "text", chunkTokens = 32, stride = 24)
+        def audit(surface: String, df: org.apache.spark.sql.DataFrame) = {
+          val kept = df.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          df.agg(count(lit(1)).as("n_before"))
+            .withColumn("n_after",
+              org.apache.spark.sql.graft.ColumnBridge.scalar(
+                kept.agg(count(lit(1)))))
+            .select(lit(surface).as("surface"), col("n_before"),
+              (col("n_before") - col("n_after")).as("n_deleted"),
+              col("n_after"))
+        }
+        audit("1_documents", docs).unionByName(audit("2_chunks", chunks))
+          .orderBy("surface")
+      },
+      Some("""
+        WITH tomb AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+        t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts
+              FROM documents),
+        c AS (SELECT doc_id FROM t,
+              (SELECT unnest(generate_series(0, 1000, 24)) AS start_tok) s
+              WHERE start_tok <= greatest(len(ts) - 1, 0))
+        SELECT surface, n_before, n_deleted, n_before - n_deleted AS n_after
+        FROM (
+          SELECT '1_documents' AS surface, count(*) AS n_before,
+                 count(*) FILTER (doc_id IN (SELECT doc_id FROM tomb))
+                   AS n_deleted
+          FROM documents
+          UNION ALL
+          SELECT '2_chunks', count(*),
+                 count(*) FILTER (doc_id IN (SELECT doc_id FROM tomb))
+          FROM c)
+        ORDER BY surface""")),
+
+    QDef(
       "sample_temperature",
       (s, dir) =>
         // alpha = 0.5 temperature rebalancing over the skewed lang

@@ -34,11 +34,15 @@ object Corpus {
       .groupBy(col("doc_id"), col("word_id"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("word_id")).agg(count(lit(1)).as("df"))
-    // corpus size as a broadcast 1-row dimension — the scale-safe form of
-    // a global scalar (a `count() over ()` window would single-reduce)
-    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    // corpus size as an uncorrelated scalar subquery — evaluated once,
+    // then a query constant on every task: no join node at all (the
+    // earlier 1-row broadcast crossJoin planned a bounded
+    // BroadcastNestedLoopJoin; a `count() over ()` window would
+    // single-reduce the whole frame)
+    val n = org.apache.spark.sql.graft.ColumnBridge.scalar(
+      docs.select(countDistinct(col(idCol)).as("n_docs")))
     tf.join(dfreq, Seq("word_id"))
-      .crossJoin(broadcast(n))
+      .withColumn("n_docs", n)
       .withColumn("score", col("tf") * expr("(n_docs * 1048576) div df"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word_id"))))

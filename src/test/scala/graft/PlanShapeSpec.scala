@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *   queries are measured against (all-pairs by definition).
   * - A BroadcastNestedLoopJoin whose broadcast side is a BOUNDED
   *   dimension is the intended shape for unconditioned dimension
-  *   attachment: the 1-row corpus-size frame in `text_tfidf_topk`, the
-  *   numCells-row k-means codebook in `sim_ivf_cells` / `sim_ivf_topk`.
-  *   Cost is O(N x dim), not O(N^2).
+  *   attachment: the numCells-row k-means codebook in `sim_ivf_cells` /
+  *   `sim_ivf_topk`. Cost is O(N x dim), not O(N^2). (1-row scalars no
+  *   longer need even that: `ColumnBridge.scalar` attaches them as
+  *   uncorrelated scalar subqueries — `text_tfidf_topk` migrated.)
   *
   * Planning only — queries are built and optimized at sf0.001, not
   * executed, though builder-side fixture setup (bucketed tables, corpus
@@ -24,7 +25,7 @@ class PlanShapeSpec extends SparkSpec {
 
   private val bruteForceBaseline = Set("sim_cosine_topk")
   private val boundedDimensionBnl =
-    Set("text_tfidf_topk", "sim_ivf_cells", "sim_ivf_topk")
+    Set("sim_ivf_cells", "sim_ivf_topk")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("no registered query plans an all-pairs join (except documented exceptions)") {
