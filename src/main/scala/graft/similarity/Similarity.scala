@@ -371,4 +371,91 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("label"), col("vec_id"), col("cos"), col("rank"))
   }
+
+  // ---- product quantization (PQ) ----------------------------------------
+  //
+  // The standard embedding-compression layout for billion-vector ANN:
+  // split each vector into `numBlocks` contiguous subvectors, k-means
+  // each subspace independently, store one small code per block — a
+  // 64-dim float vector becomes numBlocks bytes plus a shared codebook.
+  // Same deterministic integer k-means recipe as the IVF codebook
+  // (seeded by the lowest-id vectors, floor-of-mean refinement), run
+  // per block.
+
+  /** (v_id, block, sv, ss) — the per-block subvector frame. A narrow
+    * explode of the integer embedding: no shuffle.
+    */
+  def pqSubvectors(
+      vectors: DataFrame, idCol: String, embCol: String,
+      numBlocks: Int, dims: Int): DataFrame = {
+    val sub = dims / numBlocks
+    val dotL = graft.functions.VectorExpressions.dotLong _
+    vectors.select(col(idCol).as("v_id"), intEmbedding(col(embCol)).as("ie"))
+      .select(col("v_id"), explode(transform(
+        sequence(lit(0), lit(numBlocks - 1)),
+        b => struct(b.cast("long").as("block"),
+          slice(col("ie"), b * lit(sub) + lit(1), lit(sub)).as("sv")))).as("x"))
+      .select(col("v_id"), col("x.block").as("block"), col("x.sv").as("sv"))
+      .withColumn("ss", dotL(col("sv"), col("sv")))
+  }
+
+  /** Per-block deterministic k-means codebook `(block, cid, ce)`: seeds
+    * are the `k` lowest-id vectors' subvectors (every vector contributes
+    * one subvector to every block, so the seed set is the same tiny
+    * TakeOrdered frame for all blocks — no per-block window over the
+    * corpus); each iteration reassigns by integer d2 (ties by cid) and
+    * takes the per-dimension floor(mean), empty cells keeping their
+    * centroid. The codebook (numBlocks x k rows) is broadcast every
+    * round.
+    */
+  def pqCodebook(sv: DataFrame, k: Int, iters: Int): DataFrame = {
+    val dotL = graft.functions.VectorExpressions.dotLong _
+    val seeds = sv.select(col("v_id")).distinct().orderBy(col("v_id")).limit(k)
+    var cents = sv
+      .join(broadcast(seeds), Seq("v_id"))
+      .select(col("block"), col("v_id").as("cid"), col("sv").as("ce"))
+    for (_ <- 1 to iters) {
+      val assigned = sv
+        .join(broadcast(cents.withColumn("cc", dotL(col("ce"), col("ce")))),
+          Seq("block"))
+        .withColumn("d2",
+          col("ss") - lit(2L) * dotL(col("sv"), col("ce")) + col("cc"))
+        .groupBy(col("v_id"), col("block"))
+        .agg(first(col("sv")).as("sv"),
+          min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
+      val perDim = assigned
+        .select(col("block"), col("cell"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("block"), col("cell"), col("d"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("mu"))
+      val means = perDim.groupBy(col("block"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("mu")))),
+          _.getField("mu")).as("me"))
+      cents = cents
+        .join(means.withColumnRenamed("cell", "cid"), Seq("block", "cid"), "left")
+        .select(col("block"), col("cid"), coalesce(col("me"), col("ce")).as("ce"))
+    }
+    cents
+  }
+
+  /** PQ encode: `(v_id, block, code, q_err)` — per block, the nearest
+    * codebook centroid (integer d2, ties by cid) and the residual d2 as
+    * a self-auditing quantization-error column. One broadcast join +
+    * one keyed argmin; the corpus never self-joins.
+    */
+  def pqAssign(
+      vectors: DataFrame, idCol: String, embCol: String,
+      numBlocks: Int, dims: Int, k: Int, iters: Int): DataFrame = {
+    val dotL = graft.functions.VectorExpressions.dotLong _
+    val sv = pqSubvectors(vectors, idCol, embCol, numBlocks, dims)
+    val cents = pqCodebook(sv, k, iters)
+      .withColumn("cc", dotL(col("ce"), col("ce")))
+    sv.join(broadcast(cents), Seq("block"))
+      .withColumn("d2",
+        col("ss") - lit(2L) * dotL(col("sv"), col("ce")) + col("cc"))
+      .groupBy(col("v_id"), col("block"))
+      .agg(min_by(struct(col("cid"), col("d2")),
+        struct(col("d2"), col("cid"))).as("m"))
+      .select(col("v_id"), col("block"),
+        col("m.cid").as("code"), col("m.d2").as("q_err"))
+  }
 }

@@ -323,6 +323,55 @@ object SimilarityQueries {
         ORDER BY vec_id""")),
 
     QDef(
+      "sim_pq_codes",
+      (s, dir) =>
+        // product quantization: 64 dims -> 8 blocks x 16-centroid
+        // per-block codebooks (one refinement sweep at the oracle
+        // operating point) -> one code per block + the residual d2 as a
+        // self-auditing q_err. The corpus is only ever joined to the
+        // broadcast 128-row codebook — never to itself; PqSpec checks
+        // the argmin against brute force and that training reduces
+        // total quantization error.
+        Similarity.pqAssign(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+            numBlocks = 8, dims = Dims, k = 16, iters = 1)
+          .withColumnRenamed("v_id", "vec_id")
+          .orderBy("vec_id", "block"),
+      Some(s"""
+        WITH iv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
+        bl AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS block),
+        sv0 AS (SELECT vec_id, block,
+                  list_slice(ie, block * 8 + 1, block * 8 + 8) AS sv
+                FROM iv, bl),
+        sv AS (SELECT vec_id, block, sv, ${intDotSql("sv", "sv")} AS ss FROM sv0),
+        seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
+        c0 AS (SELECT s.block, s.vec_id AS cid, s.sv AS ce
+               FROM sv s JOIN seed USING (vec_id)),
+        a1 AS (SELECT vec_id, block, sv, cid AS cell FROM (
+                 SELECT v.vec_id, v.block, v.sv, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id, v.block ORDER BY
+                     v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
+                       + ${intDotSql("c.ce", "c.ce")}, c.cid) AS rn
+                 FROM sv v JOIN c0 c ON c.block = v.block) WHERE rn = 1),
+        m1 AS (SELECT block, cell, dd.d,
+                 CAST(floor(CAST(sum(a.sv[dd.d]) AS DOUBLE) / count(*))
+                   AS BIGINT) AS mu
+               FROM a1 a, (SELECT unnest(generate_series(1, 8)) AS d) dd
+               GROUP BY block, cell, dd.d),
+        mm1 AS (SELECT block, cell, list(mu ORDER BY d) AS me
+                FROM m1 GROUP BY block, cell),
+        c1 AS (SELECT p.block, p.cid, coalesce(m.me, p.ce) AS ce
+               FROM c0 p LEFT JOIN mm1 m ON m.block = p.block AND m.cell = p.cid),
+        fin AS (SELECT vec_id, block, cid AS code, d2 AS q_err FROM (
+                  SELECT v.vec_id, v.block, c.cid,
+                    v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
+                      + ${intDotSql("c.ce", "c.ce")} AS d2,
+                    row_number() OVER (PARTITION BY v.vec_id, v.block ORDER BY
+                      v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
+                        + ${intDotSql("c.ce", "c.ce")}, c.cid) AS rn
+                  FROM sv v JOIN c1 c ON c.block = v.block) WHERE rn = 1)
+        SELECT vec_id, block, code, q_err FROM fin ORDER BY vec_id, block""")),
+
+    QDef(
       "sim_label_outliers",
       (s, dir) =>
         // embedding-quality audit: the 3 vectors per label farthest from

@@ -1,0 +1,57 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product-quantization contracts the oracle compare can't express:
+  * the assignment really is the per-block argmin (brute-force check),
+  * codes form a complete numBlocks-per-vector layout drawn from the
+  * seed id set, and one training sweep strictly reduces total
+  * quantization error versus the training-free codebook.
+  */
+class PqSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val (blocks, dims, k) = (8, 64, 16)
+
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("codes are complete, in the codebook id range, and argmin-correct") {
+    val codes = Similarity.pqAssign(emb, "vec_id", "embedding",
+      blocks, dims, k, iters = 1).collect()
+    val n = emb.count()
+    assert(codes.length == n * blocks, "one code per (vector, block)")
+
+    val seedIds = emb.select(col("vec_id")).orderBy("vec_id")
+      .limit(k).collect().map(_.getLong(0)).toSet
+    assert(codes.forall(r => seedIds.contains(r.getLong(2))),
+      "every code must be a seed centroid id")
+
+    // brute-force argmin over the same codebook for a sample of vectors
+    val sv = Similarity.pqSubvectors(emb, "vec_id", "embedding", blocks, dims)
+    val cents = Similarity.pqCodebook(sv, k, iters = 1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Long](2).toArray)).toMap
+    val sample = sv.filter(col("v_id") % 37 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val got = codes.map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getLong(2), r.getLong(3)))).toMap
+    sample.foreach { case (v, b, x) =>
+      val best = cents.collect { case ((bb, cid), ce) if bb == b =>
+        val d2 = x.zip(ce).map { case (a, c) => (a - c) * (a - c) }.sum
+        (d2, cid)
+      }.min
+      assert(got((v, b)) == (best._2, best._1),
+        s"argmin mismatch at vector $v block $b")
+    }
+  }
+
+  test("one refinement sweep reduces total quantization error") {
+    def totalErr(iters: Int): Long =
+      Similarity.pqAssign(emb, "vec_id", "embedding", blocks, dims, k, iters)
+        .agg(sum(col("q_err"))).head().getLong(0)
+    val untrained = totalErr(0)
+    val trained = totalErr(1)
+    assert(trained < untrained,
+      s"training must help: iters=1 err $trained >= iters=0 err $untrained")
+  }
+}
