@@ -445,10 +445,14 @@ object Similarity {
   def pqAssign(
       vectors: DataFrame, idCol: String, embCol: String,
       numBlocks: Int, dims: Int, k: Int, iters: Int): DataFrame = {
-    val dotL = graft.functions.VectorExpressions.dotLong _
     val sv = pqSubvectors(vectors, idCol, embCol, numBlocks, dims)
-    val cents = pqCodebook(sv, k, iters)
-      .withColumn("cc", dotL(col("ce"), col("ce")))
+    pqAssignFrom(sv, pqCodebook(sv, k, iters))
+  }
+
+  /** [[pqAssign]] over prebuilt subvector + codebook frames. */
+  def pqAssignFrom(sv: DataFrame, codebook: DataFrame): DataFrame = {
+    val dotL = graft.functions.VectorExpressions.dotLong _
+    val cents = codebook.withColumn("cc", dotL(col("ce"), col("ce")))
     sv.join(broadcast(cents), Seq("block"))
       .withColumn("d2",
         col("ss") - lit(2L) * dotL(col("sv"), col("ce")) + col("cc"))
@@ -457,5 +461,34 @@ object Similarity {
         struct(col("d2"), col("cid"))).as("m"))
       .select(col("v_id"), col("block"),
         col("m.cid").as("code"), col("m.d2").as("q_err"))
+  }
+
+  /** PQ ADC top-k (asymmetric distance computation): full-precision
+    * query subvectors score every corpus vector THROUGH ITS CODES — the
+    * per-query work is a distance TABLE to the numBlocks x k codebook
+    * (tiny, broadcast with the codebook), then an equi-join on
+    * (block, code) and a per-(query, candidate) sum. O(N x numBlocks)
+    * per query with no access to corpus vectors at all — the serving
+    * shape that lets the fleet hold codes (bytes/vector) instead of
+    * floats.
+    */
+  def pqAdcTopK(
+      sv: DataFrame, codebook: DataFrame, codes: DataFrame,
+      queryPred: Column, topK: Int): DataFrame = {
+    val dotL = graft.functions.VectorExpressions.dotLong _
+    val cents = codebook.withColumn("cc", dotL(col("ce"), col("ce")))
+    val dtab = sv.filter(queryPred)
+      .join(broadcast(cents), Seq("block"))
+      .select(col("v_id").as("q_id"), col("block"), col("cid"),
+        (col("ss") - lit(2L) * dotL(col("sv"), col("ce")) + col("cc")).as("qd2"))
+    codes.join(broadcast(dtab),
+        codes("block") === dtab("block") && codes("code") === dtab("cid") &&
+          codes("v_id") =!= dtab("q_id"))
+      .groupBy(col("q_id"), codes("v_id").as("c_id"))
+      .agg(sum(col("qd2")).as("approx_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("approx_d2").asc, col("c_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("c_id"), col("approx_d2"), col("rank"))
   }
 }

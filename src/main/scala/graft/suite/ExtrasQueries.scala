@@ -726,6 +726,30 @@ object ExtrasQueries {
       None),
 
     QDef(
+      "sink_jsonl_export",
+      (s, dir) => {
+        // the LLM-corpus interchange format: documents exported as
+        // JSON-lines from executor tasks, re-scanned with an explicit
+        // schema (never inferred — schema inference re-reads the whole
+        // lake), and audited per source. The re-scan must reproduce the
+        // source table exactly; the oracle aggregates the original.
+        val out = sys.props("java.io.tmpdir") + "/graft_sink_jsonl_export"
+        val docs = tbl(s, dir, "documents")
+        docs.write.mode("overwrite").json(out)
+        s.read.schema(docs.schema).json(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("text")).cast("long")).as("sum_text_len"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    QDef(
       "join_bloom_prefilter",
       (s, dir) => {
         // runtime-filter pattern as a first-class step: the selective

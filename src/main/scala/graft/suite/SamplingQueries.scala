@@ -331,6 +331,39 @@ object SamplingQueries {
         ORDER BY surface""")),
 
     QDef(
+      "pipeline_incremental_agg",
+      (s, dir) => {
+        // incremental materialized-view maintenance: per-source corpus
+        // stats kept current by merging the EXISTING aggregate with the
+        // new batch's partial aggregate — the new batch is the only
+        // data touched (doc_id % 5 == 0 stands in for the ingest, the
+        // same batch split the incremental-dedup family uses). Counts
+        // and sums merge by +, max by max: the algebraic-aggregate
+        // property that makes view maintenance O(batch) instead of
+        // O(corpus). The oracle recomputes from scratch — merged state
+        // must be indistinguishable from recomputation.
+        val docs = tbl(s, dir, "documents")
+        def stats(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            max(col("n_chars")).as("max_chars"))
+        val existing = stats(docs.filter(col("doc_id") % 5 =!= 0))
+        val batch = stats(docs.filter(col("doc_id") % 5 === 0))
+        existing.unionByName(batch)
+          .groupBy(col("source")).agg(
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_chars")).as("sum_chars"),
+            max(col("max_chars")).as("max_chars"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    QDef(
       "sample_temperature",
       (s, dir) =>
         // alpha = 0.5 temperature rebalancing over the skewed lang

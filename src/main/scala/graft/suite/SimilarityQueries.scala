@@ -56,10 +56,40 @@ object SimilarityQueries {
       Similarity.ivfDists(tbl(s, dir, "embeddings"), "vec_id", "embedding", IvfCells))
 
   /** Bench setup hook: build the IVF index (and the semantic-dedup
-    * labels that derive from it) up front.
+    * labels that derive from it) and the PQ codebook+codes up front.
     */
   def prebuildArtifacts(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    sharedIvfDists(s, dir); sharedSemanticLabels(s, dir); ()
+    sharedIvfDists(s, dir); sharedSemanticLabels(s, dir)
+    sharedPqCents(s, dir); sharedPqCodes(s, dir); ()
+  }
+
+  private val PqBlocks = 8
+  private val PqK = 16
+  private val PqIters = 1
+
+  /** The PQ codebook and code table as session artifacts: trained once
+    * per corpus, probed by the encode and ADC queries alike (same cache
+    * rules as the IVF index).
+    */
+  private def sharedPqSv(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Artifacts.memo(s, dir, "embeddings", "pq_sv")(
+      Similarity.pqSubvectors(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        PqBlocks, Dims))
+
+  private def sharedPqCents(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sv = sharedPqSv(s, dir)
+    Artifacts.memo(s, dir, "embeddings", "pq_cents")(
+      Similarity.pqCodebook(sv, PqK, PqIters))
+  }
+
+  private def sharedPqCodes(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sv = sharedPqSv(s, dir)
+    val cents = sharedPqCents(s, dir)
+    Artifacts.memo(s, dir, "embeddings", "pq_codes")(
+      Similarity.pqAssignFrom(sv, cents))
   }
 
   /** SemDeDup-style semantic-dedup threshold: exact cosine within a
@@ -153,6 +183,46 @@ object SimilarityQueries {
                      SELECT *, row_number() OVER (PARTITION BY vec_id
                        ORDER BY d2, cid) AS rn FROM dists)
                    WHERE rn = 1)"""
+
+  /** DuckDB mirror of the PQ pipeline ending in `fin(vec_id, block,
+    * code, q_err)`, with `sv` (subvectors+self-dots) and `c1` (the
+    * trained per-block codebook) reusable by the ADC query. Exact
+    * mirror of Similarity.pqSubvectors/pqCodebook/pqAssignFrom at
+    * blocks=8, k=16, iters=1.
+    */
+  private lazy val pqCteSql: String =
+    s"""iv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
+        bl AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS block),
+        sv0 AS (SELECT vec_id, block,
+                  list_slice(ie, block * 8 + 1, block * 8 + 8) AS sv
+                FROM iv, bl),
+        sv AS (SELECT vec_id, block, sv, ${intDotSql("sv", "sv")} AS ss FROM sv0),
+        seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
+        c0 AS (SELECT s.block, s.vec_id AS cid, s.sv AS ce
+               FROM sv s JOIN seed USING (vec_id)),
+        a1 AS (SELECT vec_id, block, sv, cid AS cell FROM (
+                 SELECT v.vec_id, v.block, v.sv, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id, v.block ORDER BY
+                     v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
+                       + ${intDotSql("c.ce", "c.ce")}, c.cid) AS rn
+                 FROM sv v JOIN c0 c ON c.block = v.block) WHERE rn = 1),
+        m1 AS (SELECT block, cell, dd.d,
+                 CAST(floor(CAST(sum(a.sv[dd.d]) AS DOUBLE) / count(*))
+                   AS BIGINT) AS mu
+               FROM a1 a, (SELECT unnest(generate_series(1, 8)) AS d) dd
+               GROUP BY block, cell, dd.d),
+        mm1 AS (SELECT block, cell, list(mu ORDER BY d) AS me
+                FROM m1 GROUP BY block, cell),
+        c1 AS (SELECT p.block, p.cid, coalesce(m.me, p.ce) AS ce
+               FROM c0 p LEFT JOIN mm1 m ON m.block = p.block AND m.cell = p.cid),
+        fin AS (SELECT vec_id, block, cid AS code, d2 AS q_err FROM (
+                  SELECT v.vec_id, v.block, c.cid,
+                    v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
+                      + ${intDotSql("c.ce", "c.ce")} AS d2,
+                    row_number() OVER (PARTITION BY v.vec_id, v.block ORDER BY
+                      v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
+                        + ${intDotSql("c.ce", "c.ce")}, c.cid) AS rn
+                  FROM sv v JOIN c1 c ON c.block = v.block) WHERE rn = 1)"""
 
   def all: Seq[QDef] = Seq(
 
@@ -331,45 +401,44 @@ object SimilarityQueries {
         // self-auditing q_err. The corpus is only ever joined to the
         // broadcast 128-row codebook — never to itself; PqSpec checks
         // the argmin against brute force and that training reduces
-        // total quantization error.
-        Similarity.pqAssign(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-            numBlocks = 8, dims = Dims, k = 16, iters = 1)
+        // total quantization error. Probes the SHARED code table.
+        sharedPqCodes(s, dir)
           .withColumnRenamed("v_id", "vec_id")
           .orderBy("vec_id", "block"),
       Some(s"""
-        WITH iv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
-        bl AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS block),
-        sv0 AS (SELECT vec_id, block,
-                  list_slice(ie, block * 8 + 1, block * 8 + 8) AS sv
-                FROM iv, bl),
-        sv AS (SELECT vec_id, block, sv, ${intDotSql("sv", "sv")} AS ss FROM sv0),
-        seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
-        c0 AS (SELECT s.block, s.vec_id AS cid, s.sv AS ce
-               FROM sv s JOIN seed USING (vec_id)),
-        a1 AS (SELECT vec_id, block, sv, cid AS cell FROM (
-                 SELECT v.vec_id, v.block, v.sv, c.cid,
-                   row_number() OVER (PARTITION BY v.vec_id, v.block ORDER BY
-                     v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
-                       + ${intDotSql("c.ce", "c.ce")}, c.cid) AS rn
-                 FROM sv v JOIN c0 c ON c.block = v.block) WHERE rn = 1),
-        m1 AS (SELECT block, cell, dd.d,
-                 CAST(floor(CAST(sum(a.sv[dd.d]) AS DOUBLE) / count(*))
-                   AS BIGINT) AS mu
-               FROM a1 a, (SELECT unnest(generate_series(1, 8)) AS d) dd
-               GROUP BY block, cell, dd.d),
-        mm1 AS (SELECT block, cell, list(mu ORDER BY d) AS me
-                FROM m1 GROUP BY block, cell),
-        c1 AS (SELECT p.block, p.cid, coalesce(m.me, p.ce) AS ce
-               FROM c0 p LEFT JOIN mm1 m ON m.block = p.block AND m.cell = p.cid),
-        fin AS (SELECT vec_id, block, cid AS code, d2 AS q_err FROM (
-                  SELECT v.vec_id, v.block, c.cid,
-                    v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
-                      + ${intDotSql("c.ce", "c.ce")} AS d2,
-                    row_number() OVER (PARTITION BY v.vec_id, v.block ORDER BY
-                      v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
-                        + ${intDotSql("c.ce", "c.ce")}, c.cid) AS rn
-                  FROM sv v JOIN c1 c ON c.block = v.block) WHERE rn = 1)
+        WITH $pqCteSql
         SELECT vec_id, block, code, q_err FROM fin ORDER BY vec_id, block""")),
+
+    QDef(
+      "sim_pq_adc_topk",
+      (s, dir) =>
+        // ADC serving over the shared PQ index: queries build a tiny
+        // per-block distance table to the codebook, candidates are
+        // scored through their CODES alone (an equi-join on
+        // (block, code) + a per-pair sum — corpus vectors never read at
+        // query time). The documented bounded query set mirrors
+        // sim_cosine_topk's.
+        Similarity.pqAdcTopK(
+            sharedPqSv(s, dir), sharedPqCents(s, dir), sharedPqCodes(s, dir),
+            queryPred = col("v_id") < 20, topK = 3)
+          .orderBy("q_id", "rank"),
+      Some(s"""
+        WITH $pqCteSql,
+        qsv AS (SELECT * FROM sv WHERE vec_id < 20),
+        dtab AS (SELECT q.vec_id AS q_id, q.block, c.cid,
+                   q.ss - 2 * ${intDotSql("q.sv", "c.ce")}
+                     + ${intDotSql("c.ce", "c.ce")} AS qd2
+                 FROM qsv q JOIN c1 c ON c.block = q.block),
+        ad AS (SELECT d.q_id, f.vec_id AS c_id,
+                 CAST(sum(d.qd2) AS BIGINT) AS approx_d2
+               FROM fin f
+               JOIN dtab d ON d.block = f.block AND d.cid = f.code
+                 AND d.q_id != f.vec_id
+               GROUP BY d.q_id, f.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY approx_d2, c_id) AS rank FROM ad)
+        SELECT q_id, c_id, approx_d2, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     QDef(
       "sim_label_outliers",

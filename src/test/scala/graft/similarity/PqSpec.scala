@@ -45,6 +45,48 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ADC scores are exactly the sum of per-block code distances") {
+    val sv = Similarity.pqSubvectors(emb, "vec_id", "embedding", blocks, dims)
+    val cents = Similarity.pqCodebook(sv, k, iters = 1)
+    val codes = Similarity.pqAssignFrom(sv, cents)
+    val adc = Similarity.pqAdcTopK(sv, cents, codes,
+      queryPred = col("v_id") < 10, topK = 3).collect()
+    assert(adc.length == 10 * 3)
+
+    // local recomputation of the ADC sum for every reported pair
+    val svL = sv.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Long](2).toArray)).toMap
+    val ceL = cents.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Long](2).toArray)).toMap
+    val codeL = codes.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    adc.foreach { r =>
+      val (q, c, d2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = (0L until blocks).map { b =>
+        val qv = svL((q, b)); val ce = ceL((b, codeL((c, b))))
+        qv.zip(ce).map { case (a, x) => (a - x) * (a - x) }.sum
+      }.sum
+      assert(d2 == expect, s"ADC sum mismatch for ($q, $c)")
+    }
+
+    // informational: recall@3 of ADC vs exact integer-d2 neighbors
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    def full(v: Long): Array[Long] =
+      (0L until blocks).flatMap(b => svL((v, b))).toArray
+    val recall = (0 until 10).map { qi =>
+      val q = ids.sorted.apply(qi)
+      val qv = full(q)
+      val exact = ids.filter(_ != q).map { c =>
+        val cv = full(c)
+        (qv.zip(cv).map { case (a, x) => (a - x) * (a - x) }.sum, c)
+      }.sorted.take(3).map(_._2).toSet
+      val got = adc.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      (exact & got).size / 3.0
+    }.sum / 10
+    info(f"ADC recall@3 vs exact d2: $recall%.2f")
+    assert(recall > 0.0, "ADC must recover at least some exact neighbors")
+  }
+
   test("one refinement sweep reduces total quantization error") {
     def totalErr(iters: Int): Long =
       Similarity.pqAssign(emb, "vec_id", "embedding", blocks, dims, k, iters)
