@@ -491,4 +491,44 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("c_id"), col("approx_d2"), col("rank"))
   }
+
+  /** IVF + PQ — the production billion-vector serving architecture:
+    * queries probe their `nprobe` nearest IVF cells (coarse index) and
+    * ADC-score ONLY the vectors assigned there, through their PQ codes
+    * (fine index). Per-query cost is (probed-cell population) x
+    * numBlocks code lookups: both the candidate set and the bytes per
+    * candidate are bounded, which is what lets a fleet serve from RAM.
+    * Composes the two shared session artifacts (the IVF distance frame
+    * and the PQ codebook/codes) without touching corpus vectors at
+    * query time.
+    */
+  def ivfPqTopK(
+      dists: DataFrame, sv: DataFrame, codebook: DataFrame, codes: DataFrame,
+      nprobe: Int, queryPred: Column, topK: Int): DataFrame = {
+    val dotL = graft.functions.VectorExpressions.dotLong _
+    val assign = ivfAssignFrom(dists).select(col("v_id").as("c_id"), col("cell"))
+    val probes = dists.filter(queryPred)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("v_id")).orderBy(col("d2").asc, col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("v_id").as("q_id"), col("cid").as("cell"))
+    val cand = probes.join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+    val cents = codebook.withColumn("cc", dotL(col("ce"), col("ce")))
+    val dtab = sv.filter(queryPred)
+      .join(broadcast(cents), Seq("block"))
+      .select(col("v_id").as("q_id"), col("block"), col("cid"),
+        (col("ss") - lit(2L) * dotL(col("sv"), col("ce")) + col("cc")).as("qd2"))
+    cand.join(codes, cand("c_id") === codes("v_id"))
+      .join(broadcast(dtab),
+        dtab("q_id") === cand("q_id") && dtab("block") === codes("block") &&
+          dtab("cid") === codes("code"))
+      .groupBy(cand("q_id"), col("c_id"))
+      .agg(sum(col("qd2")).as("approx_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("approx_d2").asc, col("c_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("c_id"), col("approx_d2"), col("rank"))
+  }
 }

@@ -750,6 +750,60 @@ object ExtrasQueries {
         FROM documents GROUP BY source ORDER BY source""")),
 
     QDef(
+      "scan_jsonl_corrupt_audit",
+      (s, dir) => {
+        // real corpora always carry broken lines; the scan must audit,
+        // never abort. PERMISSIVE mode + columnNameOfCorruptRecord
+        // routes each unparseable line into an audit column (good rows
+        // keep it null), so one pass yields data AND data-quality
+        // counts. Fixture: 50 lines, every 7th corrupted three ways
+        // (truncated JSON, plain text, wrong-type field) — expected
+        // counts are fixture arithmetic, independent of the scan.
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_jsonl_corrupt")
+        base.mkdirs()
+        val lines = (0 until 50).map { i =>
+          if (i % 7 != 0) s"""{"doc_id": $i, "text": "doc number $i"}"""
+          else i % 3 match {
+            case 0 => s"""{"doc_id": $i, "text": "trunca"""
+            case 1 => s"not json at all $i"
+            case _ => s"""{"doc_id": "oops$i", "text": 7}"""
+          }
+        }
+        java.nio.file.Files.write(
+          base.toPath.resolve("mixed.jsonl"),
+          lines.mkString("\n").getBytes("UTF-8"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_bad",
+            org.apache.spark.sql.types.StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(base.toString)
+          .agg(count(lit(1)).as("n_lines"),
+            count(col("_bad")).as("n_corrupt"),
+            count(col("doc_id")).as("n_good_ids"),
+            coalesce(sum(when(col("_bad").isNull, length(col("text"))
+              .cast("long"))), lit(0L)).as("sum_good_text_len"))
+      },
+      Some {
+        // fixture arithmetic: corrupt at i % 7 == 0 (8 lines); the
+        // wrong-type corrupt lines still fail the whole-row parse under
+        // an explicit schema, so good = the 42 others, each with text
+        // "doc number <i>" (11 + digits chars)
+        val good = (0 until 50).filter(_ % 7 != 0)
+        val sumLen = good.map(i => s"doc number $i".length).sum
+        s"""SELECT CAST(50 AS BIGINT) AS n_lines,
+               CAST(8 AS BIGINT) AS n_corrupt,
+               CAST(42 AS BIGINT) AS n_good_ids,
+               CAST($sumLen AS BIGINT) AS sum_good_text_len"""
+      }),
+
+    QDef(
       "join_bloom_prefilter",
       (s, dir) => {
         // runtime-filter pattern as a first-class step: the selective

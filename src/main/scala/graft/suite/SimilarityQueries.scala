@@ -191,38 +191,38 @@ object SimilarityQueries {
     * blocks=8, k=16, iters=1.
     */
   private lazy val pqCteSql: String =
-    s"""iv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
-        bl AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS block),
-        sv0 AS (SELECT vec_id, block,
+    s"""pqiv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
+        pqbl AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS block),
+        pqsv0 AS (SELECT vec_id, block,
                   list_slice(ie, block * 8 + 1, block * 8 + 8) AS sv
-                FROM iv, bl),
-        sv AS (SELECT vec_id, block, sv, ${intDotSql("sv", "sv")} AS ss FROM sv0),
-        seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
-        c0 AS (SELECT s.block, s.vec_id AS cid, s.sv AS ce
-               FROM sv s JOIN seed USING (vec_id)),
-        a1 AS (SELECT vec_id, block, sv, cid AS cell FROM (
+                FROM pqiv, pqbl),
+        pqsv AS (SELECT vec_id, block, sv, ${intDotSql("sv", "sv")} AS ss FROM pqsv0),
+        pqseed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
+        pqc0 AS (SELECT s.block, s.vec_id AS cid, s.sv AS ce
+               FROM pqsv s JOIN pqseed USING (vec_id)),
+        pqa1 AS (SELECT vec_id, block, sv, cid AS cell FROM (
                  SELECT v.vec_id, v.block, v.sv, c.cid,
                    row_number() OVER (PARTITION BY v.vec_id, v.block ORDER BY
                      v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
                        + ${intDotSql("c.ce", "c.ce")}, c.cid) AS rn
-                 FROM sv v JOIN c0 c ON c.block = v.block) WHERE rn = 1),
-        m1 AS (SELECT block, cell, dd.d,
+                 FROM pqsv v JOIN pqc0 c ON c.block = v.block) WHERE rn = 1),
+        pqm1 AS (SELECT block, cell, dd.d,
                  CAST(floor(CAST(sum(a.sv[dd.d]) AS DOUBLE) / count(*))
                    AS BIGINT) AS mu
-               FROM a1 a, (SELECT unnest(generate_series(1, 8)) AS d) dd
+               FROM pqa1 a, (SELECT unnest(generate_series(1, 8)) AS d) dd
                GROUP BY block, cell, dd.d),
-        mm1 AS (SELECT block, cell, list(mu ORDER BY d) AS me
-                FROM m1 GROUP BY block, cell),
-        c1 AS (SELECT p.block, p.cid, coalesce(m.me, p.ce) AS ce
-               FROM c0 p LEFT JOIN mm1 m ON m.block = p.block AND m.cell = p.cid),
-        fin AS (SELECT vec_id, block, cid AS code, d2 AS q_err FROM (
+        pqmm1 AS (SELECT block, cell, list(mu ORDER BY d) AS me
+                FROM pqm1 GROUP BY block, cell),
+        pqc1 AS (SELECT p.block, p.cid, coalesce(m.me, p.ce) AS ce
+               FROM pqc0 p LEFT JOIN pqmm1 m ON m.block = p.block AND m.cell = p.cid),
+        pqfin AS (SELECT vec_id, block, cid AS code, d2 AS q_err FROM (
                   SELECT v.vec_id, v.block, c.cid,
                     v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
                       + ${intDotSql("c.ce", "c.ce")} AS d2,
                     row_number() OVER (PARTITION BY v.vec_id, v.block ORDER BY
                       v.ss - 2 * ${intDotSql("v.sv", "c.ce")}
                         + ${intDotSql("c.ce", "c.ce")}, c.cid) AS rn
-                  FROM sv v JOIN c1 c ON c.block = v.block) WHERE rn = 1)"""
+                  FROM pqsv v JOIN pqc1 c ON c.block = v.block) WHERE rn = 1)"""
 
   def all: Seq[QDef] = Seq(
 
@@ -407,7 +407,7 @@ object SimilarityQueries {
           .orderBy("vec_id", "block"),
       Some(s"""
         WITH $pqCteSql
-        SELECT vec_id, block, code, q_err FROM fin ORDER BY vec_id, block""")),
+        SELECT vec_id, block, code, q_err FROM pqfin ORDER BY vec_id, block""")),
 
     QDef(
       "sim_pq_adc_topk",
@@ -424,14 +424,14 @@ object SimilarityQueries {
           .orderBy("q_id", "rank"),
       Some(s"""
         WITH $pqCteSql,
-        qsv AS (SELECT * FROM sv WHERE vec_id < 20),
+        qsv AS (SELECT * FROM pqsv WHERE vec_id < 20),
         dtab AS (SELECT q.vec_id AS q_id, q.block, c.cid,
                    q.ss - 2 * ${intDotSql("q.sv", "c.ce")}
                      + ${intDotSql("c.ce", "c.ce")} AS qd2
-                 FROM qsv q JOIN c1 c ON c.block = q.block),
+                 FROM qsv q JOIN pqc1 c ON c.block = q.block),
         ad AS (SELECT d.q_id, f.vec_id AS c_id,
                  CAST(sum(d.qd2) AS BIGINT) AS approx_d2
-               FROM fin f
+               FROM pqfin f
                JOIN dtab d ON d.block = f.block AND d.cid = f.code
                  AND d.q_id != f.vec_id
                GROUP BY d.q_id, f.vec_id),
@@ -439,6 +439,47 @@ object SimilarityQueries {
                 ORDER BY approx_d2, c_id) AS rank FROM ad)
         SELECT q_id, c_id, approx_d2, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    QDef(
+      "sim_ivf_pq_topk",
+      (s, dir) =>
+        // the production ANN architecture, composed from the two shared
+        // indexes: IVF cells bound the candidate set (coarse), PQ codes
+        // bound the bytes per candidate (fine) — queries probe nprobe
+        // cells and ADC-score only those members, never reading corpus
+        // vectors. Everything here is artifact reuse: the IVF distance
+        // frame, the PQ codebook, and the code table are each built
+        // once per corpus and probed by this and the sibling queries.
+        Similarity.ivfPqTopK(
+            sharedIvfDists(s, dir), sharedPqSv(s, dir),
+            sharedPqCents(s, dir), sharedPqCodes(s, dir),
+            nprobe = IvfProbe, queryPred = col("v_id") < 20, topK = 3)
+          .orderBy("q_id", "rank"),
+      Some(s"""
+        WITH $ivfPreludeSql,
+        $pqCteSql,
+        qprobes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+            SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+              ORDER BY d.d2, d.cid) AS pr
+            FROM dists d WHERE d.vec_id < 20) WHERE pr <= $IvfProbe),
+        qcand AS (SELECT p.q_id, a.vec_id AS c_id
+                  FROM qprobes p
+                  JOIN assign a ON a.cell = p.cell AND a.vec_id != p.q_id),
+        qdtab AS (SELECT q.vec_id AS q_id, q.block, c.cid,
+                    q.ss - 2 * ${intDotSql("q.sv", "c.ce")}
+                      + ${intDotSql("c.ce", "c.ce")} AS qd2
+                  FROM pqsv q JOIN pqc1 c ON c.block = q.block
+                  WHERE q.vec_id < 20),
+        qad AS (SELECT n.q_id, n.c_id, CAST(sum(d.qd2) AS BIGINT) AS approx_d2
+                FROM qcand n
+                JOIN pqfin f ON f.vec_id = n.c_id
+                JOIN qdtab d ON d.q_id = n.q_id AND d.block = f.block
+                  AND d.cid = f.code
+                GROUP BY n.q_id, n.c_id),
+        qr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY approx_d2, c_id) AS rank FROM qad)
+        SELECT q_id, c_id, approx_d2, CAST(rank AS INT) AS rank
+        FROM qr WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     QDef(
       "sim_label_outliers",

@@ -87,6 +87,47 @@ class PqSpec extends SparkSpec {
     assert(recall > 0.0, "ADC must recover at least some exact neighbors")
   }
 
+  test("IVF+PQ: candidates come from probed cells, scores are exact ADC sums") {
+    val dists = Similarity.ivfDists(emb, "vec_id", "embedding", numCells = 16)
+    val sv = Similarity.pqSubvectors(emb, "vec_id", "embedding", blocks, dims)
+    val cents = Similarity.pqCodebook(sv, k, iters = 1)
+    val codes = Similarity.pqAssignFrom(sv, cents)
+    val out = Similarity.ivfPqTopK(dists, sv, cents, codes,
+      nprobe = 2, queryPred = col("v_id") < 10, topK = 3).collect()
+    assert(out.nonEmpty && out.length <= 10 * 3)
+
+    // candidate cells must be among the query's 2 nearest cells
+    val cellOf = Similarity.ivfAssignFrom(dists).select("v_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = dists.filter(col("v_id") < 10)
+      .select("v_id", "cid", "d2").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(2), r.getLong(1))).sorted.take(2)
+          .map(_._2).toSet
+      }
+    out.foreach { r =>
+      val (q, c) = (r.getLong(0), r.getLong(1))
+      assert(probed(q).contains(cellOf(c)),
+        s"candidate $c of query $q sits outside the probed cells")
+    }
+
+    // scores must equal the plain ADC sum for the same pairs
+    val svL = sv.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Long](2).toArray)).toMap
+    val ceL = cents.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Long](2).toArray)).toMap
+    val codeL = codes.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    out.foreach { r =>
+      val (q, c, d2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = (0L until blocks).map { b =>
+        val qv = svL((q, b)); val ce = ceL((b, codeL((c, b))))
+        qv.zip(ce).map { case (a, x) => (a - x) * (a - x) }.sum
+      }.sum
+      assert(d2 == expect, s"IVF+PQ ADC sum mismatch for ($q, $c)")
+    }
+  }
+
   test("one refinement sweep reduces total quantization error") {
     def totalErr(iters: Int): Long =
       Similarity.pqAssign(emb, "vec_id", "embedding", blocks, dims, k, iters)
