@@ -750,6 +750,33 @@ object ExtrasQueries {
         FROM documents GROUP BY source ORDER BY source""")),
 
     QDef(
+      "agg_event_transitions",
+      (s, dir) =>
+        // behavioral transition matrix: count (event_type -> next
+        // event_type) within each user's time-ordered stream — one lag
+        // window partitioned by user (shuffle on user_id only; the
+        // global matrix is a tiny type x type groupBy after it). Ties
+        // on ts are ordered by event_id so the lag is deterministic.
+        tbl(s, dir, "events")
+          .withColumn("next_type", lead(col("event_type"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "next_type"),
+      Some("""
+        WITH o AS (SELECT event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS next_type
+          FROM events)
+        SELECT event_type, next_type, count(*) AS n
+        FROM o WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+        ORDER BY event_type, next_type""")),
+
+    QDef(
       "scan_jsonl_corrupt_audit",
       (s, dir) => {
         // real corpora always carry broken lines; the scan must audit,
