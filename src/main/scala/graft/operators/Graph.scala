@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over plain edge DataFrames — everything
+  * here is equi-joins and aggregations, so Catalyst/AQE handle the
+  * physical planning (broadcast vs shuffle, skew splitting) for free.
+  *
+  * Triangle counting is the worst-case skew magnet: a naive wedge join
+  * fans out quadratically on hub vertices. The classical fix (Cohen
+  * 2009; Suri & Vassilvitskii "Counting triangles and the curse of the
+  * last reducer", WWW'11) is DEGREE ORIENTATION — direct every edge from
+  * its lower-(degree, id) endpoint to its higher one, then enumerate
+  * wedges only out of each vertex's oriented out-neighborhood. Max
+  * oriented out-degree is O(√E), so total wedge volume is O(E^1.5)
+  * regardless of hub skew, and every triangle is produced exactly once.
+  */
+object Graph {
+
+  /** Distinct undirected co-occurrence edges `(src < dst by id)` from a
+    * (group, item) membership table: items sharing a group are adjacent.
+    * The within-group pair fan-out is a self-equi-join on the group key —
+    * quadratic only in per-group membership (bounded by the data model,
+    * e.g. parts-per-order), never in table size.
+    */
+  def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val m = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    m.as("a").join(m.as("b"),
+        col("a.g") === col("b.g") && col("a.i") < col("b.i"))
+      .select(col("a.i").as("src"), col("b.i").as("dst"))
+      .distinct()
+  }
+
+  /** Re-orient id-oriented edges by (degree, id): each undirected edge
+    * points from its lower-(deg, id) endpoint `u` to the higher `v`.
+    * Keeps `v`'s (deg, id) key so the wedge join can order endpoints
+    * without re-joining degrees. Output: (u, v, vkey struct).
+    */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("src").as("vx"))
+      .unionAll(edges.select(col("dst").as("vx")))
+      .groupBy("vx").agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("vx").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("vx").as("dst"), col("deg").as("ddeg")), "dst")
+      .select(
+        when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")),
+          col("src")).otherwise(col("dst")).as("u"),
+        when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")),
+          struct(col("ddeg").as("k1"), col("dst").as("k2")))
+          .otherwise(struct(col("sdeg").as("k1"), col("src").as("k2")))
+          .as("vkey"))
+      .select(col("u"), col("vkey.k2").as("v"), col("vkey"))
+  }
+
+  /** All triangles, each exactly once, as corner rows (a, b, c) — order
+    * of corners within a row follows the degree orientation, so treat
+    * them as a set. Three hash equi-joins: wedges out of each vertex's
+    * oriented out-neighborhood (ordered pairs, so no wedge repeats),
+    * closed by an edge lookup. With degree orientation the wedge volume
+    * is O(E^1.5) — the hub-vertex fan-out a raw id-orientation suffers
+    * is structurally impossible here.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    // the oriented-edge subtree appears three times in one plan (e1, e2,
+    // closing lookup) — identical subtrees, so ReuseExchange materializes
+    // its shuffle once; no persist() needed (and none that could pin
+    // executor storage across bench laps)
+    val o = orientByDegree(edges)
+    val w = o.as("e1").join(o.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.vkey") < col("e2.vkey"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    w.join(o.select(col("u").as("b"), col("v").as("c")).as("e3"),
+        Seq("b", "c"))
+      .select("a", "b", "c")
+  }
+}

@@ -670,6 +670,69 @@ object DedupQueries {
             AND bit_count(xor(x.bucket, y.bucket)) <= 1)
         SELECT a, b, dab / (sqrt(daa) * sqrt(dbb)) AS cos
         FROM dots WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.35
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    QDef(
+      "dedup_substring_spans",
+      (s, dir) => {
+        // exact substring-span dedup (the Lee et al. 2022 "Deduplicating
+        // Training Data" operator): find every maximal word-span whose
+        // 5-gram content also appears in ANOTHER document, with
+        // positions, so the caller can cut the span rather than drop the
+        // doc. Spark-native re-expression of the suffix-array approach:
+        // positional rolling-hash 5-grams (pure projection + per-doc
+        // window, no shuffle until the gram groupBy), cross-doc
+        // duplicated grams via one hash aggregation, then gaps-and-
+        // islands (pos - row_number) merges overlapping hits into
+        // maximal spans. Every shuffle key is an 8-byte hash — no
+        // strings move. Same-doc repeats don't count as duplication
+        // (count(DISTINCT doc_id) >= 2), matching the paper's cross-doc
+        // semantics.
+        val k = 5
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val g = Dedup.docWordIds(tbl(s, dir, "documents"), "doc_id", "text")
+          .withColumn("w1", lead(col("word_id"), 1).over(wd))
+          .withColumn("w2", lead(col("word_id"), 2).over(wd))
+          .withColumn("w3", lead(col("word_id"), 3).over(wd))
+          .withColumn("w4", lead(col("word_id"), 4).over(wd))
+          .where(col("w4").isNotNull)
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+            (((((col("word_id") * B + col("w1")) % P * B + col("w2")) % P
+              * B + col("w3")) % P * B + col("w4")) % P).as("gid"))
+        val dup = g.groupBy("gid")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2).select("gid")
+        val hits = g.join(dup, "gid").select("doc_id", "pos")
+        hits
+          .withColumn("grp", col("pos") - row_number().over(wd).cast("long"))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"),
+            count(lit(1)).as("n_grams"))
+          .select("doc_id", "span_start", "span_end", "n_grams")
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""
+        WITH $vocabSql,
+        g AS (SELECT doc_id, pos,
+                ((((w0 * $B + w1) % $P * $B + w2) % $P * $B + w3) % $P
+                  * $B + w4) % $P AS gid
+              FROM (SELECT doc_id, pos, word_id AS w0,
+                      lead(word_id, 1) OVER wd AS w1,
+                      lead(word_id, 2) OVER wd AS w2,
+                      lead(word_id, 3) OVER wd AS w3,
+                      lead(word_id, 4) OVER wd AS w4
+                    FROM ids
+                    WINDOW wd AS (PARTITION BY doc_id ORDER BY pos))
+              WHERE w4 IS NOT NULL),
+        d AS (SELECT gid FROM g GROUP BY gid
+              HAVING count(DISTINCT doc_id) >= 2),
+        h AS (SELECT doc_id, pos FROM g JOIN d USING (gid)),
+        r AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM h)
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+               count(*) AS n_grams
+        FROM r GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
   )
 }

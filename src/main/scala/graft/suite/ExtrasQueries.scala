@@ -859,6 +859,101 @@ object ExtrasQueries {
                  AS rev_cents
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         WHERE l_quantity >= 49
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QDef(
+      "agg_corr_exact",
+      (s, dir) => {
+        // per-group Pearson correlation from EXACT integer moments:
+        // built-in corr() accumulates doubles, so its value depends on
+        // partition order — useless for cross-engine comparison and
+        // subtly nondeterministic under AQE. Instead one map-side-
+        // combined pass collects n, Σx, Σy, Σx², Σy², Σxy as decimal(38)
+        // integers (order-independent), and the final corr is a single
+        // identical IEEE expression over those exact inputs in every
+        // engine. Same shape as agg_profile_value's variance.
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            cents(col("l_quantity")).as("x"),
+            cents(col("l_extendedprice")).as("y"))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(dec(col("x"))).as("sx"),
+            sum(dec(col("y"))).as("sy"),
+            sum(dec(col("x") * col("x"))).as("sxx"),
+            sum(dec(col("y") * col("y"))).as("syy"),
+            sum(dec(col("x") * col("y"))).as("sxy"))
+          .select(col("l_returnflag"),
+            col("n").cast("long").as("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                   (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH t AS (SELECT l_returnflag,
+                     CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                   FROM lineitem),
+        m AS (SELECT l_returnflag,
+                CAST(count(*) AS HUGEINT) AS n,
+                sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                sum(CAST(x AS HUGEINT) * x) AS sxx,
+                sum(CAST(y AS HUGEINT) * y) AS syy,
+                sum(CAST(x AS HUGEINT) * y) AS sxy
+              FROM t GROUP BY 1)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                      CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price
+        FROM m ORDER BY l_returnflag""")),
+
+    QDef(
+      "agg_mad",
+      (s, dir) => {
+        // median absolute deviation — the robust spread statistic every
+        // data-quality profile wants next to stddev. Two passes of the
+        // same per-group exact-quantile operator (partitioned window
+        // rank, parallel across groups, no global sort): the group
+        // median, then the median of |x - median|.
+        // The 5-row median frame broadcasts back onto the fact table, so
+        // the second pass costs the same single shuffle as the first.
+        val ev = tbl(s, dir, "events")
+          .select(col("event_type"), cents(col("value")).as("cents"),
+            col("event_id"))
+        val med = graft.operators.Quantiles.exactQuantileByGroup(
+            ev, "event_type", "cents", "event_id", q = 0.5)
+          .select(col("event_type"), col("cents").as("med_cents"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"),
+            abs(col("cents") - col("med_cents")).as("dev"), col("event_id"))
+        val mad = graft.operators.Quantiles.exactQuantileByGroup(
+            dev, "event_type", "dev", "event_id", q = 0.5)
+          .select(col("event_type"), col("dev").as("mad_cents"))
+        med.join(mad, "event_type")
+          .select("event_type", "med_cents", "mad_cents")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                          event_id FROM events),
+        m AS (SELECT event_type, cents AS med_cents FROM (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY cents, event_id) - 1 AS r0,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM t) WHERE r0 = CAST(floor(0.5 * (n - 1)) AS BIGINT)),
+        d AS (SELECT t.event_type, abs(t.cents - m.med_cents) AS dev, t.event_id
+              FROM t JOIN m USING (event_type)),
+        md AS (SELECT event_type, dev AS mad_cents FROM (
+                SELECT event_type, dev,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY dev, event_id) - 1 AS r0,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM d) WHERE r0 = CAST(floor(0.5 * (n - 1)) AS BIGINT))
+        SELECT event_type, med_cents, mad_cents
+        FROM m JOIN md USING (event_type) ORDER BY event_type"""))
   )
 }

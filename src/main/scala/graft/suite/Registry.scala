@@ -42,5 +42,5 @@ object Registry {
     CoreQueries.all ++ RelationalQueries.all ++ Af3Queries.all ++
       DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ StreamingQueries.all ++ ExtrasQueries.all ++
-      WindowExtraQueries.all ++ SamplingQueries.all
+      WindowExtraQueries.all ++ SamplingQueries.all ++ GraphQueries.all
 }

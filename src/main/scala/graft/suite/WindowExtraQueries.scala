@@ -211,6 +211,37 @@ object WindowExtraQueries {
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY sec
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    QDef(
+      "win_forward_fill",
+      (s, dir) => {
+        // gap-fill / LOCF (last observation carried forward): only
+        // purchase events carry an observed value; every other event
+        // inherits the user's most recent purchase amount. One
+        // partitioned window with last(ignoreNulls) — a single shuffle
+        // on user_id, no self-join, no loop; the standard sparse-to-
+        // dense feature densification at any scale. Ordered by the
+        // unique event_id (ts ties would make LOCF order-dependent).
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long")).as("v"))
+          .withColumn("filled_cents", last(col("v"), ignoreNulls = true).over(w))
+          .select("user_id", "event_id", "filled_cents")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH t AS (SELECT user_id, event_id,
+                     CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT) END AS v
+                   FROM events)
+        SELECT user_id, event_id,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        FROM t ORDER BY event_id"""))
   )
 }
