@@ -56,4 +56,40 @@ object RangeJoin {
       .filter(col(pointCol) >= iCol(loCol) && col(pointCol) < iCol(hiCol))
       .drop("__bkt")
   }
+
+  /** Interval-INTERVAL overlap join: all (left, right) pairs of closed
+    * intervals `[lo, hi]` that intersect (and agree on `keys`). Both
+    * sides explode to their covered buckets and meet in an equi-join on
+    * `(keys…, bucket)`; a pair of overlapping intervals shares every
+    * bucket of its intersection, so exactly-once output comes from
+    * keeping only the FIRST shared bucket — the one containing
+    * `max(left.lo, right.lo)`, where the intersection starts. No
+    * `distinct` (which would shuffle the full candidate set) needed.
+    * Right-side columns clashing with left names get an `r_` prefix.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lLoCol: String,
+      lHiCol: String,
+      right: DataFrame,
+      rLoCol: String,
+      rHiCol: String,
+      keys: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val clash = right.columns.toSet.intersect(left.columns.toSet) -- keys
+    val r0 = clash.foldLeft(right)((d, c) => d.withColumnRenamed(c, "r_" + c))
+    def rCol(name: String) = col(if (clash(name)) "r_" + name else name)
+    val l = left.filter(col(lLoCol) <= col(lHiCol)).withColumn("__bkt",
+      explode(sequence(bucketOf(col(lLoCol), bucketWidth),
+        bucketOf(col(lHiCol), bucketWidth))))
+    val r = r0.filter(rCol(rLoCol) <= rCol(rHiCol)).withColumn("__bkt",
+      explode(sequence(bucketOf(rCol(rLoCol), bucketWidth),
+        bucketOf(rCol(rHiCol), bucketWidth))))
+    l.join(r, keys :+ "__bkt")
+      .filter(col(lLoCol) <= rCol(rHiCol) && rCol(rLoCol) <= col(lHiCol))
+      .filter(col("__bkt") ===
+        bucketOf(greatest(col(lLoCol), rCol(rLoCol)), bucketWidth))
+      .drop("__bkt")
+  }
 }

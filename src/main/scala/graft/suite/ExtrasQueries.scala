@@ -954,6 +954,91 @@ object ExtrasQueries {
                        count(*) OVER (PARTITION BY event_type) AS n
                 FROM d) WHERE r0 = CAST(floor(0.5 * (n - 1)) AS BIGINT))
         SELECT event_type, med_cents, mad_cents
-        FROM m JOIN md USING (event_type) ORDER BY event_type"""))
+        FROM m JOIN md USING (event_type) ORDER BY event_type""")),
+
+    QDef(
+      "join_interval_overlap",
+      (s, dir) => {
+        // interval×interval overlap join — concurrent sessions across
+        // users. Naively `a.lo <= b.hi AND b.lo <= a.hi` plans as a
+        // nested loop over sessions²; RangeJoin.intervalOverlap buckets
+        // the time axis (width ≈ max session length, fan-out ≤ 2) into
+        // an equi-join, exactly-once via the first-shared-bucket rule.
+        // Session derivation reuses the flagship islands operator.
+        val sess = graft.operators.Islands.islands(
+            tbl(s, dir, "events")
+              .select(col("user_id"), unix_timestamp(col("ts")).as("sec")),
+            Seq("user_id"), "sec", maxGap = 1800L, minLen = 2L)
+          .select(col("user_id"), col("island_start").as("lo"),
+            col("island_end").as("hi"))
+        graft.operators.RangeJoin.intervalOverlap(
+            sess, "lo", "hi", sess, "lo", "hi", Nil, bucketWidth = 3600L)
+          .filter(col("user_id") < col("r_user_id"))
+          .select(col("user_id").as("user_a"), col("lo").as("start_a"),
+            col("r_user_id").as("user_b"), col("r_lo").as("start_b"),
+            (least(col("hi"), col("r_hi")) -
+              greatest(col("lo"), col("r_lo"))).as("overlap_sec"))
+          .orderBy("user_a", "start_a", "user_b", "start_b")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        b AS (SELECT user_id, sec,
+              CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+                   THEN 1 ELSE 0 END AS brk FROM e),
+        g AS (SELECT user_id, sec,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+              FROM b),
+        s AS (SELECT user_id, min(sec) AS lo, max(sec) AS hi
+              FROM g GROUP BY user_id, sid HAVING count(*) >= 2)
+        SELECT a.user_id AS user_a, a.lo AS start_a,
+               b.user_id AS user_b, b.lo AS start_b,
+               least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_sec
+        FROM s a JOIN s b
+          ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+        ORDER BY user_a, start_a, user_b, start_b""")),
+
+    QDef(
+      "pipeline_scd2_history",
+      (s, dir) => {
+        // slowly-changing-dimension type-2 history from a change
+        // stream: each customer's order-priority over time, with
+        // consecutive equal values collapsed into one versioned
+        // validity interval (run collapse = the islands trick on
+        // row_number difference; zero joins until the final lead()).
+        // The lakehouse MERGE-history shape, built from plain windows.
+        val w = Window.partitionBy(col("c")).orderBy(col("d"), col("k"))
+        val wp = Window.partitionBy(col("c"), col("p")).orderBy(col("d"), col("k"))
+        val runs = tbl(s, dir, "orders")
+          .select(col("o_custkey").as("c"), col("o_orderdate").as("d"),
+            col("o_orderkey").as("k"), col("o_orderpriority").as("p"))
+          .withColumn("grp",
+            row_number().over(w) - row_number().over(wp))
+          .groupBy(col("c"), col("p"), col("grp"))
+          .agg(min(col("d")).as("valid_from"), min(col("k")).as("first_k"))
+        val wv = Window.partitionBy(col("c")).orderBy(col("valid_from"), col("first_k"))
+        runs
+          .withColumn("version", row_number().over(wv).cast("long"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+          .select(col("c").as("custkey"), col("version"), col("p").as("priority"),
+            col("valid_from"), col("valid_to"))
+          .orderBy("custkey", "version")
+      },
+      Some("""
+        WITH o AS (SELECT o_custkey AS c, o_orderdate AS d, o_orderkey AS k,
+                          o_orderpriority AS p FROM orders),
+        r AS (SELECT c, d, k, p,
+                row_number() OVER (PARTITION BY c ORDER BY d, k)
+                - row_number() OVER (PARTITION BY c, p ORDER BY d, k) AS grp
+              FROM o),
+        runs AS (SELECT c, p, grp, min(d) AS valid_from, min(k) AS first_k
+                 FROM r GROUP BY c, p, grp),
+        v AS (SELECT c, p, valid_from, first_k,
+                CAST(row_number() OVER wv AS BIGINT) AS version,
+                lead(valid_from) OVER wv AS valid_to
+              FROM runs
+              WINDOW wv AS (PARTITION BY c ORDER BY valid_from, first_k))
+        SELECT c AS custkey, version, p AS priority, valid_from, valid_to
+        FROM v ORDER BY custkey, version"""))
   )
 }

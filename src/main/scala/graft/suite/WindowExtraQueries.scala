@@ -242,6 +242,50 @@ object WindowExtraQueries {
                last_value(v IGNORE NULLS) OVER (
                  PARTITION BY user_id ORDER BY event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
-        FROM t ORDER BY event_id"""))
+        FROM t ORDER BY event_id""")),
+
+    QDef(
+      "win_ewma",
+      (s, dir) => {
+        // truncated exponentially-weighted moving average (decay 1/2,
+        // depth 8) per user — the smoothing signal EWMA features need,
+        // WITHOUT the sequential recurrence that doesn't distribute:
+        // each row's contribution is SHIFTED onto the next 8 row
+        // numbers (explode d∈[0,7]) and met in a plain equi-join on
+        // (user, rn), so the whole thing is one bounded-fan-out
+        // shuffle. Weights 2^-d and cents spans stay under 53
+        // significand bits, so every partial sum is exact in IEEE
+        // doubles — the result is partition-order-independent and
+        // engine-exact.
+        val wr = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val e = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("rn", row_number().over(wr).cast("long"))
+        val contrib = e
+          .withColumn("d", explode(sequence(lit(0), lit(7))))
+          .select(col("user_id"), (col("rn") + col("d")).as("rn_t"),
+            col("cents"), col("d"))
+        e.select(col("user_id"), col("event_id"), col("rn").as("rn_t"))
+          .join(contrib, Seq("user_id", "rn_t"))
+          .groupBy(col("user_id"), col("event_id"))
+          .agg((sum(col("cents") * pow(lit(0.5), col("d"))) /
+                sum(pow(lit(0.5), col("d")))).as("ewma_cents"),
+            count(lit(1)).as("n_terms"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS rn
+                   FROM events),
+        c AS (SELECT user_id, rn + d AS rn_t, cents, d
+              FROM e, (SELECT unnest(generate_series(0, 7)) AS d) ds)
+        SELECT a.user_id, a.event_id,
+               sum(c.cents * power(0.5, c.d)) / sum(power(0.5, c.d)) AS ewma_cents,
+               count(*) AS n_terms
+        FROM e a JOIN c ON a.user_id = c.user_id AND a.rn = c.rn_t
+        GROUP BY a.user_id, a.event_id ORDER BY a.event_id"""))
   )
 }

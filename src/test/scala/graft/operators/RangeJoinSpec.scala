@@ -44,4 +44,39 @@ class RangeJoinSpec extends SparkSpec {
       .select("p_id").collect().map(_.getLong(0)).sorted
     assert(got.toSeq === Seq(2L, 3L))
   }
+
+  test("intervalOverlap == brute-force overlap join, exactly once (seeded random)") {
+    val rnd = new scala.util.Random(23)
+    def mk(n: Int, tag: String) = (1 to n).map { i =>
+      val lo = rnd.nextInt(10000).toLong
+      (i.toLong, rnd.nextInt(3).toLong, lo, lo + rnd.nextInt(3000).toLong)
+    }.toDF(s"${tag}_id", "k", s"${tag}_lo", s"${tag}_hi")
+    val a = mk(80, "a")
+    val b = mk(120, "b")
+
+    val fast = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+        Seq("k"), bucketWidth = 700L)
+      .select("a_id", "b_id")
+    val brute = a.join(b, Seq("k"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id")
+
+    assert(fast.count() === brute.count())
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+    assert(fast.distinct().count() === fast.count())
+  }
+
+  test("intervalOverlap boundaries: touching intervals overlap, disjoint don't") {
+    val a = Seq((1L, 0L, 100L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq(
+      (1L, 100L, 200L),  // touches at 100 -> closed-interval overlap
+      (2L, 101L, 200L),  // disjoint by 1
+      (3L, 0L, 1000L),   // spans many buckets, contains a entirely
+      (4L, 50L, 60L))    // nested inside a
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+        Nil, bucketWidth = 64L)
+      .select("b_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 3L, 4L))
+  }
 }
