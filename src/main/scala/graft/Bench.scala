@@ -38,6 +38,7 @@ object Bench {
     setupStep("dedup_corpus_index")(suite.DedupQueries.prebuildArtifacts(spark, sfDir))
     setupStep("ivf_index")(suite.SimilarityQueries.prebuildArtifacts(spark, sfDir))
     setupStep("bucketed_tables")(suite.ExtrasQueries.prebuildBucketed(spark, sfDir))
+    setupStep("graph_edges")(suite.GraphQueries.prebuildArtifacts(spark, sfDir))
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 

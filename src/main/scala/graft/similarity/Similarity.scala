@@ -254,6 +254,55 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
+  /** Matryoshka-style two-stage serving funnel over the IVF index:
+    * probe `nprobe` cells, COARSE-score the probed candidates with an
+    * integer dot over only the first `prefixDims` dimensions (the
+    * prefix of an MRL-trained embedding carries most of the signal at
+    * `prefixDims/dims` of the arithmetic), keep a per-query shortlist,
+    * and exact-rank only the shortlist by full-dimension cosine. The
+    * shape a billion-vector serving tier actually runs: every join is
+    * the same bounded cell equi-join as [[ivfTopKFrom]], and the
+    * expensive full-width scoring touches `shortlist` rows per query
+    * instead of the whole probed population. All arithmetic is the
+    * integer-exact kind the oracles reproduce bit-for-bit.
+    */
+  def ivfPrefixRerankTopK(
+      dists: DataFrame,
+      nprobe: Int,
+      prefixDims: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val assign = ivfArgmin(dists)
+    val probes = dists
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("v_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("v_id").as("q_id"), col("ie").as("q_ie"),
+        col("aa").as("q_aa"), col("cid").as("cell"))
+    val coarse = probes
+      .join(assign.select(col("v_id").as("c_id"), col("ie").as("c_ie"),
+          col("aa").as("c_aa"), col("cell")),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("pdot", graft.functions.VectorExpressions.dotLong(
+        slice(col("q_ie"), 1, prefixDims), slice(col("c_ie"), 1, prefixDims)))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("pdot").desc, col("c_id"))))
+      .filter(col("crank") <= shortlist)
+    coarse
+      .withColumn("idot", graft.functions.VectorExpressions.dotLong(
+        col("q_ie"), col("c_ie")))
+      .withColumn("cos",
+        when(col("q_aa") === 0L || col("c_aa") === 0L, lit(0.0))
+          .otherwise(col("idot") /
+            (sqrt(col("q_aa").cast("double")) * sqrt(col("c_aa").cast("double")))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  }
+
   /** Blocked near-duplicate pairs by cosine: candidate pairs come from
     * LSH buckets (own bucket + every Hamming-1 probe, so any pair whose
     * bucket ids differ in at most one plane bit is compared), and the

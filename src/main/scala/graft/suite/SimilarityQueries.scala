@@ -270,6 +270,45 @@ object SimilarityQueries {
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     QDef(
+      "sim_ivf_prefix_rerank",
+      (s, dir) =>
+        // the Matryoshka serving funnel: IVF cells bound the candidate
+        // set, a prefix-8 integer dot shortlists 10 per query at 1/8th
+        // of the arithmetic, and only the shortlist pays full-width
+        // cosine — probe-bound, then shortlist-bound, never
+        // corpus-bound. Probes the SHARED ivf index.
+        Similarity.ivfPrefixRerankTopK(sharedIvfDists(s, dir), IvfProbe,
+            prefixDims = 8, shortlist = 10, k = 3)
+          .orderBy("q_id", "rank"),
+      Some(s"""
+        WITH $ivfPreludeSql,
+        probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
+                     SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY d2, cid) AS pr
+                     FROM dists d JOIN av a ON a.vec_id = d.vec_id)
+                   WHERE pr <= $IvfProbe),
+        coarse AS (SELECT p.q_id, s.vec_id AS c_id, p.q_ie, s.ie AS c_ie,
+                     p.q_aa, sa.aa AS c_aa,
+                     ${intDotSql("list_slice(p.q_ie, 1, 8)", "list_slice(s.ie, 1, 8)")} AS pdot
+                   FROM probes p
+                   JOIN assign s ON s.cell = p.cell AND s.vec_id != p.q_id
+                   JOIN av sa ON sa.vec_id = s.vec_id),
+        short AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY pdot DESC, c_id) AS crank FROM coarse)
+                  WHERE crank <= 10),
+        scored AS (SELECT q_id, c_id,
+                     CASE WHEN q_aa = 0 OR c_aa = 0 THEN 0.0
+                          ELSE ${intDotSql("q_ie", "c_ie")} /
+                               (sqrt(CAST(q_aa AS DOUBLE))
+                                * sqrt(CAST(c_aa AS DOUBLE))) END AS cos
+                   FROM short),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, c_id) AS rank FROM scored)
+        SELECT q_id, c_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    QDef(
       "sim_cosine_topk",
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
