@@ -443,6 +443,56 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "px_hash")
   }
 
+  /** Per-channel pixel statistics over REAL decoded images: channel
+    * sums plus red-channel min/max — the normalization profile (mean
+    * brightness, dynamic range) an image-training pipeline computes
+    * before standardizing inputs. Executor-side decode + one pixel
+    * pass; output is a tiny stats row per image, so the shuffle carries
+    * statistics, never pixels.
+    */
+  def channelStats(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        decodeLosslessImage(b.content).map { im =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var mn = 255L; var mx = 0L
+          var y = 0
+          while (y < im.getHeight) {
+            var x = 0
+            while (x < im.getWidth) {
+              val p = im.getRGB(x, y)
+              val r = (p >>> 16) & 0xff
+              sr += r; sg += (p >>> 8) & 0xff; sb += p & 0xff
+              if (r < mn) mn = r
+              if (r > mx) mx = r
+              x += 1
+            }
+            y += 1
+          }
+          (b.doc_id, im.getWidth.toLong, im.getHeight.toLong,
+            sr, sg, sb, mn, mx)
+        }
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+      "min_r", "max_r")
+  }
+
+  /** Expected channel stats of pattern `img` — (graySum, grayMin,
+    * grayMax) over the PatternSize² pattern from [[patternGray]]
+    * arithmetic alone, independent of the PNG encode/decode path.
+    */
+  def patternChannelStats(img: Int): (Long, Long, Long) = {
+    var s = 0L; var mn = 255L; var mx = 0L
+    for (y <- 0 until PatternSize; x <- 0 until PatternSize) {
+      val g = patternGray(img, x, y).toLong
+      s += g
+      if (g < mn) mn = g
+      if (g > mx) mx = g
+    }
+    (s, mn, mx)
+  }
+
   /** Expected [[pixelCrc]] of pattern `img` resized to (ow, oh), from
     * [[patternGray]] arithmetic alone — an independent path from
     * encode->ImageIO-decode->[[resizeNearest]], so the oracle constants

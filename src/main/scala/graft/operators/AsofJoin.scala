@@ -64,4 +64,47 @@ object AsofJoin {
         leftCols.filterNot(keyCols.contains).map(c => col(s"__l_$c").as(c)) ++
         valueCols.map(c => col(s"__c_$c").as(c)): _*)
   }
+
+  /** As-of FORWARD join: for every left row, attach the EARLIEST right
+    * row with `right.ts >= left.ts` within the same key — the "next
+    * reading after" mirror of [[asofBackward]], same union-and-window
+    * plan (one shuffle, no nested loop). Ties (`right.ts == left.ts`)
+    * attach; among right rows at the same timestamp the SMALLEST
+    * `tieBreak` wins.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns
+    // left tags 0, right 1: at equal ts the left row sorts FIRST, so
+    // same-timestamp right rows fall inside its following frame
+    val l = left.withColumn("__ts", col(leftTs).cast("timestamp").cast("long"))
+      .withColumn("__side", lit(0))
+      .select((keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
+        leftCols.filterNot(keyCols.contains).map(c => col(c).as(s"__l_$c")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right.withColumn("__ts", col(rightTs).cast("timestamp").cast("long"))
+      .withColumn("__side", lit(1))
+      .select((keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
+        leftCols.filterNot(keyCols.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    val ordering = (col("__ts") :: col("__side") ::
+      tieBreak.toList.map(c => col(s"__r_$c").asc_nulls_last)): Seq[Column]
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__c_$c", first(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 0)
+      .select(keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains).map(c => col(s"__l_$c").as(c)) ++
+        valueCols.map(c => col(s"__c_$c").as(c)): _*)
+  }
 }

@@ -74,12 +74,17 @@ object Graph {
     * is O(E^1.5) — the hub-vertex fan-out a raw id-orientation suffers
     * is structurally impossible here.
     */
-  def triangles(edges: DataFrame): DataFrame = {
-    // the oriented-edge subtree appears three times in one plan (e1, e2,
-    // closing lookup) — identical subtrees, so ReuseExchange materializes
-    // its shuffle once; no persist() needed (and none that could pin
-    // executor storage across bench laps)
-    val o = orientByDegree(edges)
+  def triangles(edges: DataFrame): DataFrame =
+    trianglesFromOriented(orientByDegree(edges))
+
+  /** [[triangles]] with the orientation step supplied by the caller —
+    * the oriented-edge frame appears THREE times in the plan (both
+    * wedge sides and the closing lookup), so callers running repeatedly
+    * should persist it (e.g. as a session artifact): against an
+    * unpersisted input, AQE re-plans each subtree independently and
+    * the orientation's shuffles run three times over.
+    */
+  def trianglesFromOriented(o: DataFrame): DataFrame = {
     val w = o.as("e1").join(o.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.vkey") < col("e2.vkey"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))

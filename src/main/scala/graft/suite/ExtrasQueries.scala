@@ -313,6 +313,33 @@ object ExtrasQueries {
         WHERE rn = 1 ORDER BY event_id""")),
 
     QDef(
+      "join_asof_forward",
+      (s, dir) => {
+        // per event: the user's NEXT order on/after the event time —
+        // the forward mirror of join_asof (same union-and-window plan,
+        // one shuffle, no nested loop); at equal timestamps the
+        // smallest orderkey attaches
+        val ev = tbl(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+        val o = tbl(s, dir, "orders")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+        AsofJoin.asofForward(ev, o, Seq("user_id"), "ts", "o_orderdate",
+            valueCols = Seq("o_orderkey"), tieBreak = Seq("o_orderkey"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, o_orderkey FROM (
+          SELECT e.event_id, e.user_id, o.o_orderkey,
+            row_number() OVER (PARTITION BY e.event_id
+              ORDER BY o.o_orderdate ASC NULLS LAST,
+                       o.o_orderkey ASC NULLS LAST) AS rn
+          FROM events e LEFT JOIN orders o
+            ON o.o_custkey = e.user_id
+           AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+               >= CAST(floor(epoch(e.ts)) AS BIGINT)) t
+        WHERE rn = 1 ORDER BY event_id""")),
+
+    QDef(
       "join_salted_skew",
       (s, dir) => {
         // explicit salt-and-replicate equi-join: fact keys spread over 16

@@ -337,6 +337,32 @@ object MultimodalQueries {
         SELECT * FROM (VALUES $rows)
           AS t(doc_id, width, height, px_hash)
         ORDER BY doc_id, width"""
+      }),
+
+    QDef(
+      "mm_image_channel_stats", {
+        (s, dir) =>
+          // per-channel pixel statistics over REAL decoded pixels — the
+          // normalization profile (channel sums, red dynamic range)
+          // computed executor-side in one pixel pass; the oracle's
+          // expected values come from independent pure arithmetic on
+          // the pattern definition, checking PNG encode -> ImageIO
+          // decode -> stats end to end. Gray patterns: sum_r == sum_g
+          // == sum_b is part of what's checked.
+          Multimodal.channelStats(Multimodal.patternImageBlobs(s))
+            .orderBy("doc_id")
+      },
+      Some {
+        val rows = (0 until 6).map { i =>
+          val (sum, mn, mx) = Multimodal.patternChannelStats(i)
+          s"(CAST(${-11 - i} AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), " +
+            s"CAST($sum AS BIGINT), CAST($sum AS BIGINT), CAST($sum AS BIGINT), " +
+            s"CAST($mn AS BIGINT), CAST($mx AS BIGINT))"
+        }.mkString(", ")
+        s"""
+        SELECT * FROM (VALUES $rows)
+          AS t(doc_id, width, height, sum_r, sum_g, sum_b, min_r, max_r)
+        ORDER BY doc_id"""
       })
   )
 }

@@ -162,6 +162,32 @@ object WindowExtraQueries {
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QDef(
+      "stream_sliding_window",
+      (s, dir) =>
+        // sliding windows (10-min size, 5-min slide): every event lands
+        // in exactly size/slide = 2 windows — window() expands the row
+        // BEFORE the aggregation shuffle (a projection, not a join), and
+        // the same code runs unchanged under readStream with a
+        // watermark. The rate signal tumbling windows aliase away.
+        tbl(s, dir, "events")
+          .groupBy(col("event_type"),
+            window(col("ts"), "10 minutes", "5 minutes").as("w"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+          .select(col("event_type"), unix_timestamp(col("w.start")).as("win_start"),
+            col("n"), col("sum_cents"))
+          .orderBy("event_type", "win_start"),
+      Some("""
+        WITH x AS (SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     unnest([(epoch_us(ts) // 300000000) * 300,
+                             (epoch_us(ts) // 300000000) * 300 - 300]) AS win_start
+                   FROM events)
+        SELECT event_type, win_start, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QDef(
       "sim_dot_sql",
       (s, dir) => {
         // the native expression through its SQL surface (GraftExtensions)
