@@ -113,6 +113,68 @@ object GraphQueries {
                JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
         x AS (SELECT unnest([a, b, c]) AS part FROM tr)
         SELECT part, count(*) AS n_tri FROM x
-        GROUP BY part ORDER BY n_tri DESC, part LIMIT 20"""))
+        GROUP BY part ORDER BY n_tri DESC, part LIMIT 20""")),
+
+    QDef(
+      "graph_cc_components",
+      (s, dir) =>
+        // connected components of the affinity graph — the SAME
+        // hash-min + path-shortcutting CC operator the dedup survivor
+        // stack runs (logarithmic rounds, lineage cut per round),
+        // pointed at a different domain: product families emerge as
+        // components of the support>=2 co-purchase graph. Oracle is a
+        // min-reachable-label recursive CTE.
+        graft.dedup.Dedup.connectedComponents(
+            sharedSupportEdges(s, dir), "src", "dst")
+          .groupBy(col("label")).agg(count(lit(1)).as("n_parts"))
+          .orderBy(col("n_parts").desc, col("label")),
+      Some(s"""
+        WITH RECURSIVE $edgeSql,
+        e2 AS (SELECT src, dst FROM ew WHERE support >= 2),
+        e AS (SELECT src AS u, dst AS v FROM e2
+              UNION SELECT dst AS u, src AS v FROM e2),
+        reach(u, m) AS (
+          SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT r.u, e.v AS m FROM reach r JOIN e ON r.m = e.u),
+        comp AS (SELECT u, min(m) AS label FROM reach GROUP BY u)
+        SELECT label, count(*) AS n_parts FROM comp
+        GROUP BY label ORDER BY n_parts DESC, label""")),
+
+    QDef(
+      "graph_common_neighbors",
+      (s, dir) => {
+        // link prediction by common-neighbor count: the top-20
+        // NOT-yet-adjacent part pairs sharing the most co-purchase
+        // neighbors. Wedge join over the undirected adjacency (all
+        // wedges, unlike triangle counting's oriented ones — a pair's
+        // common neighbors include centers below it in degree order),
+        // then an anti-join removes existing edges. On a big graph the
+        // known lever is super-hub capping; the support gate already
+        // bounds this one.
+        val e = sharedSupportEdges(s, dir)
+        val adj = e.select(col("src").as("z"), col("dst").as("w"))
+          .unionAll(e.select(col("dst").as("z"), col("src").as("w")))
+        val wedges = adj.as("a").join(adj.as("b"),
+            col("a.z") === col("b.z") && col("a.w") < col("b.w"))
+          .select(col("a.w").as("p1"), col("b.w").as("p2"))
+        wedges.groupBy("p1", "p2").agg(count(lit(1)).as("n_common"))
+          .join(e.select(col("src").as("p1"), col("dst").as("p2")),
+            Seq("p1", "p2"), "left_anti")
+          .orderBy(col("n_common").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH $edgeSql,
+        e2 AS (SELECT src, dst FROM ew WHERE support >= 2),
+        adj AS (SELECT src AS z, dst AS w FROM e2
+                UNION ALL SELECT dst AS z, src AS w FROM e2),
+        cn AS (SELECT a.w AS p1, b.w AS p2, count(*) AS n_common
+               FROM adj a JOIN adj b ON a.z = b.z AND a.w < b.w
+               GROUP BY 1, 2)
+        SELECT p1, p2, n_common FROM cn
+        WHERE NOT EXISTS (SELECT 1 FROM e2
+                          WHERE e2.src = cn.p1 AND e2.dst = cn.p2)
+        ORDER BY n_common DESC, p1, p2 LIMIT 20"""))
   )
 }

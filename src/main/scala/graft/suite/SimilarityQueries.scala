@@ -276,7 +276,10 @@ object SimilarityQueries {
         // set, a prefix-8 integer dot shortlists 10 per query at 1/8th
         // of the arithmetic, and only the shortlist pays full-width
         // cosine — probe-bound, then shortlist-bound, never
-        // corpus-bound. Probes the SHARED ivf index.
+        // corpus-bound. Probes the SHARED ivf index. NOTE the funnel's
+        // recall premise is an MRL-trained embedding whose prefix
+        // concentrates signal; AnnRecallSpec records the measured
+        // recall collapse on these isotropic synthetic vectors.
         Similarity.ivfPrefixRerankTopK(sharedIvfDists(s, dir), IvfProbe,
             prefixDims = 8, shortlist = 10, k = 3)
           .orderBy("q_id", "rank"),

@@ -107,4 +107,46 @@ class AnnRecallSpec extends SparkSpec {
     assert(byNp(2) <= byNp(4) && byNp(4) <= byNp(6),
       "recall@10 must be monotone in nprobe")
   }
+
+  test("prefix-rerank funnel: recall vs plain IVF at the same probe budget") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Registry.tbl(spark, dir, "embeddings").cache()
+    val dists = Similarity.ivfDists(emb, "vec_id", "embedding", 8).cache()
+
+    def setOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("q_id") < 50).select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val exact = setOf(Similarity.cosineTopK(
+      emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3))
+    val ivf = setOf(Similarity.ivfTopKFrom(dists, nprobe = 4, k = 3))
+    // full-width shortlist (prefix = all 64 dims) ranks identically to
+    // plain IVF whenever the shortlist is wide enough — the funnel's
+    // only loss source is the coarse prefix ordering
+    val fullPrefix = setOf(Similarity.ivfPrefixRerankTopK(
+      dists, nprobe = 4, prefixDims = 64, shortlist = 50, k = 3))
+    assert(fullPrefix == ivf, "prefix=64/shortlist=50 must equal plain IVF")
+
+    val rIvf = (exact & ivf).size.toDouble / exact.size
+    val sweep = for (pd <- Seq(4, 8, 16)) yield pd -> {
+      val f = setOf(Similarity.ivfPrefixRerankTopK(
+        dists, nprobe = 4, prefixDims = pd, shortlist = 10, k = 3))
+      (exact & f).size.toDouble / exact.size
+    }
+    sweep.foreach { case (pd, r) =>
+      info(f"prefix=$pd shortlist=10 recall@3=$r%.3f (plain IVF $rIvf%.3f)") }
+    val byPd = sweep.toMap
+    // Measured on THIS corpus: prefix=4 .10 | prefix=8 .15 | prefix=16
+    // .27 vs plain IVF .79 — the honest negative result: these
+    // synthetic embeddings are isotropic, so a d-dim prefix carries
+    // only ~d/D of the signal and the shortlist misses most true
+    // neighbors. The funnel's premise is an MRL-TRAINED embedding
+    // whose prefix concentrates the signal; the operator supplies the
+    // shape (and the full-prefix identity above proves the mechanism),
+    // the embedding must supply the information ordering. What must
+    // hold universally: more prefix dims never hurt.
+    assert(byPd(4) <= byPd(8) && byPd(8) <= byPd(16),
+      s"recall must be monotone in prefixDims: $byPd")
+    spark.catalog.clearCache()
+  }
 }
