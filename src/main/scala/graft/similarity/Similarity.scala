@@ -274,23 +274,48 @@ object Similarity {
       k: Int): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
     val assign = ivfArgmin(dists)
+    // Shape discipline learned at sf1 (first cut: 433 s, 300× sf0.1):
+    // 1. The coarse stage is SKINNY — candidate rows carry (ids, cell,
+    //    prefix arrays) only; full vectors rejoin AFTER the shortlist
+    //    cut. Carrying both 64-dim vectors per candidate multiplied
+    //    the heavy stage's bytes ~40×.
+    // 2. Prefix arrays are sliced once per VECTOR in these
+    //    projections, never in the join output (which allocates per
+    //    candidate pair).
+    // 3. Both join inputs are EXPLICITLY repartitioned on the cell key:
+    //    the inputs are tiny, so AQE coalesces their shuffles to ~one
+    //    partition — and then the join's explosive output (nprobe·N²/
+    //    cells rows) lands in that one partition, where the rank
+    //    filter's pre-shuffle WindowGroupLimit sort runs as a single
+    //    spilling task. Explicit repartition pins the fan-out across
+    //    the cluster.
+    val parts = dists.sparkSession.sessionState.conf.numShufflePartitions
     val probes = dists
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("v_id")).orderBy(col("d2"), col("cid"))))
       .filter(col("pr") <= nprobe)
-      .select(col("v_id").as("q_id"), col("ie").as("q_ie"),
-        col("aa").as("q_aa"), col("cid").as("cell"))
-    val coarse = probes
-      .join(assign.select(col("v_id").as("c_id"), col("ie").as("c_ie"),
-          col("aa").as("c_aa"), col("cell")),
-        Seq("cell"))
+      .select(col("v_id").as("q_id"),
+        slice(col("ie"), 1, prefixDims).as("q_pre"), col("cid").as("cell"))
+      .repartition(parts, col("cell"))
+    val cands = assign
+      .select(col("v_id").as("c_id"),
+        slice(col("ie"), 1, prefixDims).as("c_pre"), col("cell"))
+      .repartition(parts, col("cell"))
+    val coarse = probes.join(cands, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("pdot", graft.functions.VectorExpressions.dotLong(
-        slice(col("q_ie"), 1, prefixDims), slice(col("c_ie"), 1, prefixDims)))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorExpressions.dotLong(
+          col("q_pre"), col("c_pre")).as("pdot"))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("pdot").desc, col("c_id"))))
       .filter(col("crank") <= shortlist)
+    // full-width vectors touch only the shortlist (shortlist·Q rows)
+    val vecs = assign.select(col("v_id"), col("ie"), col("aa"))
     coarse
+      .join(vecs.select(col("v_id").as("q_id"), col("ie").as("q_ie"),
+        col("aa").as("q_aa")), Seq("q_id"))
+      .join(vecs.select(col("v_id").as("c_id"), col("ie").as("c_ie"),
+        col("aa").as("c_aa")), Seq("c_id"))
       .withColumn("idot", graft.functions.VectorExpressions.dotLong(
         col("q_ie"), col("c_ie")))
       .withColumn("cos",

@@ -858,6 +858,104 @@ object ExtrasQueries {
       }),
 
     QDef(
+      "scan_csv_corrupt_audit",
+      (s, dir) => {
+        // the CSV twin of scan_jsonl_corrupt_audit: PERMISSIVE scan of a
+        // mixed-corruption CSV with an explicit schema — wrong column
+        // counts AND type-cast failures land in the corrupt column.
+        // SUBTLETY the audit must respect: Spark parses CSV lazily per
+        // referenced column, so whether a type-broken row counts as
+        // corrupt depends on the projection — an audit that doesn't
+        // reference every typed column undercounts (measured: 4 vs 8
+        // here). This aggregate touches id, name AND amount, pinning
+        // full-row semantics. A good row whose quoted name embeds the
+        // delimiter must parse cleanly (the case naive line-splitting
+        // corrupts).
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_csv_corrupt")
+        base.mkdirs()
+        val lines = (0 until 40).map { i =>
+          if (i % 5 != 0) s"""$i,"name, $i",${i * 10}"""
+          else if (i % 2 == 0) s"$i,too,many,columns,here"
+          else s"notanum$i,plain,7"
+        }
+        java.nio.file.Files.write(
+          base.toPath.resolve("mixed.csv"),
+          ("id,name,amount" +: lines).mkString("\n").getBytes("UTF-8"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("amount",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_bad",
+            org.apache.spark.sql.types.StringType)))
+        s.read.schema(schema)
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(base.toString)
+          // PERMISSIVE keeps whatever fields DID parse on a corrupt row
+          // (an over-wide row still yields its leading id) — every data
+          // statistic must gate on `_bad IS NULL`, or corrupt fragments
+          // leak into the "good" numbers
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("_bad")).as("n_corrupt"),
+            count(when(col("_bad").isNull, col("id"))).as("n_good_ids"),
+            coalesce(sum(when(col("_bad").isNull, col("amount"))), lit(0L))
+              .as("sum_good_amount"),
+            count(when(col("_bad").isNull && col("name").contains(","), 1))
+              .as("n_quoted_commas"))
+      },
+      Some {
+        // fixture arithmetic: i % 5 == 0 corrupted (8 rows: 4 over-wide,
+        // 4 type-broken ids — both classes null the whole row under
+        // full-row parse semantics); good rows are the other 32,
+        // amount = 10i, every good name embeds ", "
+        val good = (0 until 40).filter(_ % 5 != 0)
+        s"""SELECT CAST(40 AS BIGINT) AS n_rows,
+               CAST(8 AS BIGINT) AS n_corrupt,
+               CAST(32 AS BIGINT) AS n_good_ids,
+               CAST(${good.map(_ * 10).sum} AS BIGINT) AS sum_good_amount,
+               CAST(32 AS BIGINT) AS n_quoted_commas"""
+      }),
+
+    QDef(
+      "sink_parquet_compacted",
+      (s, dir) => {
+        // the small-file problem and its OPTIMIZE: a fragmented write
+        // (64 shards — what per-task streaming sinks accumulate) is
+        // rewritten into 4 right-sized files; the audit row reports
+        // file counts from the filesystem and proves zero row loss by
+        // re-scanning both generations. At scale this is the same
+        // rewrite with maxRecordsPerFile / target-size binpacking —
+        // the fix for "a year of 5-minute micro-batches = 100k files".
+        val src = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        val base = java.nio.file.Files.createTempDirectory("graft_compact")
+        val fragDir = s"$base/fragmented"
+        val compDir = s"$base/compacted"
+        src.repartition(64).write.mode("overwrite").parquet(fragDir)
+        s.read.parquet(fragDir).repartition(4)
+          .write.mode("overwrite").parquet(compDir)
+        def nFiles(d: String) = new java.io.File(d).listFiles()
+          .count(f => f.getName.endsWith(".parquet"))
+        import s.implicits._
+        val nFrag = nFiles(fragDir)
+        val nComp = nFiles(compDir)
+        val rows = s.read.parquet(compDir).count()
+        val srcRows = src.count()
+        Seq((nFrag.toLong, nComp.toLong, rows, rows == srcRows))
+          .toDF("n_files_fragmented", "n_files_compacted", "n_rows", "lossless")
+      },
+      Some("""
+        SELECT CAST(64 AS BIGINT) AS n_files_fragmented,
+               CAST(4 AS BIGINT) AS n_files_compacted,
+               (SELECT count(*) FROM lineitem) AS n_rows,
+               TRUE AS lossless""")),
+
+    QDef(
       "join_bloom_prefilter",
       (s, dir) => {
         // runtime-filter pattern as a first-class step: the selective
