@@ -92,4 +92,57 @@ object Graph {
         Seq("b", "c"))
       .select("a", "b", "c")
   }
+
+  /** Fixed-iteration PageRank over an UNDIRECTED edge list, in scaled
+    * INTEGER arithmetic: ranks are longs scaled by `scale`, each edge
+    * contribution is `(rank * damp) div (100 * outdeg)` (one integer
+    * truncation per edge, identical on any engine), and the per-vertex
+    * update sums those longs — order-independent, so the result is
+    * bit-exact regardless of partitioning, and an external SQL engine
+    * unrolling the same recurrence agrees hash-for-hash. Floating-point
+    * PageRank cannot promise either (summation order varies per run).
+    *
+    * Shape per iteration: one hash equi-join (adjacency x ranks) + one
+    * map-side-combined aggregation — the textbook distributed PageRank
+    * step. Lineage is cut every round (localCheckpoint, as in
+    * [[graft.dedup.Dedup.connectedComponents]]) so the plan stays flat;
+    * the adjacency (joined once with outdegrees) is cached for the loop
+    * and released before returning. Undirected doubling means every
+    * vertex has out-edges — no dangling-mass redistribution term needed.
+    *
+    * Output: (v, rank_c) with sum(rank_c) ~= scale (minus truncation
+    * dust). Fixed `iters` rather than convergence detection: this is the
+    * oracle-friendly form, and on power-law graphs a handful of rounds
+    * already orders hubs correctly.
+    */
+  def pageRankScaled(
+      edges: DataFrame,
+      iters: Int = 5,
+      scale: Long = 1000000000000L,
+      damp: Int = 85): DataFrame = {
+    val adj = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .unionByName(edges.select(col("dst").cast("long").as("u"), col("src").cast("long").as("v")))
+      .distinct()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("od"))
+    val adjDeg = adj.join(deg, Seq("u")).cache()
+    val n = adjDeg.select(col("u")).distinct().count()
+    require(n > 0, "pageRankScaled: empty graph")
+    val base = (15L * scale) / (100L * n)
+    var ranks = adjDeg.select(col("u").as("v")).distinct()
+      .select(col("v"), lit(scale / n).as("rank_c"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val next = adjDeg
+        .join(ranks.select(col("v").as("u"), col("rank_c").as("rc")), Seq("u"))
+        .select(col("v"), expr(s"(rc * $damp) div (100 * od)").as("c"))
+        .groupBy("v").agg((sum(col("c")) + lit(base)).as("rank_c"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(ranks)
+      ranks = next
+      i += 1
+    }
+    adjDeg.unpersist(false)
+    ranks
+  }
 }

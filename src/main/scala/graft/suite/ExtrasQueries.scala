@@ -572,6 +572,43 @@ object ExtrasQueries {
                  AS month_start, count(*) AS n
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    QDef(
+      "agg_ohlc_resample",
+      (s, dir) =>
+        // time-series resample to hourly OHLC bars per event type: one
+        // pass, one shuffle on the (type, hour) grain. Open/close pick
+        // the bucket's first/last VALUE by event_id via min_by/max_by —
+        // a single map-side-combined aggregate, no row_number window or
+        // self-join, and event_id (unique) dodges ts-tie nondeterminism.
+        // Money in integer cents; bucket emitted as epoch seconds (the
+        // engine-portable timestamp form, as in f_datetime_trunc).
+        tbl(s, dir, "events")
+          .select(col("event_type"),
+            unix_timestamp(date_trunc("hour", col("ts"))).as("bucket_start"),
+            col("event_id"), cents(col("value")).as("c"))
+          .groupBy("event_type", "bucket_start")
+          .agg(
+            min_by(col("c"), col("event_id")).as("open_c"),
+            max(col("c")).as("high_c"),
+            min(col("c")).as("low_c"),
+            max_by(col("c"), col("event_id")).as("close_c"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type", "bucket_start"),
+      Some("""
+        WITH e AS (SELECT event_type,
+                          CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                            AS bucket_start,
+                          event_id,
+                          CAST(round(value * 100) AS BIGINT) AS c
+                   FROM events)
+        SELECT event_type, bucket_start,
+               arg_min(c, event_id) AS open_c,
+               max(c) AS high_c,
+               min(c) AS low_c,
+               arg_max(c, event_id) AS close_c,
+               count(*) AS n_events
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- TPC-H-shaped headline queries (integer-cent money math) ------
 
     QDef(

@@ -66,7 +66,44 @@ object GraphQueries {
               FROM pp a JOIN pp b ON a.g = b.g AND a.i < b.i
               GROUP BY 1, 2)"""
 
+  /** One unrolled PageRank round for the oracle: the SAME scaled-integer
+    * recurrence [[graft.operators.Graph.pageRankScaled]] iterates —
+    * per-edge `(rank*85) // (100*outdeg)` truncation, order-independent
+    * integer sum, `15e12 // (100n)` teleport base — so a fixed unroll
+    * depth agrees with the Spark loop bit-for-bit (DuckDB's `//` and
+    * Spark's `div` both truncate toward zero on positive longs).
+    */
+  private def prRound(k: Int) =
+    s"""r$k AS (SELECT a.v AS v,
+           CAST((15000000000000 // (100 * (SELECT n FROM nv)))
+             + sum((r.rank_c * 85) // (100 * a.od)) AS BIGINT) AS rank_c
+         FROM ad a JOIN r${k - 1} r ON r.v = a.u GROUP BY a.v)"""
+
   def all: Seq[QDef] = Seq(
+
+    QDef(
+      "graph_pagerank",
+      (s, dir) =>
+        // 5-round PageRank over the support>=2 affinity graph in scaled
+        // integer arithmetic (exact, partitioning-independent — see
+        // operators/Graph.pageRankScaled). Per round: one equi-join +
+        // one map-side-combined sum; lineage checkpoint-cut each round
+        // so the submitted plan is a flat scan of the final rank frame.
+        graft.operators.Graph.pageRankScaled(sharedSupportEdges(s, dir), iters = 5)
+          .select(col("v").as("part"), col("rank_c"))
+          .orderBy(col("rank_c").desc, col("part")),
+      Some(s"""
+        WITH $edgeSql,
+        e2 AS (SELECT src, dst FROM ew WHERE support >= 2),
+        adj AS (SELECT src AS u, dst AS v FROM e2
+                UNION SELECT dst AS u, src AS v FROM e2),
+        dg AS (SELECT u, count(*) AS od FROM adj GROUP BY u),
+        ad AS (SELECT a.u, a.v, d.od FROM adj a JOIN dg d ON d.u = a.u),
+        nv AS (SELECT count(DISTINCT u) AS n FROM adj),
+        r0 AS (SELECT DISTINCT u AS v,
+                 1000000000000 // (SELECT n FROM nv) AS rank_c FROM adj),
+        ${(1 to 5).map(prRound).mkString(",\n        ")}
+        SELECT v AS part, rank_c FROM r5 ORDER BY rank_c DESC, v""")),
 
     QDef(
       "graph_degree_hist",

@@ -334,6 +334,25 @@ object TextQueries {
         ORDER BY gram""")),
 
     QDef(
+      "text_freq_spectrum",
+      (s, dir) =>
+        // Zipf frequency-of-frequencies: how many distinct word types
+        // occur exactly tf times — the corpus-health curve (hapax mass,
+        // head/tail balance) every tokenizer/dedup change gets checked
+        // against. Two cascaded map-side-combined aggregations; output
+        // is integer-only, so no string collation reaches the compare.
+        tbl(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("tf"))
+          .groupBy("tf").agg(count(lit(1)).as("n_types"))
+          .orderBy("tf"),
+      Some("""
+        WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+                      FROM documents),
+        tc AS (SELECT word, count(*) AS tf FROM toks GROUP BY word)
+        SELECT tf, count(*) AS n_types FROM tc GROUP BY tf ORDER BY tf""")),
+
+    QDef(
       "text_bigram_lm_score",
       (s, dir) => {
         // count-based bigram LM quality scoring — the perplexity-filter

@@ -49,6 +49,31 @@ class GraphSpec extends SparkSpec {
     assert(oriented.exceptAll(naive.select(array_sort($"t").as("t"))).count() == 0)
   }
 
+  test("pageRankScaled matches a single-threaded reference on the fixture graph") {
+    val SCALE = 1000000000000L
+    val got = Graph.pageRankScaled(fixtureEdges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: same integer recurrence, computed in plain Scala
+    val und = fixtureEdges.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .distinct
+    val adj = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val n = adj.size
+    val base = 15L * SCALE / (100L * n)
+    var rank = adj.keys.map(_ -> SCALE / n).toMap
+    for (_ <- 1 to 5)
+      rank = adj.keys.map { v =>
+        v -> (base + und.filter(_._2 == v)
+          .map { case (u, _) => rank(u) * 85L / (100L * adj(u).size) }.sum)
+      }.toMap
+    assert(got == rank)
+    // rank mass is conserved up to per-vertex truncation dust
+    val mass = got.values.sum
+    assert(mass <= SCALE && mass >= SCALE - 100L * n)
+    // the K4 hub (vertex 4, degree 4) outranks the pendant leaf (vertex 5)
+    assert(got(4L) > got(5L))
+  }
+
   test("orientation sends every edge from its lower (deg,id) endpoint") {
     val o = Graph.orientByDegree(fixtureEdges)
     // vertex 4 has degree 4 (max in K4+pendant); vertex 5 degree 1 —
