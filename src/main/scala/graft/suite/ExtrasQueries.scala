@@ -609,6 +609,108 @@ object ExtrasQueries {
                count(*) AS n_events
         FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QDef(
+      "join_semi_anti",
+      (s, dir) => {
+        // explicit LEFT SEMI / LEFT ANTI plans (EXISTS / NOT EXISTS):
+        // semi keeps one probe row per match without duplicating on the
+        // build side's fanout (a plain inner join + distinct would
+        // shuffle the multiplicity first, then throw it away); anti is
+        // the complement. Both sides reduce to a per-segment count, so
+        // the result is a tiny partition-audit frame.
+        val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        val o = tbl(s, dir, "orders").select(col("o_custkey"))
+        val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .withColumn("has_order", lit(1))
+        val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .withColumn("has_order", lit(0))
+        semi.unionByName(anti)
+          .groupBy("c_mktsegment", "has_order")
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy("c_mktsegment", "has_order")
+      },
+      Some("""
+        SELECT c_mktsegment, 1 AS has_order, count(*) AS n_cust
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+        UNION ALL
+        SELECT c_mktsegment, 0 AS has_order, count(*) AS n_cust
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+        ORDER BY c_mktsegment, has_order""")),
+
+    QDef(
+      "set_intersect_except",
+      (s, dir) => {
+        // INTERSECT / EXCEPT as first-class set operators: partition the
+        // customer-key universe by which order-status sets it belongs to.
+        // Spark plans both as left-semi/anti joins over pre-distincted
+        // inputs — no wide shuffle beyond the two distincts, and the
+        // three branches reuse them.
+        val o = tbl(s, dir, "orders")
+        val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+        val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+        f.intersect(op).withColumn("tag", lit("both"))
+          .unionByName(f.except(op).withColumn("tag", lit("f_only")))
+          .unionByName(op.except(f).withColumn("tag", lit("o_only")))
+          .groupBy("tag")
+          .agg(count(lit(1)).as("n_cust"),
+            min(col("o_custkey")).as("min_key"),
+            max(col("o_custkey")).as("max_key"))
+          .orderBy("tag")
+      },
+      Some("""
+        WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             t AS (SELECT o_custkey, 'both' AS tag
+                     FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+                   UNION ALL
+                   SELECT o_custkey, 'f_only' AS tag
+                     FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+                   UNION ALL
+                   SELECT o_custkey, 'o_only' AS tag
+                     FROM (SELECT * FROM o EXCEPT SELECT * FROM f))
+        SELECT tag, count(*) AS n_cust,
+               min(o_custkey) AS min_key, max(o_custkey) AS max_key
+        FROM t GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
+      "agg_gap_fill_hourly",
+      (s, dir) => {
+        // dense-calendar gap fill: regularize the event stream to one
+        // row per (type, hour), zero-filling silent hours — the step
+        // before any window/EWMA/anomaly pass that assumes a regular
+        // grid. The hourly spine is GENERATED DISTRIBUTEDLY per group
+        // (sequence+explode from each group's own min/max), not
+        // collected to the driver and not one global calendar crossed
+        // against all groups — per-group spans stay narrow at scale.
+        val hourly = tbl(s, dir, "events")
+          .select(col("event_type"),
+            unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+          .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+        val spine = hourly.groupBy("event_type")
+          .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
+        spine.join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h").as("bucket_start"),
+            coalesce(col("n"), lit(0L)).as("n_events"))
+          .orderBy("event_type", "bucket_start")
+      },
+      Some("""
+        WITH hourly AS (SELECT event_type,
+                               CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+        spine AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS h FROM b)
+        SELECT s.event_type, s.h AS bucket_start, coalesce(hourly.n, 0) AS n_events
+        FROM spine s LEFT JOIN hourly
+          ON hourly.event_type = s.event_type AND hourly.h = s.h
+        ORDER BY 1, 2""")),
+
     // ---- TPC-H-shaped headline queries (integer-cent money math) ------
 
     QDef(

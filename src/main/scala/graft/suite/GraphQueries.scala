@@ -212,6 +212,46 @@ object GraphQueries {
         SELECT p1, p2, n_common FROM cn
         WHERE NOT EXISTS (SELECT 1 FROM e2
                           WHERE e2.src = cn.p1 AND e2.dst = cn.p2)
-        ORDER BY n_common DESC, p1, p2 LIMIT 20"""))
+        ORDER BY n_common DESC, p1, p2 LIMIT 20""")),
+
+    QDef(
+      "graph_resource_allocation",
+      (s, dir) => {
+        // resource-allocation link prediction (Zhou/Lu/Zhang 2009,
+        // Eur. Phys. J. B 71:623): score a non-adjacent pair by
+        // sum(1/deg(z)) over common neighbors z — a shared rare part
+        // signals affinity more than a shared hub. Same wedge join as
+        // graph_common_neighbors, but each wedge carries its center's
+        // weight, precomputed once as the scaled integer 1e6 div deg(z)
+        // (exact, order-independent sum — no float summation drift
+        // between engines).
+        val e = sharedSupportEdges(s, dir)
+        val adj = e.select(col("src").as("z"), col("dst").as("w"))
+          .unionAll(e.select(col("dst").as("z"), col("src").as("w")))
+        val degW = adj.groupBy("z").agg(expr("1000000 div count(*)").as("c"))
+        val adjW = adj.join(degW, Seq("z"))
+        adjW.as("a").join(adjW.as("b"),
+            col("a.z") === col("b.z") && col("a.w") < col("b.w"))
+          .select(col("a.w").as("p1"), col("b.w").as("p2"), col("a.c").as("c"))
+          .groupBy("p1", "p2").agg(sum(col("c")).as("ra_score_m"))
+          .join(e.select(col("src").as("p1"), col("dst").as("p2")),
+            Seq("p1", "p2"), "left_anti")
+          .orderBy(col("ra_score_m").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH $edgeSql,
+        e2 AS (SELECT src, dst FROM ew WHERE support >= 2),
+        adj AS (SELECT src AS z, dst AS w FROM e2
+                UNION ALL SELECT dst AS z, src AS w FROM e2),
+        dg AS (SELECT z, 1000000 // count(*) AS c FROM adj GROUP BY z),
+        aw AS (SELECT a.z, a.w, d.c FROM adj a JOIN dg d ON d.z = a.z),
+        ra AS (SELECT a.w AS p1, b.w AS p2, CAST(sum(a.c) AS BIGINT) AS ra_score_m
+               FROM aw a JOIN aw b ON a.z = b.z AND a.w < b.w
+               GROUP BY 1, 2)
+        SELECT p1, p2, ra_score_m FROM ra
+        WHERE NOT EXISTS (SELECT 1 FROM e2
+                          WHERE e2.src = ra.p1 AND e2.dst = ra.p2)
+        ORDER BY ra_score_m DESC, p1, p2 LIMIT 20"""))
   )
 }
