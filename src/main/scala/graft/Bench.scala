@@ -35,6 +35,21 @@ object Bench {
     def setupStep(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f; setup(name) = secs(t0)
     }
+    // Read every input table end-to-end once (all columns) so the OS
+    // page cache and parquet footers are hot BEFORE the cold lap: the
+    // r5 A/B runs showed the single-shot cold lap swinging 1.4-2x with
+    // nothing but page-cache state (137.7s vs 222.7s, same code, warm
+    // medians within 0.5%). With I/O state pinned here, "cold" measures
+    // what the protocol defines: per-plan codegen/JIT/listing cost.
+    setupStep("page_cache_warm") {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.foreach { t =>
+        val df = suite.Registry.tbl(spark, sfDir, t)
+        df.select(org.apache.spark.sql.functions.xxhash64(df.columns.map(df.col): _*))
+          .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).count()
+      }
+    }
     setupStep("dedup_corpus_index")(suite.DedupQueries.prebuildArtifacts(spark, sfDir))
     setupStep("ivf_index")(suite.SimilarityQueries.prebuildArtifacts(spark, sfDir))
     setupStep("bucketed_tables")(suite.ExtrasQueries.prebuildBucketed(spark, sfDir))
