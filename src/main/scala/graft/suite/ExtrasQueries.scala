@@ -711,6 +711,71 @@ object ExtrasQueries {
           ON hourly.event_type = s.event_type AND hourly.h = s.h
         ORDER BY 1, 2""")),
 
+    QDef(
+      "agg_retention_cohorts",
+      (s, dir) => {
+        // classic retention triangle: cohort users by first-activity
+        // day, count distinct actives per (cohort, day offset). Two
+        // aggregations + one equi-join on user_id — the first-touch
+        // frame is one row per user (skinny at any scale; AQE
+        // broadcasts it when it fits). Days as epoch seconds of
+        // midnight (engine-portable, as in f_datetime_trunc); the
+        // offset is exact integer div of two midnights.
+        val e = tbl(s, dir, "events")
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("day", col("ts"))).as("d"))
+        val first = e.groupBy("user_id").agg(min(col("d")).as("cohort_start"))
+        e.join(first, Seq("user_id"))
+          .select(col("user_id"), col("cohort_start"),
+            expr("(d - cohort_start) div 86400").as("day_offset"))
+          .groupBy("cohort_start", "day_offset")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort_start", "day_offset")
+      },
+      Some("""
+        WITH e AS (SELECT user_id,
+                          CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS d
+                   FROM events),
+        f AS (SELECT user_id, min(d) AS cohort_start FROM e GROUP BY 1)
+        SELECT f.cohort_start, (e.d - f.cohort_start) // 86400 AS day_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM e JOIN f ON f.user_id = e.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QDef(
+      "win_streak_topk",
+      (s, dir) => {
+        // longest consecutive-day activity streak per user — the
+        // arithmetic gaps-and-islands form: distinct active days, then
+        // day_number - row_number is constant exactly within a
+        // consecutive run, so one partitioned window + two aggregations
+        // find every user's longest streak with no self-join.
+        val d = tbl(s, dir, "events")
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("day", col("ts"))).as("d"))
+          .distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("d")
+        d.withColumn("rn", row_number().over(w))
+          .select(col("user_id"), expr("d div 86400 - rn").as("grp"))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("user_id").agg(max(col("len")).as("max_streak_days"))
+          .orderBy(col("max_streak_days").desc, col("user_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT user_id,
+                          CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS d
+                   FROM events),
+        g AS (SELECT user_id,
+                     d // 86400 - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                       AS grp
+              FROM d),
+        runs AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak_days
+        FROM runs GROUP BY 1
+        ORDER BY max_streak_days DESC, user_id LIMIT 20""")),
+
     // ---- TPC-H-shaped headline queries (integer-cent money math) ------
 
     QDef(
