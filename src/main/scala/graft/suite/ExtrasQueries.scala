@@ -776,7 +776,71 @@ object ExtrasQueries {
         FROM runs GROUP BY 1
         ORDER BY max_streak_days DESC, user_id LIMIT 20""")),
 
+    QDef(
+      "agg_pareto_frontier",
+      (s, dir) => {
+        // 2-D skyline (Borzsonyi/Kossmann/Stocker, ICDE 2001): parts not
+        // dominated on (min price, max size). Pre-aggregating to the
+        // best size per distinct price collapses the input to the price
+        // domain BEFORE the global sweep, so the unpartitioned window —
+        // the textbook sorted skyline scan — runs over a frame bounded
+        // by |distinct prices|, not |parts|. Money in integer cents.
+        val pp = tbl(s, dir, "part")
+          .groupBy(cents(col("p_retailprice")).as("price_c"))
+          .agg(max(col("p_size")).as("best_size"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("price_c")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        pp.withColumn("prev_best", max(col("best_size")).over(w))
+          .filter(col("prev_best").isNull || col("best_size") > col("prev_best"))
+          .select(col("price_c"), col("best_size"))
+          .orderBy("price_c")
+      },
+      Some("""
+        WITH pp AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                           max(p_size) AS best_size
+                    FROM part GROUP BY 1),
+        f AS (SELECT price_c, best_size,
+                     max(best_size) OVER (ORDER BY price_c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_best
+              FROM pp)
+        SELECT price_c, best_size FROM f
+        WHERE prev_best IS NULL OR best_size > prev_best
+        ORDER BY price_c""")),
+
     // ---- TPC-H-shaped headline queries (integer-cent money math) ------
+
+    QDef(
+      "tpch_q18_large_orders",
+      (s, dir) => {
+        // TPC-H Q18 shape: orders whose total quantity clears a HAVING
+        // gate, joined back to customer detail. The gate runs FIRST on
+        // the fact table's own grain (map-side-combined sum per order),
+        // so the joins only ever see the few surviving orderkeys —
+        // filter-before-join, the order-of-magnitude lever at scale.
+        val big = tbl(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+          .filter(col("total_qty") > 300)
+        tbl(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"),
+            unix_timestamp(date_trunc("day", col("o_orderdate"))).as("o_date"),
+            cents(col("o_totalprice")).as("total_cents"), col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""
+        WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+                     FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+               CAST(floor(epoch(date_trunc('day', o.o_orderdate))) AS BIGINT) AS o_date,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+               b.total_qty
+        FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY b.total_qty DESC, o.o_orderkey LIMIT 100""")),
 
     QDef(
       "tpch_q1_pricing_summary",
