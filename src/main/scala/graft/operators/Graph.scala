@@ -93,6 +93,47 @@ object Graph {
       .select("a", "b", "c")
   }
 
+  /** Fixed-round k-core peeling over an UNDIRECTED edge list: each round
+    * recomputes degrees within the surviving vertex set and drops
+    * vertices below `k`. Peeling is monotone (the survivor set only
+    * shrinks), so after enough rounds the set is the exact k-core; a
+    * FIXED round count (rather than a convergence loop) is the
+    * oracle-friendly form — an external engine unrolling the same
+    * recurrence agrees exactly whether or not round R reached the
+    * fixpoint, because both sides report the same round-R state.
+    *
+    * Shape per round: two semi-joins of the edge list against the
+    * (shrinking) survivor set + one map-side-combined degree count —
+    * all equi-joins on vertex ids. Lineage is checkpoint-cut per round
+    * (as in [[connectedComponents]] / [[pageRankScaled]]); the doubled
+    * adjacency is cached for the loop and released before returning.
+    * Output: (v, core_deg) for round-R survivors, with their degree
+    * inside the surviving subgraph.
+    */
+  def kCoreFixed(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val adj = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .unionByName(edges.select(col("dst").cast("long").as("u"), col("src").cast("long").as("v")))
+      .distinct().cache()
+    var verts = adj.select(col("u").as("x")).distinct().localCheckpoint(true)
+    def degreesWithin(vs: DataFrame): DataFrame = adj
+      .join(vs, col("u") === col("x"), "left_semi")
+      .join(vs.select(col("x").as("y")), col("v") === col("y"), "left_semi")
+      .groupBy("u").agg(count(lit(1)).as("core_deg"))
+    var i = 0
+    while (i < rounds) {
+      val next = degreesWithin(verts)
+        .filter(col("core_deg") >= k)
+        .select(col("u").as("x"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(verts)
+      verts = next
+      i += 1
+    }
+    val out = degreesWithin(verts).select(col("u").as("v"), col("core_deg"))
+    adj.unpersist(false)
+    out
+  }
+
   /** Fixed-iteration PageRank over an UNDIRECTED edge list, in scaled
     * INTEGER arithmetic: ranks are longs scaled by `scale`, each edge
     * contribution is `(rank * damp) div (100 * outdeg)` (one integer

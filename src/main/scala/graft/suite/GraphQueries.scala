@@ -79,7 +79,42 @@ object GraphQueries {
              + sum((r.rank_c * 85) // (100 * a.od)) AS BIGINT) AS rank_c
          FROM ad a JOIN r${k - 1} r ON r.v = a.u GROUP BY a.v)"""
 
+  /** One unrolled k-core peeling round for the oracle (k=3): survivors
+    * of round r are vertices whose degree within round r-1's survivor
+    * set is still >= 3 — the same monotone recurrence
+    * [[graft.operators.Graph.kCoreFixed]] iterates, so a fixed unroll
+    * depth agrees exactly whether or not the fixpoint was reached.
+    */
+  private def coreRound(r: Int) =
+    s"""v$r AS (SELECT u AS x FROM (
+           SELECT a.u, count(*) AS c FROM adj a
+           JOIN v${r - 1} s ON a.u = s.x JOIN v${r - 1} t ON a.v = t.x
+           GROUP BY a.u) WHERE c >= 3)"""
+
   def all: Seq[QDef] = Seq(
+
+    QDef(
+      "graph_kcore",
+      (s, dir) =>
+        // 3-core of the support>=2 affinity graph: iteratively peel
+        // vertices with in-set degree < 3 (6 fixed rounds, matching the
+        // oracle's unroll), then report each survivor's degree within
+        // the surviving subgraph. Per round: two semi-joins against the
+        // shrinking survivor set + one map-side-combined count;
+        // checkpoint-cut lineage per round.
+        graft.operators.Graph.kCoreFixed(
+            sharedSupportEdges(s, dir), k = 3, rounds = 6)
+          .orderBy("v"),
+      Some(s"""
+        WITH $edgeSql,
+        e2 AS (SELECT src, dst FROM ew WHERE support >= 2),
+        adj AS (SELECT src AS u, dst AS v FROM e2
+                UNION SELECT dst AS u, src AS v FROM e2),
+        v0 AS (SELECT DISTINCT u AS x FROM adj),
+        ${(1 to 6).map(coreRound).mkString(",\n        ")}
+        SELECT a.u AS v, CAST(count(*) AS BIGINT) AS core_deg
+        FROM adj a JOIN v6 s ON a.u = s.x JOIN v6 t ON a.v = t.x
+        GROUP BY a.u ORDER BY v""")),
 
     QDef(
       "graph_pagerank",

@@ -49,6 +49,21 @@ class GraphSpec extends SparkSpec {
     assert(oriented.exceptAll(naive.select(array_sort($"t").as("t"))).count() == 0)
   }
 
+  test("kCoreFixed peels to the exact core on the fixture graph") {
+    // 3-core: K4 {1,2,3,4} survives with in-core degree 3; pendant 5
+    // and the lone triangle {6,7,8} (degree 2 each) are peeled
+    val c3 = Graph.kCoreFixed(fixtureEdges, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c3.keySet == Set(1L, 2L, 3L, 4L))
+    assert(c3.values.forall(_ == 3L))
+    // 2-core: both the K4 and the triangle survive; only the pendant
+    // edge is peeled, so vertex 4's in-core degree drops 4 -> 3
+    val c2 = Graph.kCoreFixed(fixtureEdges, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.keySet == Set(1L, 2L, 3L, 4L, 6L, 7L, 8L))
+    assert(c2(4L) == 3L && c2(6L) == 2L)
+  }
+
   test("pageRankScaled matches a single-threaded reference on the fixture graph") {
     val SCALE = 1000000000000L
     val got = Graph.pageRankScaled(fixtureEdges, iters = 5)
