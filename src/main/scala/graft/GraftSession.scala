@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Single place all mains/tests build their SparkSession, so local-mode
-  * tuning (shuffle partitions = cores, AQE, UTC) and reader quirks (the
-  * driver's `events.parquet` carries parquet TIMESTAMP(NANOS), which
-  * Spark only reads via the nanosAsLong legacy flag) stay consistent.
+  * tuning (shuffle partitions = cores, AQE, UTC) and reader quirks stay
+  * consistent. The driver's `events.parquet` has shipped both as parquet
+  * TIMESTAMP(NANOS) (readable only via the nanosAsLong legacy flag kept
+  * below) and as TIMESTAMP(MICROS, NTZ); [[graft.suite.Registry.tbl]]
+  * normalizes either to a session TIMESTAMP.
   */
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -186,4 +186,52 @@ object Graph {
     adjDeg.unpersist(false)
     ranks
   }
+
+  /** Fixed-round synchronous label propagation (Raghavan et al. 2007)
+    * over an UNDIRECTED edge list, made fully deterministic: every
+    * vertex starts labeled with its own id, and each round every vertex
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties broken toward the SMALLEST label. Both the frequency count and
+    * the (count desc, label asc) argmax are order-independent, so the
+    * result is engine-exact and an external SQL unroll of the same
+    * recurrence agrees hash-for-hash — the usual LPA nondeterminism
+    * (random vertex order, random tie-break) is exactly what's removed.
+    *
+    * Shape per round: one hash equi-join (adjacency x labels) + one
+    * map-side-combined count + one argmax aggregation — same cost class
+    * as a PageRank step, O(E) per round with no shuffle beyond the two
+    * aggregations. Lineage is cut every round (localCheckpoint, as in
+    * [[pageRankScaled]]). Fixed `rounds` rather than convergence: the
+    * oracle-friendly form; on community-structured graphs a few
+    * synchronous rounds already coalesce dense blocks onto their minimum
+    * member id.
+    *
+    * Output: (v, label) — vertices sharing a label are one detected
+    * community.
+    */
+  def labelPropagationFixed(edges: DataFrame, rounds: Int): DataFrame = {
+    val adj = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .unionByName(edges.select(col("dst").cast("long").as("u"), col("src").cast("long").as("v")))
+      .distinct().cache()
+    var labels = adj.select(col("u").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val next = adj
+        .join(labels.select(col("v").as("nv"), col("label")), col("v") === col("nv"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        // argmax via lexicographic max over (count, -label): largest
+        // count first, then smallest label — one aggregation, no window
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("u").as("v"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(labels)
+      labels = next
+      i += 1
+    }
+    adj.unpersist(false)
+    labels
+  }
 }

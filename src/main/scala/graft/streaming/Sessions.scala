@@ -52,10 +52,7 @@ object Sessions {
     val stream = spark.readStream
       .schema(schemaSource.schema)
       .parquet(eventsDir)
-    val withTs =
-      if (schemaSource.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+    val withTs = graft.suite.Registry.normalizeTs(stream)
     val q = sessionize(withTs.withWatermark("ts", "1 hour"), gap)
       .writeStream
       .format("memory")
@@ -86,10 +83,7 @@ object Sessions {
       .schema(schemaSource.schema)
       .option("recursiveFileLookup", "true")
       .parquet(eventsDir)
-    val withTs =
-      if (schemaSource.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+    val withTs = graft.suite.Registry.normalizeTs(stream)
     val q = sessionize(withTs.withWatermark("ts", lateness), gap)
       .writeStream
       .format(format)

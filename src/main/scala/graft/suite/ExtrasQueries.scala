@@ -811,6 +811,170 @@ object ExtrasQueries {
     // ---- TPC-H-shaped headline queries (integer-cent money math) ------
 
     QDef(
+      "tpch_q6_forecast_revenue",
+      (s, dir) =>
+        // TPC-H Q6 shape: pure scan -> filter -> single-row agg, zero
+        // joins. Every predicate is parquet-pushable (shipdate range,
+        // discount band, quantity cap) so at 100 TB the scan skips row
+        // groups wholesale; the agg is one map-side-combined partial per
+        // partition merged on the driver. Revenue in cents x pct — exact
+        // integer math.
+        tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            round(col("l_discount") * 100).cast("long").between(2L, 4L) &&
+            col("l_quantity") < 24)
+          .agg(sum(cents(col("l_extendedprice")) *
+            round(col("l_discount") * 100).cast("long")).as("revenue_c3"),
+            count(lit(1)).as("n_lines")),
+      Some("""
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c3,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 4
+          AND l_quantity < 24""")),
+
+    QDef(
+      "tpch_q10_returned_items",
+      (s, dir) => {
+        // TPC-H Q10 shape: revenue lost to returns, per customer, one
+        // quarter. The order-date filter lands on the orders scan
+        // (pushed) and the returnflag filter on the lineitem scan, so
+        // the join sees both sides pre-shrunk; customer/nation attach
+        // afterward — nation broadcast, customer a shuffle join keyed on
+        // the already-aggregated custkey grain.
+        val li = tbl(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .withColumn("rev_c2",
+            cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        val o = tbl(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        val perCust = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("rev_c2")).as("revenue_c2"))
+        perCust
+          .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            cents(col("c_acctbal")).as("acctbal_c"), col("revenue_c2"))
+          .orderBy(col("revenue_c2").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""
+        WITH perCust AS (
+          SELECT o_custkey,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-07-01'
+          GROUP BY o_custkey)
+        SELECT c_custkey, c_name, n_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c, revenue_c2
+        FROM perCust JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue_c2 DESC, c_custkey LIMIT 20""")),
+
+    QDef(
+      "tpch_q14_promo_revenue",
+      (s, dir) => {
+        // TPC-H Q14 shape: one month of lineitem joined to the part
+        // dimension (broadcast — part is the small side at every SF),
+        // then a single conditional-sum row. The promo share is returned
+        // as exact integer numerator/denominator, not a float ratio —
+        // division is the caller's presentation concern.
+        val li = tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+          .withColumn("rev_c2",
+            cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        li.join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", col("rev_c2")).otherwise(0L))
+              .as("promo_rev_c2"),
+            sum(col("rev_c2")).as("total_rev_c2"))
+      },
+      Some("""
+        SELECT
+          CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                ELSE 0 END) AS BIGINT) AS promo_rev_c2,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_c2
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'""")),
+
+    QDef(
+      "tpch_q16_supplier_cnt",
+      (s, dir) => {
+        // TPC-H Q16 shape (partsupp stood in by the observed
+        // part-supplier pairs in lineitem): how many distinct suppliers
+        // can provide each (brand, type, size) bucket. The pair list is
+        // deduped at the fact grain FIRST — one map-side-combinable
+        // distinct — so the part join and the count-distinct run over
+        // |pairs|, not |lineitem|.
+        val pairs = tbl(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        pairs
+          .join(broadcast(tbl(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#45" && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM pairs JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    QDef(
+      "tpch_q19_discounted_revenue",
+      (s, dir) => {
+        // TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join
+        // sides. The per-side halves of each disjunct are pushed BELOW
+        // the join (part prefiltered to the three brand/size envelopes,
+        // lineitem to the overall quantity envelope) so the broadcast
+        // hash join evaluates the residual OR over a pre-shrunk stream —
+        // the planner can't split an OR across tables by itself.
+        val p = tbl(s, dir, "part")
+          .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)))
+        val li = tbl(s, dir, "lineitem")
+          .filter(col("l_quantity").between(1, 30))
+          .withColumn("rev_c2",
+            cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey") &&
+            ((col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+             (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+             (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30))))
+          .agg(sum(col("rev_c2")).as("revenue_c2"), count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")),
+
+    QDef(
       "tpch_q18_large_orders",
       (s, dir) => {
         // TPC-H Q18 shape: orders whose total quantity clears a HAVING

@@ -91,7 +91,42 @@ object GraphQueries {
            JOIN v${r - 1} s ON a.u = s.x JOIN v${r - 1} t ON a.v = t.x
            GROUP BY a.u) WHERE c >= 3)"""
 
+  /** One unrolled label-propagation round for the oracle: most frequent
+    * neighbor label, ties to the smallest label — the same (count desc,
+    * label asc) argmax [[graft.operators.Graph.labelPropagationFixed]]
+    * computes as a lexicographic max, here as a row_number pick.
+    */
+  private def lpRound(k: Int) =
+    s"""lp$k AS (SELECT u AS v, label FROM (
+           SELECT u, label,
+                  row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+           FROM (SELECT a.u, l.label, count(*) AS c
+                 FROM adj a JOIN lp${k - 1} l ON l.v = a.v
+                 GROUP BY a.u, l.label))
+         WHERE rn = 1)"""
+
   def all: Seq[QDef] = Seq(
+
+    QDef(
+      "graph_label_propagation",
+      (s, dir) =>
+        // community detection on the support>=2 affinity graph:
+        // 3 synchronous LPA rounds, every step deterministic (ties to
+        // the smallest label), so the per-vertex labels are engine-exact
+        // against the oracle's unrolled recurrence. Per round one
+        // equi-join + two map-side-combined aggregations over the shared
+        // edge artifact; lineage checkpoint-cut each round.
+        graft.operators.Graph.labelPropagationFixed(
+            sharedSupportEdges(s, dir), rounds = 3)
+          .orderBy("v"),
+      Some(s"""
+        WITH $edgeSql,
+        e2 AS (SELECT src, dst FROM ew WHERE support >= 2),
+        adj AS (SELECT src AS u, dst AS v FROM e2
+                UNION SELECT dst AS u, src AS v FROM e2),
+        lp0 AS (SELECT DISTINCT u AS v, u AS label FROM adj),
+        ${(1 to 3).map(lpRound).mkString(",\n        ")}
+        SELECT v, label FROM lp3 ORDER BY v""")),
 
     QDef(
       "graph_kcore",

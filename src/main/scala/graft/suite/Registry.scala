@@ -15,28 +15,40 @@ final case class QDef(
 object Registry {
   /** Read one driver test table from the scale-factor dir.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it (only) as a
-    * nanos-since-epoch LONG under the nanosAsLong legacy flag (set in
-    * [[graft.GraftSession]]). Normalize it back to a proper timestamp with
-    * exact integer arithmetic (`div`, not double division — nanos ~1e18
-    * exceed double's 2^53 exact range), truncating toward microseconds the
-    * same way DuckDB does when it reads the file.
+    * `events.ts` has shipped as two physical types across driver data
+    * generations: parquet TIMESTAMP(NANOS) (read only as a
+    * nanos-since-epoch LONG under the nanosAsLong legacy flag set in
+    * [[graft.GraftSession]]) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (read as TIMESTAMP_NTZ). Normalize either to a session-local
+    * TIMESTAMP so every query sees one type.
     */
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
   }
 
-  /** The nanos-LONG -> micros-timestamp rebuild, shared with every
-    * readStream path over the same files (one definition, so batch and
-    * streaming sides of an equivalence spec can't drift).
+  /** The ts-column rebuild, shared with every readStream path over the
+    * same files (one definition, so batch and streaming sides of an
+    * equivalence spec can't drift). LONG means nanos-since-epoch: rebuild
+    * with exact integer arithmetic (`div`, not double division — nanos
+    * ~1e18 exceed double's 2^53 exact range), truncating toward
+    * microseconds the same way DuckDB does. TIMESTAMP_NTZ means UTC wall
+    * time: with the session timezone pinned to UTC the cast to TIMESTAMP
+    * is an exact relabeling, and `epoch()` agrees with DuckDB's naive
+    * reading of the same file.
     */
-  def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema.fieldNames.contains("ts") &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
 
   def all: Seq[QDef] =
     CoreQueries.all ++ RelationalQueries.all ++ Af3Queries.all ++

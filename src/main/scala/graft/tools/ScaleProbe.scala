@@ -47,9 +47,9 @@ object ScaleProbe {
     val spark = GraftSession.build("graft-scaleprobe")
     import spark.implicits._
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.suite.Registry.tbl(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000000000").as("sec"),
+        unix_timestamp(col("ts")).as("sec"),
         round(col("value") * 100).cast("long").as("cents"))
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))

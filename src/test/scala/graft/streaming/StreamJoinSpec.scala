@@ -54,10 +54,17 @@ class StreamJoinSpec extends SparkSpec {
     // Append a far-future sentinel event of each type (excluded from the
     // comparison below) so the final watermark clears every real view —
     // exactly the "one more late heartbeat" a production stream sees.
-    val maxTs = raw.agg(max("ts")).head.getLong(0) // nanos-as-long
+    // sentinel ts = max(ts) + 2 days, computed in the file's own physical
+    // type (nanos LONG or timestamp) so the appended file matches the
+    // stream schema exactly
+    val bump: org.apache.spark.sql.Column =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        col("m") + lit(172800L * 1000000000L)
+      else col("m") + expr("INTERVAL 2 DAYS")
     val sentinel = raw.filter(col("event_type").isin("view", "purchase"))
       .groupBy("event_type").agg(min("event_id").as("event_id"))
-      .select(col("event_id"), lit(maxTs + 172800L * 1000000000L).as("ts"),
+      .crossJoin(raw.select(max(col("ts")).as("m")))
+      .select(col("event_id"), bump.as("ts"),
         lit(-999L).as("user_id"), col("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
     val sentDir = dir.resolve("_sent")
