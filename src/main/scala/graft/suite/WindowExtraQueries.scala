@@ -13,6 +13,36 @@ object WindowExtraQueries {
   def all: Seq[QDef] = Seq(
 
     QDef(
+      "win_trending_topk",
+      (s, dir) => {
+        // "what's trending each hour": per tumbling hour, the top-3
+        // event types by volume. The count collapses the fact grain
+        // FIRST (map-side combine to |hours|x|types| rows), so the rank
+        // window partitions over a frame bounded by the type alphabet —
+        // never the events themselves. Ties broken by name for a total,
+        // engine-exact order.
+        val hourly = tbl(s, dir, "events")
+          .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        val w = Window.partitionBy(col("hour_start"))
+          .orderBy(col("n_events").desc, col("event_type"))
+        hourly.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy("hour_start", "rk")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+                 event_type, count(*) AS n_events
+          FROM events GROUP BY 1, 2)
+        SELECT hour_start, event_type, n_events, CAST(rk AS INT) AS rk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY hour_start ORDER BY n_events DESC, event_type) AS rk
+          FROM hourly) t
+        WHERE rk <= 3 ORDER BY hour_start, rk""")),
+
+    QDef(
       "win_funnel_conversion",
       (s, dir) => {
         // view -> purchase funnel within 1 hour, per user: the running

@@ -89,6 +89,22 @@ class GraphSpec extends SparkSpec {
     assert(got(4L) > got(5L))
   }
 
+  test("labelPropagationFixed converges to the two communities on the fixture") {
+    // hand-computed 3-round synchronous LPA with smallest-label
+    // tie-break: K4+pendant coalesces onto label 1, the disjoint
+    // triangle onto label 6 (round 1 passes each vertex its smallest
+    // neighbor id; round 2 floods 1 and 6; round 3 is stable)
+    val got = Graph.labelPropagationFixed(fixtureEdges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L))
+    // determinism under partitioning: a reshuffled edge list gives the
+    // bit-same labels (the argmax is order-independent by construction)
+    val shuffled = Graph.labelPropagationFixed(fixtureEdges.repartition(7), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == got)
+  }
+
   test("orientation sends every edge from its lower (deg,id) endpoint") {
     val o = Graph.orientByDegree(fixtureEdges)
     // vertex 4 has degree 4 (max in K4+pendant); vertex 5 degree 1 —
