@@ -340,6 +340,55 @@ object ExtrasQueries {
         WHERE rn = 1 ORDER BY event_id""")),
 
     QDef(
+      "join_asof_nearest",
+      (s, dir) => {
+        // per event: the user's NEAREST order in time, either side —
+        // composed from the backward and forward as-of passes (each a
+        // union-and-window, no nested loop) joined on the unique event
+        // id, then a per-row delta comparison. Ties (equidistant
+        // orders) resolve to the backward side, matching the usual
+        // "prefer what already happened" attribution rule; within a
+        // side the as-of tie-breaks apply (backward: largest orderkey
+        // at the tie date; forward: smallest).
+        val ev = tbl(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+        val o = tbl(s, dir, "orders")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+        def pass(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+            Seq[String], String, String, Seq[String], Seq[String]) => org.apache.spark.sql.DataFrame,
+            tag: String) =
+          f(ev, o, Seq("user_id"), "ts", "o_orderdate",
+            Seq("o_orderkey", "o_orderdate"), Seq("o_orderkey"))
+            .select(col("event_id"), col("user_id"), col("ts"),
+              col("o_orderkey").as(s"${tag}_key"),
+              unix_timestamp(col("o_orderdate")).as(s"${tag}_sec"))
+        val b = pass(AsofJoin.asofBackward, "b")
+        val f = pass(AsofJoin.asofForward, "f").drop("user_id", "ts")
+        b.join(f, Seq("event_id"))
+          .withColumn("sec", unix_timestamp(col("ts")))
+          .withColumn("b_delta", col("sec") - col("b_sec"))
+          .withColumn("f_delta", col("f_sec") - col("sec"))
+          .withColumn("pick_b", col("b_delta").isNotNull &&
+            (col("f_delta").isNull || col("b_delta") <= col("f_delta")))
+          .select(col("event_id"), col("user_id"),
+            when(col("pick_b"), col("b_key")).otherwise(col("f_key")).as("nearest_orderkey"),
+            when(col("pick_b"), col("b_delta")).otherwise(col("f_delta")).as("delta_sec"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, o_orderkey AS nearest_orderkey, delta_sec FROM (
+          SELECT e.event_id, e.user_id, o.o_orderkey,
+            abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+                - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) AS delta_sec,
+            row_number() OVER (PARTITION BY e.event_id ORDER BY
+              abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+                  - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) ASC NULLS LAST,
+              CASE WHEN epoch(o.o_orderdate) <= epoch(e.ts) THEN 0 ELSE 1 END,
+              CASE WHEN epoch(o.o_orderdate) <= epoch(e.ts)
+                   THEN -o.o_orderkey ELSE o.o_orderkey END) AS rn
+          FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id) t
+        WHERE rn = 1 ORDER BY event_id""")),
+
+    QDef(
       "join_salted_skew",
       (s, dir) => {
         // explicit salt-and-replicate equi-join: fact keys spread over 16

@@ -270,6 +270,65 @@ object SimilarityQueries {
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     QDef(
+      "sim_knn_classify",
+      (s, dir) => {
+        // KNN classification served off the SHARED IVF index: each
+        // vector's label is predicted by majority vote over its 3
+        // nearest (IVF-probed, exact-cosine-ranked) neighbors, ties to
+        // the smallest label — the standard label-quality / mislabel
+        // audit at corpus scale. The vote is a count + lexicographic
+        // argmax (order-independent, engine-exact); the true label
+        // joins back for a per-row correctness flag so downstream can
+        // aggregate accuracy without re-running the vote.
+        val nn = Similarity.ivfTopKFrom(sharedIvfDists(s, dir), IvfProbe, k = 3)
+        val lab = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("lab"))
+        nn.join(lab.select(col("vec_id").as("c_id"), col("lab")), "c_id")
+          .groupBy(col("q_id"), col("lab")).agg(count(lit(1)).as("votes"))
+          .groupBy(col("q_id"))
+          .agg(max(struct(col("votes"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("q_id"), (-col("m.nl")).as("pred_label"),
+            col("m.votes").as("votes"))
+          .join(lab.select(col("vec_id").as("q_id"), col("lab").as("true_label")), "q_id")
+          .withColumn("correct",
+            when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .orderBy("q_id")
+      },
+      Some(s"""
+        WITH $ivfPreludeSql,
+        probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
+                     SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY d2, cid) AS pr
+                     FROM dists d JOIN av a ON a.vec_id = d.vec_id)
+                   WHERE pr <= $IvfProbe),
+        cand AS (SELECT p.q_id, s.vec_id AS c_id,
+                   ${intDotSql("p.q_ie", "s.ie")} AS idot,
+                   p.q_aa, sa.aa AS c_aa
+                 FROM probes p
+                 JOIN assign s ON s.cell = p.cell AND s.vec_id != p.q_id
+                 JOIN av sa ON sa.vec_id = s.vec_id),
+        scored AS (SELECT q_id, c_id,
+                     CASE WHEN q_aa = 0 OR c_aa = 0 THEN 0.0
+                          ELSE idot / (sqrt(CAST(q_aa AS DOUBLE))
+                                       * sqrt(CAST(c_aa AS DOUBLE))) END AS cos
+                   FROM cand),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, c_id) AS rank FROM scored),
+        nn AS (SELECT q_id, c_id FROM ranked WHERE rank <= 3),
+        votes AS (SELECT n.q_id, CAST(e.label AS BIGINT) AS lab, count(*) AS votes
+                  FROM nn n JOIN embeddings e ON e.vec_id = n.c_id
+                  GROUP BY 1, 2),
+        pick AS (SELECT q_id, lab, votes, row_number() OVER (
+                   PARTITION BY q_id ORDER BY votes DESC, lab) AS rn
+                 FROM votes)
+        SELECT p.q_id, p.lab AS pred_label, p.votes,
+               CAST(e.label AS BIGINT) AS true_label,
+               CAST(CASE WHEN p.lab = CAST(e.label AS BIGINT)
+                    THEN 1 ELSE 0 END AS BIGINT) AS correct
+        FROM pick p JOIN embeddings e ON e.vec_id = p.q_id
+        WHERE p.rn = 1 ORDER BY p.q_id""")),
+
+    QDef(
       "sim_ivf_prefix_rerank",
       (s, dir) =>
         // the Matryoshka serving funnel: IVF cells bound the candidate

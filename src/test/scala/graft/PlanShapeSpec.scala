@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * - A BroadcastNestedLoopJoin whose broadcast side is a BOUNDED
   *   dimension is the intended shape for unconditioned dimension
   *   attachment: the numCells-row k-means codebook in `sim_ivf_cells` /
-  *   `sim_ivf_topk` / `sim_ivf_pq_topk` / `sim_ivf_prefix_rerank`
-  *   (the compositions inherit the
+  *   `sim_ivf_topk` / `sim_ivf_pq_topk` / `sim_ivf_prefix_rerank` /
+  *   `sim_knn_classify` (the compositions inherit the
   *   shared IVF distance frame and with it the same bounded codebook
   *   join). Cost is O(N x dim), not O(N^2). (1-row scalars no
   *   longer need even that: `ColumnBridge.scalar` attaches them as
@@ -29,7 +29,7 @@ class PlanShapeSpec extends SparkSpec {
   private val bruteForceBaseline = Set("sim_cosine_topk")
   private val boundedDimensionBnl =
     Set("sim_ivf_cells", "sim_ivf_topk", "sim_ivf_pq_topk",
-      "sim_ivf_prefix_rerank")
+      "sim_ivf_prefix_rerank", "sim_knn_classify")
   private val sfDir = "/root/testdata/sf0.001"
 
   test("no registered query plans an all-pairs join (except documented exceptions)") {
