@@ -1153,6 +1153,75 @@ object ExtrasQueries {
         GROUP BY n_name ORDER BY revenue_c2 DESC, n_name""")),
 
     QDef(
+      "scan_ts_generations",
+      (s, dir) => {
+        // schema-drift-tolerant scan: the same event stream written by
+        // two pipeline generations — one with ts as a nanos-since-epoch
+        // LONG (the legacy lake layout), one as TIMESTAMP_NTZ micros
+        // (the current writer) — read back through one normalizing
+        // reader and unioned. This is the drift the corpus actually
+        // exhibited across driver data generations; the reader maps
+        // both to a session TIMESTAMP so downstream logic never
+        // branches on the physical type. Counts and the second-range
+        // must come out exactly doubled-and-identical vs the source.
+        val out = sys.props("java.io.tmpdir") + "/graft_ts_generations"
+        val e = tbl(s, dir, "events")
+        e.withColumn("ts", expr("unix_micros(ts) * 1000"))
+          .write.mode("overwrite").parquet(s"$out/legacy")
+        e.withColumn("ts", col("ts").cast("timestamp_ntz"))
+          .write.mode("overwrite").parquet(s"$out/current")
+        Registry.normalizeTs(s.read.parquet(s"$out/legacy"))
+          .unionByName(Registry.normalizeTs(s.read.parquet(s"$out/current")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(unix_timestamp(col("ts"))).as("min_sec"),
+            max(unix_timestamp(col("ts"))).as("max_sec"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, 2 * count(*) AS n,
+               CAST(min(floor(epoch(ts))) AS BIGINT) AS min_sec,
+               CAST(max(floor(epoch(ts))) AS BIGINT) AS max_sec
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    QDef(
+      "agg_weighted_median",
+      (s, dir) => {
+        // exact QUANTITY-WEIGHTED median unit price per return flag:
+        // smallest price where the cumulative quantity reaches half the
+        // total. The fact grain collapses to |distinct prices| per
+        // group FIRST (map-side combine), so the cumulative window
+        // scans a bounded frame — the distributed form of a weighted
+        // percentile, no sort of the raw facts. Integer cents and
+        // integer quantities throughout: engine-exact.
+        val pp = tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
+          .agg(sum(col("l_quantity")).cast("long").as("w"))
+        val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("price_c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.partitionBy(col("l_returnflag"))
+        pp.withColumn("cum", sum(col("w")).over(cumW))
+          .withColumn("total", sum(col("w")).over(totW))
+          .filter(col("cum") * 2 >= col("total"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("price_c")).as("wmedian_price_c"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH pp AS (SELECT l_returnflag,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                      CAST(sum(l_quantity) AS BIGINT) AS w
+                    FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT l_returnflag, price_c,
+                sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(w) OVER (PARTITION BY l_returnflag) AS total
+              FROM pp)
+        SELECT l_returnflag, CAST(min(price_c) AS BIGINT) AS wmedian_price_c
+        FROM c WHERE cum * 2 >= total
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QDef(
       "sink_parquet_partitioned",
       (s, dir) => {
         // the lake layout write: parquet partitioned by a low-cardinality
