@@ -1153,6 +1153,30 @@ object ExtrasQueries {
         GROUP BY n_name ORDER BY revenue_c2 DESC, n_name""")),
 
     QDef(
+      "agg_bitmap_distinct",
+      (s, dir) =>
+        // exact distinct via bitmap words (the roaring-bitmap idea in
+        // pure SQL types): user ids pack into 64-bit words keyed by
+        // id div 64, bit_or is the mergeable per-word union, popcount
+        // sums to the exact distinct count. Two map-side-combined
+        // aggregations; unlike count(DISTINCT) the partial state is
+        // bounded by the IDSPACE/64 word count, not the row count, and
+        // the words are re-mergeable across corpora — the exact
+        // counterpart of the HLL sketch family for dense id spaces.
+        tbl(s, dir, "events")
+          .select(col("event_type"),
+            expr("user_id div 64").as("word_idx"),
+            expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
+          .groupBy(col("event_type"), col("word_idx"))
+          .agg(expr("bit_or(bit)").as("word"))
+          .groupBy(col("event_type"))
+          .agg(sum(bit_count(col("word")).cast("long")).as("n_distinct_users"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    QDef(
       "scan_ts_generations",
       (s, dir) => {
         // schema-drift-tolerant scan: the same event stream written by

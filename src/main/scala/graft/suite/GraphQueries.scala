@@ -193,6 +193,39 @@ object GraphQueries {
         ORDER BY dc.label""")),
 
     QDef(
+      "graph_assortativity",
+      (s, dir) => {
+        // degree assortativity as EXACT integer moments: per edge (u,v)
+        // with degrees du/dv, report m, sum(du*dv), sum(du+dv),
+        // sum(du^2+dv^2) — the four sums Newman's r is a closed form of
+        // (r = [4m*S_prod - S_sum^2] / [2m*S_sq - S_sum^2]). Integer
+        // sums are order-independent, so the result is engine-exact;
+        // the float division is the caller's one-line epilogue. Shape:
+        // one degree aggregation + two skinny joins onto the shared
+        // edge artifact, all map-side-combinable.
+        val e2 = sharedSupportEdges(s, dir)
+        val adj = e2.select(col("src").as("u")).unionAll(e2.select(col("dst").as("u")))
+        val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+        e2.join(deg.select(col("u").as("su"), col("d").as("du")), col("src") === col("su"))
+          .join(deg.select(col("u").as("du_"), col("d").as("dv")), col("dst") === col("du_"))
+          .agg(count(lit(1)).as("m"),
+            sum(col("du") * col("dv")).as("s_prod"),
+            sum(col("du") + col("dv")).as("s_sum"),
+            sum(col("du") * col("du") + col("dv") * col("dv")).as("s_sq"))
+      },
+      Some(s"""
+        WITH $edgeSql,
+        e2 AS (SELECT src, dst FROM ew WHERE support >= 2),
+        adjd AS (SELECT u, count(*) AS d FROM (
+                   SELECT src AS u FROM e2 UNION ALL SELECT dst AS u FROM e2)
+                 GROUP BY u)
+        SELECT count(*) AS m,
+               CAST(sum(a.d * b.d) AS BIGINT) AS s_prod,
+               CAST(sum(a.d + b.d) AS BIGINT) AS s_sum,
+               CAST(sum(a.d * a.d + b.d * b.d) AS BIGINT) AS s_sq
+        FROM e2 JOIN adjd a ON a.u = e2.src JOIN adjd b ON b.u = e2.dst""")),
+
+    QDef(
       "graph_kcore",
       (s, dir) =>
         // 3-core of the support>=2 affinity graph: iteratively peel
