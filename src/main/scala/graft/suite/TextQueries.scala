@@ -106,6 +106,30 @@ object TextQueries {
       }),
 
     QDef(
+      "text_langid_confusion",
+      (s, dir) =>
+        // the language-ID quality report: confusion matrix of the
+        // stored lang column vs the n-gram-heuristic prediction —
+        // off-diagonal mass is exactly the docs a lang-filtered corpus
+        // would mis-route. Prediction runs per row (codegen'd, no
+        // shuffle); the matrix is one map-side-combined count over a
+        // |langs|^2-bounded key space.
+        tbl(s, dir, "documents")
+          .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "lang_pred"),
+      Some {
+        val (scores, caseExpr) = langSql("toks")
+        s"""WITH t AS (SELECT doc_id, lang,
+              string_split_regex(text, '\\s+') AS toks FROM documents),
+            sc AS (SELECT doc_id, lang, $scores FROM t),
+            p AS (SELECT doc_id, lang, $caseExpr AS lang_pred FROM sc)
+            SELECT lang, lang_pred, count(*) AS n
+            FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""
+      }),
+
+    QDef(
       "text_fingerprint",
       (s, dir) =>
         tbl(s, dir, "documents")

@@ -43,6 +43,34 @@ object WindowExtraQueries {
         WHERE rk <= 3 ORDER BY hour_start, rk""")),
 
     QDef(
+      "win_percentile_bands",
+      (s, dir) =>
+        // percent_rank + cume_dist per market segment over a TOTAL
+        // order (balance cents, then custkey — ties broken, so rank ==
+        // row_number and both engines evaluate the same integer ratios
+        // (rank-1)/(n-1) and rank/n in IEEE doubles, bit-equal). The
+        // window partitions by segment: parallel across groups, no
+        // global funnel.
+        tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+          .withColumn("pr", percent_rank().over(
+            Window.partitionBy(col("c_mktsegment"))
+              .orderBy(col("bal_c"), col("c_custkey"))))
+          .withColumn("cd", cume_dist().over(
+            Window.partitionBy(col("c_mktsegment"))
+              .orderBy(col("bal_c"), col("c_custkey"))))
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+               percent_rank() OVER (PARTITION BY c_mktsegment
+                 ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey) AS pr,
+               cume_dist() OVER (PARTITION BY c_mktsegment
+                 ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey) AS cd
+        FROM customer ORDER BY c_custkey""")),
+
+    QDef(
       "win_funnel_conversion",
       (s, dir) => {
         // view -> purchase funnel within 1 hour, per user: the running
