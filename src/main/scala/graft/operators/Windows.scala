@@ -41,4 +41,51 @@ object Windows {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Distributed GLOBAL running total over `orderCol` — the two-phase
+    * scan that replaces the single-partition trap of an unpartitioned
+    * window (`Window.orderBy(...)` funnels EVERY row through one task;
+    * Spark even logs a performance warning). Phase 1 range-partitions
+    * on the order key and computes per-partition totals (one tiny
+    * driver collect, <= numPartitions rows — metadata, not data);
+    * phase 2 runs an ordinary partitioned cumulative window and adds
+    * each partition's exclusive offset, attached as a literal map
+    * lookup (codegen'd, no join). Net cost: one range shuffle + one
+    * local sort — the same as any global sort — with every partition
+    * scanned in parallel.
+    *
+    * The input is localCheckpoint-pinned between the two phases:
+    * `repartitionByRange` samples its bounds, so two separate actions
+    * over the un-pinned plan could disagree on partition boundaries.
+    *
+    * Rows must be UNIQUE on `orderCol` (pre-collapse to the distinct
+    * key grain first — also what bounds the window frame); with ties
+    * the within-tie cumulative split would be partition-order
+    * dependent. Adds `cum_<c>` for each value column.
+    */
+  def globalCumSum(df: DataFrame, orderCol: String, valueCols: Seq[String]): DataFrame = {
+    val staged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val aggCols = valueCols.map(c => sum(col(c)).cast("long").as(c))
+    val offRows = staged.groupBy(col("__pid"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .sortBy(_.getInt(0))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Long])]
+    var acc = valueCols.map(_ => 0L)
+    offRows.foreach { r =>
+      offs += ((r.getInt(0), acc))
+      acc = valueCols.indices.map(j =>
+        acc(j) + (if (r.isNullAt(j + 1)) 0L else r.getLong(j + 1)))
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.zipWithIndex.foldLeft(staged) { case (d, (c, j)) =>
+      val kv = offs.toSeq.flatMap { case (pid, a) => Seq(lit(pid), lit(a(j))) }
+      d.withColumn(s"cum_$c",
+        sum(col(c)).over(w) + coalesce(element_at(map(kv: _*), col("__pid")), lit(0L)))
+    }.drop("__pid")
+  }
 }

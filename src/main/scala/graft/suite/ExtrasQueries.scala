@@ -1153,6 +1153,78 @@ object ExtrasQueries {
         GROUP BY n_name ORDER BY revenue_c2 DESC, n_name""")),
 
     QDef(
+      "agg_ks_distance",
+      (s, dir) => {
+        // exact two-sample Kolmogorov-Smirnov distance (view vs
+        // purchase value distributions) — the distribution-drift gate a
+        // training pipeline runs between data snapshots. Collapsed to
+        // the distinct value grain, then the distributed global
+        // cumulative sum (operators/Windows.globalCumSum: range
+        // partition + offset map, NO single-partition window), and the
+        // sup-gap as an INTEGER cross-product max:
+        // D = d_num / (n1*n2), reported as exact numerator + counts.
+        val vals = tbl(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy(cents(col("value")).as("v"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c1"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+        val cum = graft.operators.Windows.globalCumSum(vals, "v", Seq("c1", "c2"))
+        val n1 = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          vals.agg(sum(col("c1")).cast("long").as("n1")))
+        val n2 = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          vals.agg(sum(col("c2")).cast("long").as("n2")))
+        cum.agg(max(abs(col("cum_c1") * n2 - col("cum_c2") * n1)).as("d_num"))
+          .withColumn("n1", n1).withColumn("n2", n2)
+      },
+      Some("""
+        WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                        sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+                        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+                      FROM events WHERE event_type IN ('view', 'purchase')
+                      GROUP BY 1),
+        c AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+                sum(c2) OVER (ORDER BY v) AS cum2 FROM vals),
+        n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                CAST(sum(c2) AS BIGINT) AS n2 FROM vals)
+        SELECT CAST(max(abs(cum1 * (SELECT n2 FROM n)
+                 - cum2 * (SELECT n1 FROM n))) AS BIGINT) AS d_num,
+               (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2
+        FROM c""")),
+
+    QDef(
+      "agg_gini_concentration",
+      (s, dir) => {
+        // exact Gini coefficient of document length (is the token mass
+        // concentrated in a few giant docs?) as integer moments:
+        // G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over the
+        // globally sorted lengths. Collapsed to the distinct-length
+        // grain (k copies of x starting at rank r contribute
+        // x*(k*r + k(k-1)/2) — tie-order invariant), ranks from the
+        // distributed global cumsum, division left to the caller.
+        val g = tbl(s, dir, "documents")
+          .groupBy(col("n_chars").as("x"))
+          .agg(count(lit(1)).as("k"))
+        val cum = graft.operators.Windows.globalCumSum(g, "x", Seq("k"))
+          .withColumn("r", col("cum_k") - col("k") + lit(1L))
+          .withColumn("contrib",
+            col("x") * (col("k") * col("r") + expr("(k * (k - 1)) div 2")))
+        cum.agg(sum(col("k")).as("n"),
+            sum(col("x") * col("k")).as("sum_x"),
+            sum(col("contrib")).as("s_ix"))
+          .select(col("n"), col("sum_x"),
+            (lit(2L) * col("s_ix") - (col("n") + lit(1L)) * col("sum_x")).as("g_num"),
+            (col("n") * col("sum_x")).as("g_den"))
+      },
+      Some("""
+        WITH r AS (SELECT n_chars AS x,
+                     row_number() OVER (ORDER BY n_chars, doc_id) AS i
+                   FROM documents)
+        SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sum_x,
+               CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS BIGINT) AS g_num,
+               CAST(count(*) * sum(x) AS BIGINT) AS g_den
+        FROM r""")),
+
+    QDef(
       "agg_bitmap_distinct",
       (s, dir) =>
         // exact distinct via bitmap words (the roaring-bitmap idea in
