@@ -1024,6 +1024,49 @@ object ExtrasQueries {
                AND l_quantity BETWEEN 20 AND 30)""")),
 
     QDef(
+      "tpch_q7_nation_volume",
+      (s, dir) => {
+        // TPC-H Q7 shape: bilateral shipping volume between two trading
+        // nations, by supplier/customer nation pair and ship year. Both
+        // nation filters are dimension-side (tiny, broadcast); the OR
+        // over the two directions is evaluated once on the joined
+        // dimension keys, never on the fact stream; the year comes off
+        // the pushed lineitem scan.
+        val n1 = tbl(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = tbl(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val li = tbl(s, dir, "lineitem")
+          .withColumn("rev_c2",
+            cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+        li.join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(tbl(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(sum(col("rev_c2")).as("revenue_c2"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    QDef(
       "tpch_q18_large_orders",
       (s, dir) => {
         // TPC-H Q18 shape: orders whose total quantity clears a HAVING

@@ -320,6 +320,46 @@ object GraphQueries {
         GROUP BY part ORDER BY n_tri DESC, part LIMIT 20""")),
 
     QDef(
+      "graph_clustering_coeff",
+      (s, dir) => {
+        // per-vertex local clustering as EXACT integer pairs: closed
+        // triangles at v over possible wedges deg*(deg-1)/2 — the
+        // "how clique-like is this part's neighborhood" score, division
+        // left to the caller. Triangle corners come off the shared
+        // degree-oriented enumeration (each triangle once, skew-proof);
+        // wedges off the degree aggregation; one left join on the
+        // vertex grain.
+        val tri = graft.operators.Graph
+          .trianglesFromOriented(sharedOrientedEdges(s, dir))
+          .select(explode(array(col("a"), col("b"), col("c"))).as("tv"))
+          .groupBy("tv").agg(count(lit(1)).as("n_tri"))
+        val e2 = sharedSupportEdges(s, dir)
+        val deg = e2.select(col("src").as("v")).unionAll(e2.select(col("dst").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d"))
+        deg.filter(col("d") >= 2)
+          .join(tri, col("v") === col("tv"), "left_outer")
+          .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            expr("(d * (d - 1)) div 2").as("n_wedge"))
+          .orderBy("v")
+      },
+      Some(s"""
+        WITH $edgeSql,
+        e AS (SELECT src, dst FROM ew WHERE support >= 2),
+        tr AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+               FROM e e1
+               JOIN e e2 ON e1.dst = e2.src
+               JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        tc AS (SELECT v AS tv, count(*) AS n_tri FROM (
+                 SELECT unnest([a, b, c]) AS v FROM tr) GROUP BY 1),
+        dg AS (SELECT v, count(*) AS d FROM (
+                 SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+               GROUP BY v)
+        SELECT dg.v, CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(dg.d * (dg.d - 1) // 2 AS BIGINT) AS n_wedge
+        FROM dg LEFT JOIN tc ON tc.tv = dg.v
+        WHERE dg.d >= 2 ORDER BY dg.v""")),
+
+    QDef(
       "graph_cc_components",
       (s, dir) =>
         // connected components of the affinity graph — the SAME
