@@ -1067,6 +1067,83 @@ object ExtrasQueries {
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
     QDef(
+      "tpch_q8_market_share",
+      (s, dir) => {
+        // TPC-H Q8 shape: one nation's revenue share inside one
+        // region's customer market for one part class, by ship year —
+        // share reported as exact integer numerator/denominator (the
+        // conditional and unconditional revenue sums), not a float
+        // ratio. Dimension chain customer→nation→region prefilters on
+        // the broadcast side; the part-class filter lands on the
+        // broadcast part dim; the fact stream joins equi-only.
+        val custRegion = tbl(s, dir, "customer")
+          .join(broadcast(tbl(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(tbl(s, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"))
+        val suppNation = tbl(s, dir, "supplier")
+          .join(broadcast(tbl(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val li = tbl(s, dir, "lineitem")
+          .withColumn("rev_c2",
+            cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+        li.join(broadcast(tbl(s, dir, "part").filter(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+          .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_year"))
+          .agg(sum(when(col("supp_nation") === "NATION_3", col("rev_c2")).otherwise(0L))
+              .as("nation_rev_c2"),
+            sum(col("rev_c2")).as("total_rev_c2"))
+          .orderBy("l_year")
+      },
+      Some("""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                ELSE 0 END) AS BIGINT) AS nation_rev_c2,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_c2
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
+      "pipeline_shard_manifest",
+      (s, dir) =>
+        // reproducible sharding manifest: docs assigned to 16 shards by
+        // doc_id mod (the world-size split every distributed training
+        // loader does), with per-shard row/char totals and id ranges —
+        // the manifest a loader checks before touching any shard. One
+        // map-side-combined aggregation over a 16-value key.
+        tbl(s, dir, "documents")
+          .groupBy(expr("doc_id % 16").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_doc_id"),
+            max(col("doc_id")).as("max_doc_id"))
+          .orderBy("shard"),
+      Some("""
+        SELECT doc_id % 16 AS shard, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
       "tpch_q18_large_orders",
       (s, dir) => {
         // TPC-H Q18 shape: orders whose total quantity clears a HAVING

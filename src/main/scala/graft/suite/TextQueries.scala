@@ -358,6 +358,43 @@ object TextQueries {
         ORDER BY gram""")),
 
     QDef(
+      "text_ngram_novelty",
+      (s, dir) => {
+        // novelty scoring for curriculum/dedup decisions: per document,
+        // how many of its distinct word 5-grams does it INTRODUCE to
+        // the corpus (global first occurrence by doc_id order)? Low
+        // novelty = mostly recycled text. Grams dedupe at the (doc,
+        // gram) grain map-side; the introducer is one min-aggregation
+        // per gram; the join back is on the already-deduped gram grain.
+        val grams = tbl(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 5)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0), size(col("w")) - lit(5)),
+              i => concat_ws(" ", slice(col("w"), i + lit(1), lit(5))))).as("gram"))
+          .distinct()
+        val firstSeen = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+        grams.join(firstSeen, "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                   FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+              FROM t, (SELECT unnest(generate_series(1, 1000)) AS i) ii
+              WHERE len(w) >= 5 AND i + 4 <= len(w)),
+        fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        SELECT g.doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel
+        FROM g JOIN fs USING (gram)
+        GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
+    QDef(
       "text_freq_spectrum",
       (s, dir) =>
         // Zipf frequency-of-frequencies: how many distinct word types
