@@ -1123,6 +1123,50 @@ object ExtrasQueries {
         GROUP BY 1 ORDER BY 1""")),
 
     QDef(
+      "pipeline_dataset_diff",
+      (s, dir) => {
+        // corpus snapshot diff — the release audit between dataset
+        // versions: full outer join on doc_id classifies every row as
+        // added / removed / changed / unchanged. Snapshot B is derived
+        // deterministically from A (drop id%7, revise text at id%11,
+        // add re-keyed copies at id%13) so the oracle replays the same
+        // derivation; in production B is just the other snapshot's
+        // path. One shuffle on the join key; the classifier is a
+        // per-row CASE.
+        val a = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        val bKeep = a.filter(expr("doc_id % 7 != 0"))
+          .withColumn("text", when(expr("doc_id % 11 = 0"),
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        val bNew = a.filter(expr("doc_id % 13 = 0"))
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+        val b = bKeep.unionByName(bNew)
+        a.select(col("doc_id"), col("text").as("a_text"))
+          .join(b.select(col("doc_id"), col("text").as("b_text")), Seq("doc_id"), "full_outer")
+          .select(when(col("a_text").isNull, "added")
+            .when(col("b_text").isNull, "removed")
+            .when(col("a_text") =!= col("b_text"), "changed")
+            .otherwise("unchanged").as("status"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      Some("""
+        WITH a AS (SELECT doc_id, text FROM documents),
+        bk AS (SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END AS text
+               FROM documents WHERE doc_id % 7 <> 0),
+        bn AS (SELECT doc_id + 10000000 AS doc_id, text FROM documents
+               WHERE doc_id % 13 = 0),
+        b AS (SELECT * FROM bk UNION ALL SELECT * FROM bn),
+        j AS (SELECT a.text AS at, b.text AS bt
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        SELECT CASE WHEN at IS NULL THEN 'added'
+                    WHEN bt IS NULL THEN 'removed'
+                    WHEN at <> bt THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               count(*) AS n
+        FROM j GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
       "pipeline_shard_manifest",
       (s, dir) =>
         // reproducible sharding manifest: docs assigned to 16 shards by

@@ -71,6 +71,39 @@ object WindowExtraQueries {
         FROM customer ORDER BY c_custkey""")),
 
     QDef(
+      "win_change_points",
+      (s, dir) => {
+        // traffic change-point flags: hours whose event count exceeds
+        // 2x the trailing-6-hour average, compared in cross-multiplied
+        // INTEGERS (3*n > sum6 <=> n > 2*(sum6/6)) so no division ever
+        // happens — engine-exact. The hourly rollup collapses the fact
+        // grain first; the trailing window runs over the bounded hour
+        // domain.
+        val hourly = tbl(s, dir, "events")
+          .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("hour_start")).rowsBetween(-6, -1)
+        hourly
+          .withColumn("sum6", sum(col("n")).over(w))
+          .withColumn("cnt6", count(col("n")).over(w))
+          .filter(col("cnt6") === 6 && col("n") * 3 > col("sum6"))
+          .select(col("hour_start"), col("n"), col("sum6"))
+          .orderBy("hour_start")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+                 count(*) AS n
+          FROM events GROUP BY 1),
+        t AS (SELECT hour_start, n,
+                sum(n) OVER (ORDER BY hour_start ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS sum6,
+                count(n) OVER (ORDER BY hour_start ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS cnt6
+              FROM hourly)
+        SELECT hour_start, n, CAST(sum6 AS BIGINT) AS sum6
+        FROM t WHERE cnt6 = 6 AND n * 3 > sum6
+        ORDER BY hour_start""")),
+
+    QDef(
       "win_funnel_conversion",
       (s, dir) => {
         // view -> purchase funnel within 1 hour, per user: the running
