@@ -1167,6 +1167,40 @@ object ExtrasQueries {
         FROM j GROUP BY 1 ORDER BY 1""")),
 
     QDef(
+      "pipeline_changelog_compact",
+      (s, dir) =>
+        // CDC changelog compaction — the lake-table upsert: events are
+        // a per-user changelog ordered by (ts, event_id); the latest
+        // row wins, and a trailing 'error' op is a tombstone that
+        // deletes the key entirely. One shuffle on the key, rank via a
+        // partitioned window over each user's (small) history, no
+        // global sort — the standard snapshot-from-changelog
+        // materialization.
+        tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("sec"),
+            round(col("value") * 100).cast("long").as("value_c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("sec").desc, col("event_id").desc)))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("sec").as("last_sec"), col("value_c").as("last_value_c"))
+          .orderBy("user_id"),
+      Some("""
+        SELECT user_id, event_id AS last_event_id, sec AS last_sec,
+               value_c AS last_value_c FROM (
+          SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 CAST(round(value * 100) AS BIGINT) AS value_c,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+                            event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1 AND event_type <> 'error'
+        ORDER BY user_id""")),
+
+    QDef(
       "pipeline_shard_manifest",
       (s, dir) =>
         // reproducible sharding manifest: docs assigned to 16 shards by

@@ -329,6 +329,41 @@ object SimilarityQueries {
         WHERE p.rn = 1 ORDER BY p.q_id""")),
 
     QDef(
+      "sim_corpus_spread",
+      (s, dir) => {
+        // embedding-cloud spread as EXACT integer moments: n,
+        // sum||x||^2, and ||sum x||^2 over the quantized integer
+        // embeddings — mean pairwise squared distance is the closed
+        // form 2*(n*sum_sq - sum_vec_sq)/n^2, division left to the
+        // caller. sum_sq is one codegen'd self-dot per row; the
+        // componentwise vector sum is a posexplode + 64-key aggregation
+        // (bounded by dims, not rows), then one final self-dot.
+        val ie = tbl(s, dir, "embeddings")
+          .select(Similarity.intEmbedding(col("embedding")).as("e"))
+        val comp = ie.select(posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("pos")).agg(sum(col("v")).as("s"))
+          .agg(sum(col("s") * col("s")).as("sum_vec_sq"))
+        ie.agg(count(lit(1)).as("n"),
+            sum(graft.functions.VectorExpressions.dotLong(col("e"), col("e"))).as("sum_sq"))
+          // 1-row moment attaches as an uncorrelated scalar subquery —
+          // no join operator at all (vs a crossJoin, which would plan a
+          // nested loop and trip PlanShapeSpec)
+          .withColumn("sum_vec_sq", org.apache.spark.sql.graft.ColumnBridge.scalar(comp))
+      },
+      Some(s"""
+        WITH ie AS (SELECT $intEmbSql AS e FROM embeddings),
+        sq AS (SELECT count(*) AS n,
+                 CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(e, x -> x * x)), (a, b) -> a + b)) AS BIGINT)
+                   AS sum_sq
+               FROM ie),
+        comp AS (SELECT i, sum(e[i]) AS s
+                 FROM ie, (SELECT unnest(generate_series(1, $Dims)) AS i) ii
+                 GROUP BY i),
+        vs AS (SELECT CAST(sum(s * s) AS BIGINT) AS sum_vec_sq FROM comp)
+        SELECT n, sum_sq, sum_vec_sq FROM sq, vs""")),
+
+    QDef(
       "sim_ivf_prefix_rerank",
       (s, dir) =>
         // the Matryoshka serving funnel: IVF cells bound the candidate
