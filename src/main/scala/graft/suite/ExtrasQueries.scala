@@ -1167,6 +1167,42 @@ object ExtrasQueries {
         FROM j GROUP BY 1 ORDER BY 1""")),
 
     QDef(
+      "agg_top_paths",
+      (s, dir) => {
+        // user-journey mining: the most common opening event paths —
+        // each user's first 3 events (by time, id-tiebroken) joined
+        // into a path string, then counted. The rank window partitions
+        // per user (small frames); the path assembly is an ordered
+        // in-group sort of <= 3 structs, never a cross-row collect of
+        // the full history.
+        val ranked = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_timestamp(col("ts")).as("sec"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("sec"), col("event_id"))))
+          .filter(col("rn") <= 3)
+        ranked.groupBy(col("user_id"))
+          .agg(concat_ws(">",
+            transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type"))).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn
+          FROM events),
+        paths AS (SELECT user_id,
+                    string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM ranked WHERE rn <= 3 GROUP BY user_id)
+        SELECT path, count(*) AS n_users FROM paths
+        GROUP BY path ORDER BY n_users DESC, path LIMIT 20""")),
+
+    QDef(
       "pipeline_changelog_compact",
       (s, dir) =>
         // CDC changelog compaction — the lake-table upsert: events are
