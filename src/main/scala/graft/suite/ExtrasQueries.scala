@@ -1258,6 +1258,36 @@ object ExtrasQueries {
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
     QDef(
+      "tpch_q4_order_priority",
+      (s, dir) => {
+        // TPC-H Q4 shape: order-priority counts over a quarter, gated
+        // by EXISTS — here "some line shipped after the order date"
+        // (the schema's stand-in for commit<receipt). The EXISTS is a
+        // left-semi join: the fact side deduplicates to matching
+        // orderkeys during the join itself, no count-then-filter, and
+        // the date window lands on the orders scan as a pushed filter.
+        val o = tbl(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val late = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        o.join(late,
+            o("o_orderkey") === late("l_orderkey") &&
+              late("l_shipdate") > o("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QDef(
       "tpch_q18_large_orders",
       (s, dir) => {
         // TPC-H Q18 shape: orders whose total quantity clears a HAVING

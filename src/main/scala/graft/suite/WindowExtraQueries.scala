@@ -71,6 +71,49 @@ object WindowExtraQueries {
         FROM customer ORDER BY c_custkey""")),
 
     QDef(
+      "win_gap_median",
+      (s, dir) => {
+        // per-user cadence profile: the EXACT median inter-event gap.
+        // Gaps come from a per-user lag (partitioned window); the
+        // median reuses the exact-quantile-by-group operator — ranking
+        // is parallel across users, no sketch, no global sort. Users
+        // with one event have no gaps and drop out, exactly as the
+        // oracle's lag-null filter does.
+        val gaps = tbl(s, dir, "events")
+          .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+            col("event_id"))
+          .withColumn("prev", lag(col("sec"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("sec"), col("event_id"))))
+          .filter(col("prev").isNotNull)
+          .select(col("user_id"), (col("sec") - col("prev")).as("gap"),
+            col("event_id"))
+        graft.operators.Quantiles
+          .exactQuantileByGroup(gaps, "user_id", "gap", "event_id", q = 0.5)
+          .select(col("user_id"), col("gap").as("median_gap"),
+            col("event_id"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH g AS (SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+                       AS gap,
+                     event_id
+                   FROM events),
+        t AS (SELECT * FROM g WHERE gap IS NOT NULL),
+        r AS (SELECT user_id, gap, event_id,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY gap, event_id) - 1 AS r0,
+                count(*) OVER (PARTITION BY user_id) AS n
+              FROM t)
+        SELECT user_id, gap AS median_gap, event_id
+        FROM r WHERE r0 = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+        ORDER BY user_id""")),
+
+    QDef(
       "win_change_points",
       (s, dir) => {
         // traffic change-point flags: hours whose event count exceeds
