@@ -1489,6 +1489,27 @@ object ExtrasQueries {
         FROM r""")),
 
     QDef(
+      "agg_benford_digits",
+      (s, dir) =>
+        // Benford's-law audit of order totals: leading-digit counts of
+        // the positive integer cents, digit extracted by STRING head —
+        // no float log10, whose rounding at exact powers of ten would
+        // misbin — one map-side-combined count over a 9-value key. The
+        // fraud/data-quality screen for any money column.
+        tbl(s, dir, "orders")
+          .select(cents(col("o_totalprice")).as("c"))
+          .filter(col("c") > 0)
+          .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .orderBy("digit"),
+      Some("""
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               count(*) AS n
+        FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+        GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
       "agg_bitmap_distinct",
       (s, dir) =>
         // exact distinct via bitmap words (the roaring-bitmap idea in

@@ -1,5 +1,6 @@
 package graft.suite
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions
@@ -393,6 +394,48 @@ object TextQueries {
                  AS n_novel
         FROM g JOIN fs USING (gram)
         GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
+    QDef(
+      "text_vocab_growth",
+      (s, dir) => {
+        // Heaps'-law vocabulary growth: new word types introduced per
+        // doc_id decile, with the running vocabulary total. Each word's
+        // introducer is one min-aggregation (map-side combinable);
+        // deciles come from the integer doc_id range; the cumulative
+        // curve is a 10-row window — the corpus-size-vs-vocab curve
+        // every tokenizer change is sanity-checked against.
+        val docs = tbl(s, dir, "documents")
+        val maxId = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          docs.agg(max(col("doc_id")).as("m")))
+        val firstSeen = docs
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
+          .select(col("doc_id"), graft.dedup.Dedup.wordId(col("word")).as("word_id"))
+          .groupBy(col("word_id")).agg(min(col("doc_id")).as("first_doc"))
+        val perDecile = firstSeen
+          .withColumn("decile", least(lit(9L),
+            floor(col("first_doc") * 10 / (maxId + lit(1L))).cast("long")))
+          .groupBy(col("decile")).agg(count(lit(1)).as("n_new_words"))
+        perDecile
+          .withColumn("cum_vocab", sum(col("n_new_words")).over(
+            Window.orderBy(col("decile"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("decile")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+                      FROM documents),
+        fs AS (SELECT ${DedupQueries.wordHashSql("word")} AS word_id,
+                 min(doc_id) AS first_doc
+               FROM toks GROUP BY 1),
+        mx AS (SELECT max(doc_id) AS m FROM documents),
+        d AS (SELECT least(9, first_doc * 10 // ((SELECT m FROM mx) + 1)) AS decile,
+                count(*) AS n_new_words
+              FROM fs GROUP BY 1)
+        SELECT decile, n_new_words,
+               CAST(sum(n_new_words) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_vocab
+        FROM d ORDER BY decile""")),
 
     QDef(
       "text_freq_spectrum",
