@@ -1489,6 +1489,43 @@ object ExtrasQueries {
         FROM r""")),
 
     QDef(
+      "agg_autocorr_daily",
+      (s, dir) => {
+        // lag-1 autocorrelation of daily traffic as EXACT integer
+        // moments (n pairs, sums, squares, cross products over the
+        // adjacent-day pairs) — Pearson r1 is a closed form of the five
+        // sums, division left to the caller. The daily rollup collapses
+        // the fact grain first; the lag window runs over the bounded
+        // calendar domain. The "is traffic momentum real" check before
+        // anyone fits a forecast.
+        val daily = tbl(s, dir, "events")
+          .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val paired = daily
+          .withColumn("x_prev", lag(col("x"), 1).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+          .filter(col("x_prev").isNotNull)
+        paired.agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("s_x"), sum(col("x_prev")).as("s_p"),
+          sum(col("x") * col("x")).as("s_xx"),
+          sum(col("x_prev") * col("x_prev")).as("s_pp"),
+          sum(col("x") * col("x_prev")).as("s_xp"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+                 count(*) AS x
+          FROM events GROUP BY 1),
+        p AS (SELECT x, lag(x) OVER (ORDER BY day) AS x_prev FROM daily)
+        SELECT count(*) AS n_pairs,
+               CAST(sum(x) AS BIGINT) AS s_x,
+               CAST(sum(x_prev) AS BIGINT) AS s_p,
+               CAST(sum(x * x) AS BIGINT) AS s_xx,
+               CAST(sum(x_prev * x_prev) AS BIGINT) AS s_pp,
+               CAST(sum(x * x_prev) AS BIGINT) AS s_xp
+        FROM p WHERE x_prev IS NOT NULL""")),
+
+    QDef(
       "agg_benford_digits",
       (s, dir) =>
         // Benford's-law audit of order totals: leading-digit counts of

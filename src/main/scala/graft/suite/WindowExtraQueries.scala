@@ -114,6 +114,51 @@ object WindowExtraQueries {
         ORDER BY user_id""")),
 
     QDef(
+      "win_max_concurrency",
+      (s, dir) => {
+        // peak concurrent sessions — the capacity-planning number: how
+        // many users' sessions overlap at the busiest instant. Sessions
+        // are the flagship islands (gap 1800s, min 3 events); the
+        // sweep-line is +1 at each start, -1 just past each end,
+        // collapsed to the distinct boundary grain and run through the
+        // distributed global cumsum (range partition + offset map — no
+        // single-partition window). Output: the peak and when it is
+        // first reached.
+        val ev = Registry.tbl(s, dir, "events")
+          .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        val sess = graft.operators.Islands
+          .islands(ev, Seq("user_id"), "sec", maxGap = 1800L, minLen = 3L)
+        val deltas = sess.select(col("island_start").as("t"), lit(1L).as("d"))
+          .unionAll(sess.select((col("island_end") + lit(1L)).as("t"), lit(-1L).as("d")))
+          .groupBy(col("t")).agg(sum(col("d")).as("d"))
+        val swept = graft.operators.Windows.globalCumSum(deltas, "t", Seq("d"))
+        val peak = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          swept.agg(max(col("cum_d")).as("m")))
+        swept.filter(col("cum_d") === peak)
+          .agg(min(col("t")).as("first_peak_t"), max(col("cum_d")).as("peak"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        b AS (SELECT user_id, sec,
+              CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+                   THEN 1 ELSE 0 END AS brk FROM e),
+        g AS (SELECT user_id, sec,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id
+              FROM b),
+        s AS (SELECT user_id, island_id, min(sec) AS island_start, max(sec) AS island_end
+              FROM g GROUP BY user_id, island_id HAVING count(*) >= 3),
+        deltas AS (SELECT t, sum(d) AS d FROM (
+                     SELECT island_start AS t, 1 AS d FROM s
+                     UNION ALL SELECT island_end + 1 AS t, -1 AS d FROM s)
+                   GROUP BY t),
+        c AS (SELECT t, sum(d) OVER (ORDER BY t) AS cum FROM deltas),
+        p AS (SELECT max(cum) AS peak FROM c)
+        SELECT CAST(min(t) AS BIGINT) AS first_peak_t,
+               CAST(max(cum) AS BIGINT) AS peak
+        FROM c WHERE cum = (SELECT peak FROM p)""")),
+
+    QDef(
       "win_change_points",
       (s, dir) => {
         // traffic change-point flags: hours whose event count exceeds
