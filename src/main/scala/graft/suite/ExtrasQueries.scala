@@ -472,6 +472,65 @@ object ExtrasQueries {
         ORDER BY o_custkey""")),
 
     QDef(
+      "setop_except_all",
+      (s, dir) => {
+        // EXCEPT ALL — multiset difference with multiplicity (each
+        // purchase "consumes" one view occurrence of the same user):
+        // the bag semantics dedup-by-count relies on, distinct from
+        // setop_except's set semantics. Spark plans it as a
+        // count-balancing aggregation, one shuffle. Output re-counted
+        // per user so the compare is order-free.
+        val e = tbl(s, dir, "events")
+        e.filter(col("event_type") === "view").select(col("user_id"))
+          .exceptAll(e.filter(col("event_type") === "purchase").select(col("user_id")))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_surplus"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT user_id FROM events WHERE event_type = 'view'
+          EXCEPT ALL
+          SELECT user_id FROM events WHERE event_type = 'purchase')
+        SELECT user_id, count(*) AS n_surplus FROM d
+        GROUP BY user_id ORDER BY user_id""")),
+
+    QDef(
+      "join_null_safe_eq",
+      (s, dir) => {
+        // null-safe equality join (<=> / IS NOT DISTINCT FROM): the
+        // "unknown bucket matches unknown bucket" semantics ordinary
+        // equi-joins silently drop (NULL = NULL is never true). Both
+        // sides derive a nullable bucket (one residue nulled out), and
+        // the null buckets MUST pair up — the reconciliation shape for
+        // dimension keys with honest unknowns. Still a hash join: the
+        // null-safe operator hashes on a null-tagged key.
+        val e = tbl(s, dir, "events")
+        val a = e.filter(col("event_type") === "view")
+          .select(when(expr("user_id % 7 = 3"), lit(null).cast("long"))
+            .otherwise(expr("user_id % 7")).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_views"))
+        val b = e.filter(col("event_type") === "purchase")
+          .select(when(expr("user_id % 7 = 3"), lit(null).cast("long"))
+            .otherwise(expr("user_id % 7")).as("k2"))
+          .groupBy(col("k2")).agg(count(lit(1)).as("n_purchases"))
+        a.join(b, col("k") <=> col("k2"))
+          .select(col("k"), col("n_views"), col("n_purchases"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some("""
+        WITH a AS (SELECT CASE WHEN user_id % 7 = 3 THEN NULL
+                               ELSE user_id % 7 END AS k,
+                          count(*) AS n_views
+                   FROM events WHERE event_type = 'view' GROUP BY 1),
+        b AS (SELECT CASE WHEN user_id % 7 = 3 THEN NULL
+                          ELSE user_id % 7 END AS k2,
+                     count(*) AS n_purchases
+              FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT a.k, a.n_views, b.n_purchases
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+        ORDER BY a.k NULLS FIRST""")),
+
+    QDef(
       "setop_union",
       (s, dir) => {
         val c = tbl(s, dir, "customer")
