@@ -1347,6 +1347,70 @@ object ExtrasQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     QDef(
+      "tpch_q13_order_distribution",
+      (s, dir) => {
+        // TPC-H Q13 shape: the customer order-count histogram INCLUDING
+        // zero-order customers — a left outer join (so silent customers
+        // survive with count 0) followed by two cascaded
+        // map-side-combined aggregations. The double group-by collapses
+        // |customers| to |distinct order counts| before the final sort.
+        val perCust = tbl(s, dir, "customer")
+          .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""
+        WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                    GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM pc GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    QDef(
+      "agg_rfm_segments",
+      (s, dir) => {
+        // RFM customer segmentation: per-user recency (last purchase
+        // second), frequency (purchase count) and monetary (total
+        // cents), each cut into terciles by ntile over a TIE-BROKEN
+        // total order (user_id appended), then segment population
+        // counts — 27 possible (r,f,m) codes. ntile over |users| rows
+        // per metric; the fact grain collapses first.
+        val base = tbl(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(max(unix_timestamp(col("ts"))).as("last_sec"),
+            count(lit(1)).as("freq"),
+            sum(round(col("value") * 100).cast("long")).as("monetary_c"))
+        val seg = base
+          .withColumn("r", ntile(3).over(Window.orderBy(col("last_sec"), col("user_id"))))
+          .withColumn("f", ntile(3).over(Window.orderBy(col("freq"), col("user_id"))))
+          .withColumn("m", ntile(3).over(Window.orderBy(col("monetary_c"), col("user_id"))))
+        seg.groupBy(col("r"), col("f"), col("m"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("r", "f", "m")
+      },
+      Some("""
+        WITH base AS (SELECT user_id,
+                        max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec,
+                        count(*) AS freq,
+                        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                          AS monetary_c
+                      FROM events WHERE event_type = 'purchase'
+                      GROUP BY user_id),
+        seg AS (SELECT
+                  ntile(3) OVER (ORDER BY last_sec, user_id) AS r,
+                  ntile(3) OVER (ORDER BY freq, user_id) AS f,
+                  ntile(3) OVER (ORDER BY monetary_c, user_id) AS m
+                FROM base)
+        SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+               count(*) AS n_users
+        FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    QDef(
       "tpch_q18_large_orders",
       (s, dir) => {
         // TPC-H Q18 shape: orders whose total quantity clears a HAVING
