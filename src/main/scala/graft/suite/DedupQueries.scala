@@ -387,6 +387,45 @@ object DedupQueries {
             ORDER BY doc_id""")),
 
     QDef(
+      "pipeline_dedup_rate_by_source",
+      (s, dir) => {
+        // which source is feeding us duplicates? Per-source dedup
+        // census off the SHARED component labels: docs, removed
+        // non-survivors, survivors. One skinny label join + one
+        // map-side-combined count over the bounded source key — the
+        // data-card slice that decides which feed gets renegotiated.
+        val labels = sharedLabels(s, dir)
+        tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+          .join(labels.select(col("node").as("doc_id"), col("label")),
+            Seq("doc_id"), "left_outer")
+          .withColumn("rm",
+            (col("label").isNotNull && col("label") =!= col("doc_id")).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("rm")).as("n_removed"),
+            (count(lit(1)) - sum(col("rm"))).as("n_survivors"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $nearPairsCteSql,
+            e AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b AS u, a AS v FROM pairs),
+            reach(u, m) AS (
+              SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.u, e.v AS m FROM reach r JOIN e ON r.m = e.u),
+            comp AS (SELECT u AS doc_id, min(m) AS survivor_id
+                     FROM reach GROUP BY u)
+            SELECT d.source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN c.survivor_id IS NOT NULL
+                                  AND c.survivor_id <> d.doc_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   CAST(count(*) - sum(CASE WHEN c.survivor_id IS NOT NULL
+                                             AND c.survivor_id <> d.doc_id
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+            GROUP BY d.source ORDER BY d.source""")),
+
+    QDef(
       "dedup_incremental_labels",
       (s, dir) => {
         // incremental survivor maintenance: persisted labels (CC over the
