@@ -1411,6 +1411,75 @@ object ExtrasQueries {
         FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
     QDef(
+      "tpch_q15_top_supplier",
+      (s, dir) => {
+        // TPC-H Q15 shape: the revenue view (per-supplier quarter
+        // revenue) gated by its own global maximum — the max attaches
+        // as an uncorrelated scalar subquery over the SAME aggregated
+        // frame, so the fact table is scanned once and the gate costs
+        // one 1-row lookup, not a second pass.
+        val rev = tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(cents(col("l_extendedprice")) *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("total_rev_c2"))
+        val maxRev = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          rev.agg(max(col("total_rev_c2")).as("m")))
+        rev.filter(col("total_rev_c2") === maxRev)
+          .join(broadcast(tbl(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev_c2"))
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+              AS total_rev_c2
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev_c2
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev_c2 = (SELECT max(total_rev_c2) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    QDef(
+      "tpch_q17_small_quantity",
+      (s, dir) => {
+        // TPC-H Q17 shape: revenue locked in small orders — lines of
+        // one brand's parts whose quantity is below HALF the part's
+        // average quantity. The correlated subquery becomes a join on
+        // the pre-aggregated part grain, and the avg comparison
+        // cross-multiplies into integers (2*qty*n < sum_qty), so the
+        // gate is exact — no float avg, no correlated rescan.
+        val li = tbl(s, dir, "lineitem")
+        val perPart = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+        li.join(broadcast(tbl(s, dir, "part").filter(col("p_brand") === "Brand#23")),
+            col("l_partkey") === col("p_partkey"))
+          .join(perPart, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity").cast("long") * 2 * col("n_lines") < col("sum_qty"))
+          .agg(sum(cents(col("l_extendedprice"))).as("small_qty_rev_c"),
+            count(lit(1)).as("n_lines_small"))
+      },
+      Some("""
+        WITH pp AS (SELECT l_partkey AS pk,
+                      CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                      count(*) AS n_lines
+                    FROM lineitem GROUP BY 1)
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS small_qty_rev_c,
+               count(*) AS n_lines_small
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+        JOIN pp ON l_partkey = pk
+        WHERE CAST(l_quantity AS BIGINT) * 2 * n_lines < sum_qty""")),
+
+    QDef(
       "tpch_q18_large_orders",
       (s, dir) => {
         // TPC-H Q18 shape: orders whose total quantity clears a HAVING
