@@ -1480,6 +1480,48 @@ object ExtrasQueries {
         WHERE CAST(l_quantity AS BIGINT) * 2 * n_lines < sum_qty""")),
 
     QDef(
+      "tpch_q22_global_sales_opportunity",
+      (s, dir) => {
+        // TPC-H Q22 shape: well-funded customers who never ordered —
+        // the "dormant money" report. The above-average gate
+        // cross-multiplies into integers (bal_c * n_pos > sum_pos, no
+        // float avg), the positive-balance moments attach as scalar
+        // subqueries, and "never ordered" is a left-anti join (the
+        // dual of Q4's semi). Grouped by market segment (the schema's
+        // stand-in for the phone country code).
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            cents(col("c_acctbal")).as("bal_c"))
+        val pos = c.filter(col("bal_c") > 0)
+        val nPos = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          pos.agg(count(lit(1)).as("n")))
+        val sumPos = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          pos.agg(sum(col("bal_c")).as("s")))
+        val recent = tbl(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        c.filter(col("bal_c") * nPos > sumPos)
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH c AS (SELECT c_custkey, c_mktsegment,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                   FROM customer),
+        p AS (SELECT count(*) AS n, CAST(sum(bal_c) AS BIGINT) AS s
+              FROM c WHERE bal_c > 0)
+        SELECT c_mktsegment, count(*) AS numcust,
+               CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        FROM c
+        WHERE bal_c * (SELECT n FROM p) > (SELECT s FROM p)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    QDef(
       "tpch_q18_large_orders",
       (s, dir) => {
         // TPC-H Q18 shape: orders whose total quantity clears a HAVING
