@@ -54,5 +54,6 @@ object Registry {
     CoreQueries.all ++ RelationalQueries.all ++ Af3Queries.all ++
       DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ StreamingQueries.all ++ ExtrasQueries.all ++
-      WindowExtraQueries.all ++ SamplingQueries.all ++ GraphQueries.all
+      WindowExtraQueries.all ++ SamplingQueries.all ++ GraphQueries.all ++
+      TpchQueries.all
 }

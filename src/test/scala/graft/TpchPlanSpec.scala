@@ -41,6 +41,27 @@ class TpchPlanSpec extends SparkSpec {
     }
   }
 
+  test("q2/q9: the selective part gate broadcasts into the fact scan") {
+    Seq("tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+    }
+  }
+
+  test("q20: the nested-EXISTS chain plans as a left-semi join") {
+    val p = plan("tpch_q20_excess_suppliers")
+    assert(p.contains("LeftSemi"), s"no LeftSemi in:\n${p.take(800)}")
+  }
+
+  test("q21: blame assignment runs on the collapsed (order, supplier) grain") {
+    // two cascaded HashAggregates must both sit below the final join —
+    // a plan that joins raw lineitem rows against lineitem would explode
+    // at scale; the collapse to (orderkey, suppkey) happens first
+    val p = plan("tpch_q21_waiting_suppliers")
+    val aggCount = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggCount >= 4, s"expected >=4 HashAggregate stages (2 grains x partial/final), got $aggCount")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("bitmap distinct: bit_or combines map-side (two-stage aggregate)") {
     val p = plan("agg_bitmap_distinct")
     assert(p.contains("partial_bit_or") || p.contains("partial bit_or") ||
