@@ -234,4 +234,94 @@ object Graph {
     adj.unpersist(false)
     labels
   }
+
+  /** Multi-source breadth-first distances over an UNDIRECTED edge list:
+    * every seed starts at distance 0 and each round expands the frontier
+    * one hop, keeping the FIRST (= minimum) distance per vertex. Exact
+    * and engine-deterministic by construction — hop counts are integers
+    * and the frontier recurrence (neighbors of round k-1 minus everything
+    * already visited) is order-independent, so a fixed SQL unroll of the
+    * same rounds agrees hash-for-hash.
+    *
+    * Shape per round: one hash equi-join (adjacency x CURRENT frontier —
+    * not the full visited set) + distinct + one anti join. Cost is
+    * O(edges touched by the frontier), the textbook distributed BFS; at
+    * 100 TB the frontier frames stay skinny (vertex id + int) while the
+    * adjacency is scanned once per round from cache. Lineage is cut
+    * every round as in [[pageRankScaled]]. Unreached vertices are simply
+    * absent (no +inf sentinel to disagree on).
+    *
+    * Output: (v, dist) for every vertex within `maxDepth` hops of a seed.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val adj = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .unionByName(edges.select(col("dst").cast("long").as("u"), col("src").cast("long").as("v")))
+      .distinct().cache()
+    var visited = seeds.select(col("v").cast("long").as("v"), lit(0).as("dist"))
+      .distinct().localCheckpoint(true)
+    var frontier = visited
+    var d = 1
+    while (d <= maxDepth) {
+      val next = adj
+        .join(frontier.select(col("v").as("u")), Seq("u"))
+        .select(col("v")).distinct()
+        .join(visited.select(col("v")), Seq("v"), "left_anti")
+        .select(col("v"), lit(d).as("dist"))
+        .localCheckpoint(true)
+      val grown = visited.unionByName(next).localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(frontier)
+      if (d > 1) org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(visited)
+      frontier = next
+      visited = grown
+      d += 1
+    }
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(frontier)
+    adj.unpersist(false)
+    visited
+  }
+
+  /** Fixed-round Bellman-Ford single/multi-source shortest paths over a
+    * WEIGHTED undirected edge list (`src`, `dst`, integer `w`) — the
+    * min-plus companion to [[bfsDistances]]: each round relaxes every
+    * edge out of the currently-reached set and keeps the per-vertex
+    * minimum tentative distance. All-integer arithmetic, and min over
+    * (dist, then nothing) is order-independent, so a fixed unroll of the
+    * recurrence d_k(v) = min(d_{k-1}(v), min_u(d_{k-1}(u) + w(u,v)))
+    * agrees with any SQL engine exactly.
+    *
+    * Shape per round: one hash equi-join (weighted adjacency x reached
+    * set) + one map-side-combined min aggregation — O(E) per round, the
+    * classic frontier-free Bellman-Ford step that a 1000-executor
+    * cluster runs as two shuffles. `rounds` bounds path LENGTH (hops),
+    * the oracle-friendly form; paths longer than `rounds` hops keep
+    * their best bounded-length distance, exactly as the unrolled oracle
+    * computes.
+    *
+    * Output: (v, dist_c) for every vertex reachable within `rounds` hops.
+    */
+  def ssspScaled(weightedEdges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val adj = weightedEdges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"),
+        col("w").cast("long").as("w"))
+      .unionByName(weightedEdges
+        .select(col("dst").cast("long").as("u"), col("src").cast("long").as("v"),
+          col("w").cast("long").as("w")))
+      .distinct().cache()
+    var dist = seeds.select(col("v").cast("long").as("v"), lit(0L).as("dist_c"))
+      .distinct().localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val relaxed = adj
+        .join(dist.select(col("v").as("u"), col("dist_c").as("du")), Seq("u"))
+        .select(col("v"), (col("du") + col("w")).as("dist_c"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("v").agg(min(col("dist_c")).as("dist_c"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(dist)
+      dist = next
+      i += 1
+    }
+    adj.unpersist(false)
+    dist
+  }
 }

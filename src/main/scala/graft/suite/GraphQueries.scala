@@ -459,6 +459,76 @@ object GraphQueries {
         SELECT p1, p2, ra_score_m FROM ra
         WHERE NOT EXISTS (SELECT 1 FROM e2
                           WHERE e2.src = ra.p1 AND e2.dst = ra.p2)
-        ORDER BY ra_score_m DESC, p1, p2 LIMIT 20"""))
+        ORDER BY ra_score_m DESC, p1, p2 LIMIT 20""")),
+
+    QDef(
+      "graph_bfs_distance",
+      (s, dir) => {
+        // multi-source BFS: hop distance from the seed set (every 97th
+        // part id present in the affinity graph) out to 3 hops —
+        // "how far is everything from the anchor SKUs". Frontier
+        // expansion joins adjacency against the CURRENT frontier only
+        // (operators/Graph.bfsDistances), never the visited set, so
+        // per-round cost tracks the frontier's edge boundary; the
+        // oracle unrolls the identical recurrence (neighbors minus
+        // already-seen) three times.
+        val e = sharedSupportEdges(s, dir)
+        val verts = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+          .distinct()
+        val seeds = verts.filter(col("v") % 97 === 0)
+        Graph.bfsDistances(e, seeds, maxDepth = 3).orderBy("dist", "v")
+      },
+      Some(s"""
+        WITH $edgeSql,
+        e2 AS (SELECT src, dst FROM ew WHERE support >= 2),
+        adj AS (SELECT src AS u, dst AS v FROM e2
+                UNION SELECT dst AS u, src AS v FROM e2),
+        d0 AS (SELECT DISTINCT u AS v FROM adj WHERE u % 97 = 0),
+        f1 AS (SELECT DISTINCT a.v FROM adj a JOIN d0 s ON a.u = s.v
+               WHERE a.v NOT IN (SELECT v FROM d0)),
+        f2 AS (SELECT DISTINCT a.v FROM adj a JOIN f1 s ON a.u = s.v
+               WHERE a.v NOT IN (SELECT v FROM d0)
+                 AND a.v NOT IN (SELECT v FROM f1)),
+        f3 AS (SELECT DISTINCT a.v FROM adj a JOIN f2 s ON a.u = s.v
+               WHERE a.v NOT IN (SELECT v FROM d0)
+                 AND a.v NOT IN (SELECT v FROM f1)
+                 AND a.v NOT IN (SELECT v FROM f2))
+        SELECT v, CAST(0 AS INT) AS dist FROM d0
+        UNION ALL SELECT v, 1 FROM f1
+        UNION ALL SELECT v, 2 FROM f2
+        UNION ALL SELECT v, 3 FROM f3
+        ORDER BY dist, v""")),
+
+    QDef(
+      "graph_sssp_weighted",
+      (s, dir) => {
+        // weighted shortest paths from the same anchor seeds: edge cost
+        // is the scaled-integer affinity inverse (1e6 div support — a
+        // strongly-supported co-occurrence is a short hop), relaxed for
+        // 4 Bellman-Ford rounds (operators/Graph.ssspScaled). Exact
+        // min-plus integer arithmetic end-to-end; the oracle unrolls
+        // d_k(v) = min(d_{k-1}(v), min_u(d_{k-1}(u) + w)) four times.
+        val w = sharedEdges(s, dir).filter(col("support") >= 2)
+          .select(col("src"), col("dst"), expr("1000000 div support").as("w"))
+        val verts = w.select(col("src").as("v")).unionAll(w.select(col("dst").as("v")))
+          .distinct()
+        val seeds = verts.filter(col("v") % 97 === 0)
+        Graph.ssspScaled(w, seeds, rounds = 4).orderBy("v")
+      },
+      Some(s"""
+        WITH $edgeSql,
+        wr AS (SELECT src, dst, 1000000 // support AS w FROM ew WHERE support >= 2),
+        aw AS (SELECT src AS u, dst AS v, w FROM wr
+               UNION SELECT dst AS u, src AS v, w FROM wr),
+        s0 AS (SELECT DISTINCT u AS v, CAST(0 AS BIGINT) AS dist_c FROM aw
+               WHERE u % 97 = 0),
+        ${(1 to 4).map { k =>
+          s"""s$k AS (SELECT v, CAST(min(dist_c) AS BIGINT) AS dist_c FROM (
+                 SELECT v, dist_c FROM s${k - 1}
+                 UNION ALL
+                 SELECT a.v, s.dist_c + a.w AS dist_c
+                 FROM aw a JOIN s${k - 1} s ON a.u = s.v) GROUP BY v)"""
+        }.mkString(",\n        ")}
+        SELECT v, dist_c FROM s4 ORDER BY v"""))
   )
 }

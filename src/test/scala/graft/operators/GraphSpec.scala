@@ -105,6 +105,39 @@ class GraphSpec extends SparkSpec {
     assert(shuffled == got)
   }
 
+  test("bfs: exact hop distances on a hand-countable graph, depth-capped") {
+    // from seed 5, the fixture is a path into K4: 5 -(1)- 4 -(2)- {1,2,3};
+    // the {6,7,8} triangle is unreachable and must be absent
+    val seeds = Seq(5L).toDF("v")
+    val got = Graph.bfsDistances(fixtureEdges, seeds, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(5L -> 0, 4L -> 1, 1L -> 2, 2L -> 2, 3L -> 2))
+    // depth 1 truncates the expansion, not the seeds
+    val d1 = Graph.bfsDistances(fixtureEdges, seeds, maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d1 == Map(5L -> 0, 4L -> 1))
+    // multi-source: nearest seed wins; overlapping frontiers never
+    // produce duplicate vertices
+    val multi = Graph.bfsDistances(fixtureEdges, Seq(5L, 6L).toDF("v"), maxDepth = 3)
+    assert(multi.groupBy($"v").count().filter($"count" > 1).count() == 0)
+    val m = multi.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(6L) == 0 && m(7L) == 1 && m(8L) == 1 && m(4L) == 1 && m(1L) == 2)
+  }
+
+  test("sssp: weighted min-plus distances prefer the cheap long way round") {
+    // square 1-2-3-4-1 with one heavy edge: 1->4 direct costs 10, but
+    // 1-2-3-4 costs 3 — Bellman-Ford must find the 3-hop path
+    val w = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 10L))
+      .toDF("src", "dst", "w")
+    val got = Graph.ssspScaled(w, Seq(1L).toDF("v"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // with rounds = 1 only direct edges relax: 4 keeps the heavy edge
+    val r1 = Graph.ssspScaled(w, Seq(1L).toDF("v"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+  }
+
   test("orientation sends every edge from its lower (deg,id) endpoint") {
     val o = Graph.orientByDegree(fixtureEdges)
     // vertex 4 has degree 4 (max in K4+pendant); vertex 5 degree 1 —
