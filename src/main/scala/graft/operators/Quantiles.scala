@@ -84,6 +84,63 @@ object Quantiles {
       .select(col("q"), col("__v").as(valueCol), col("__k").as(tiebreakCol))
   }
 
+  /** Per-group exact WEIGHTED median without sorting any group's full
+    * value grain: the smallest value whose cumulative weight (in value
+    * order) reaches half the group total — `exactQuantile`'s two-level
+    * bucket decomposition, carried by weight instead of row count.
+    *
+    * Plan shape:
+    *  1. collapse to the (group, value) grain with summed weights
+    *     (map-side combined — the fact table never reaches a window);
+    *  2. per-(group, bucket) weight sums collapse to a tiny frame whose
+    *     prefix sums locate the ONE bucket per group holding the
+    *     half-total crossing (windows only ever run over this frame);
+    *  3. the located buckets broadcast back; only THEIR values get the
+    *     in-bucket cumulative scan, offset by the weight mass below.
+    *
+    * Compared with a straight `sum(w) over (partition by g order by v)`
+    * this removes the per-group sort of the whole value grain — the
+    * difference between parallelism = |groups| and parallelism =
+    * |groups| x |buckets| at 100 TB (and between a 200k-row and a
+    * bucket-wide sort frame). The result is identical by construction:
+    * both compute the same order-independent integer recurrence.
+    */
+  def weightedMedianByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val vw = df
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"),
+        col(weightCol).as("__w"))
+      .groupBy(col("__g"), col("__v")).agg(sum(col("__w")).as("__w"))
+      .withColumn("__b", expr(s"__v div $bucketWidth"))
+    val perBucket = vw.groupBy(col("__g"), col("__b")).agg(sum(col("__w")).as("__bw"))
+    val located = perBucket
+      .withColumn("__cum", sum(col("__bw")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__bw")).over(Window.partitionBy(col("__g"))))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .withColumn("__off", col("__cum") - col("__bw"))
+      // first crossing bucket per group: lexicographic min over
+      // (bucket, offset, total) — one aggregation, no second window
+      .groupBy(col("__g"))
+      .agg(min(struct(col("__b"), col("__off"), col("__tot"))).as("__m"))
+      .select(col("__g"), col("__m.__b").as("__b"),
+        col("__m.__off").as("__off"), col("__m.__tot").as("__tot"))
+    vw.join(broadcast(located), Seq("__g", "__b"))
+      .withColumn("__cin", sum(col("__w")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter((col("__off") + col("__cin")) * 2 >= col("__tot"))
+      .groupBy(col("__g"))
+      .agg(min(col("__v")).as(valueCol))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** Per-group exact q-quantile — the partitioned form. Each group ranks
     * independently inside an ordinary partitioned window, so parallelism
     * is the group count and no global order exists anywhere; scalable as

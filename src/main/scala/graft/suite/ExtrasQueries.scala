@@ -1841,22 +1841,19 @@ object ExtrasQueries {
       (s, dir) => {
         // exact QUANTITY-WEIGHTED median unit price per return flag:
         // smallest price where the cumulative quantity reaches half the
-        // total. The fact grain collapses to |distinct prices| per
-        // group FIRST (map-side combine), so the cumulative window
-        // scans a bounded frame — the distributed form of a weighted
-        // percentile, no sort of the raw facts. Integer cents and
+        // total — via the two-level bucket decomposition
+        // (operators/Quantiles.weightedMedianByGroup): per-(flag,
+        // bucket) weight sums locate the crossing bucket on a tiny
+        // frame, and only THAT bucket's prices get the in-bucket scan.
+        // No per-group sort of the ~200k-price grain, so parallelism is
+        // |groups| x |buckets| instead of |groups|. Integer cents and
         // integer quantities throughout: engine-exact.
-        val pp = tbl(s, dir, "lineitem")
-          .groupBy(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
-          .agg(sum(col("l_quantity")).cast("long").as("w"))
-        val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("price_c"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val totW = Window.partitionBy(col("l_returnflag"))
-        pp.withColumn("cum", sum(col("w")).over(cumW))
-          .withColumn("total", sum(col("w")).over(totW))
-          .filter(col("cum") * 2 >= col("total"))
-          .groupBy(col("l_returnflag"))
-          .agg(min(col("price_c")).as("wmedian_price_c"))
+        graft.operators.Quantiles.weightedMedianByGroup(
+            tbl(s, dir, "lineitem")
+              .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"),
+                col("l_quantity").cast("long").as("w")),
+            "l_returnflag", "price_c", "w", bucketWidth = 100000L)
+          .withColumnRenamed("price_c", "wmedian_price_c")
           .orderBy("l_returnflag")
       },
       Some("""

@@ -38,4 +38,35 @@ class QuantilesSpec extends SparkSpec {
     // median of 2000 rows over values 0..4 (uniform): index 999 -> value 2
     assert(a._1 === 2L)
   }
+
+  test("weightedMedianByGroup equals the single-window weighted reference") {
+    // deterministic pseudo-random (group, value, weight) rows with
+    // duplicate values (the grain-collapse path) and skewed weights
+    val rows = (1L to 5000L).map { i =>
+      (s"g${i % 4}", (i * 2654435761L % 9973L), 1L + (i * 40503L % 97L))
+    }.toDF("g", "v", "w")
+    val naive = {
+      val byG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val cum = byG.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      rows.groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+        .withColumn("cum", sum(col("w")).over(cum))
+        .withColumn("tot", sum(col("w")).over(byG))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("g")).agg(min(col("v")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    for (width <- Seq(1L, 7L, 100L, 100000L)) {
+      val got = Quantiles.weightedMedianByGroup(rows, "g", "v", "w", width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"bucketWidth=$width")
+    }
+    // width larger than the whole domain degenerates to one bucket and
+    // must still agree (the in-bucket scan carries everything)
+    val one = Quantiles.weightedMedianByGroup(rows.repartition(13), "g", "v", "w",
+        1000000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == naive)
+  }
 }
