@@ -611,6 +611,34 @@ object DedupQueries {
         ORDER BY a, b""")),
 
     QDef(
+      "dedup_prefix_jaccard",
+      (s, dir) =>
+        // COMPLETE exact-Jaccard similarity join by prefix filtering
+        // (Dedup.prefixFilterJaccardPairs): unlike the banded-MinHash
+        // candidates above (probabilistic recall), the rarity-ordered
+        // prefix join provably finds EVERY 3-shingle pair with
+        // J >= 1/2 — the oracle is the full quadratic scan, so a green
+        // hash IS the completeness theorem checked end-to-end.
+        // Integer-only output and gates (3·ni >= na+nb), no float
+        // thresholds.
+        graft.dedup.Dedup.prefixFilterJaccardPairs(
+            graft.dedup.Dedup.shingles3FromText(
+              tbl(s, dir, "documents"), "doc_id", "text"),
+            thetaNum = 1, thetaDen = 2)
+          .orderBy("a", "b"),
+      Some(s"""
+        WITH $vocabSql, $shingleSql,
+        us AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+        p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+              FROM shing x JOIN shing y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+        SELECT a, b, ni, sa.n AS na, sb.n AS nb
+        FROM p JOIN us sa ON sa.doc_id = a JOIN us sb ON sb.doc_id = b
+        WHERE ni * 3 >= sa.n + sb.n
+        ORDER BY a, b""")),
+
+    QDef(
       "dedup_normalized",
       (s, dir) => {
         // normalize-then-exact-dedup: lowercase, strip punctuation,

@@ -158,4 +158,30 @@ class DedupSpec extends SparkSpec {
     // so the new-batch dup pair (2,5)-vs-each-other never appears)
     assert(hits.forall { case (n, o, _) => Set(2L, 5L)(n) && !Set(2L, 5L)(o) })
   }
+
+  test("prefix-filter jaccard join is COMPLETE vs brute force at several thetas") {
+    // synthetic sets with controlled overlap: elements are longs, docs
+    // share sliding ranges so pair similarities sweep 0..1
+    val elems = (for {
+      d <- 0L until 40L
+      e <- 0L until 30L
+    } yield (d, d * 7 + e)).toDF("doc_id", "shingle")
+    def brute(num: Int, den: Int): Set[(Long, Long)] = {
+      val sets = (0L until 40L).map(d => d -> (0L until 30L).map(d * 7 + _).toSet).toMap
+      (for {
+        a <- 0L until 40L; b <- (a + 1) until 40L
+        ni = (sets(a) & sets(b)).size
+        if ni * (num + den) >= num * (sets(a).size + sets(b).size)
+      } yield (a, b)).toSet
+    }
+    for ((num, den) <- Seq((1, 2), (7, 10), (9, 10), (1, 4))) {
+      val got = Dedup.prefixFilterJaccardPairs(elems, num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(num, den), s"theta=$num/$den")
+    }
+    // partitioning-independence: reshuffled input, identical pairs
+    val a = Dedup.prefixFilterJaccardPairs(elems.repartition(11), 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == brute(7, 10))
+  }
 }
