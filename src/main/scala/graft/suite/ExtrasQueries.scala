@@ -1182,6 +1182,68 @@ object ExtrasQueries {
         GROUP BY 1 ORDER BY 1""")),
 
     QDef(
+      "pipeline_dq_audit",
+      (s, dir) => {
+        // declarative data-quality audit — the pre-training-ingest
+        // contract check: referential integrity (anti joins), key
+        // uniqueness, domain ranges, null gates, and cross-table
+        // sequence sanity, each emitted as one (rule, n_violations)
+        // row INCLUDING zeros (a passing rule must be visibly checked,
+        // not silently absent). Every rule is a scan + map-side agg or
+        // a key anti-join — nothing quadratic; at 100 TB each rule is
+        // one bounded pass and the union is free.
+        val o = tbl(s, dir, "orders")
+        val li = tbl(s, dir, "lineitem")
+        def rule(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("rule"), col("n_violations"))
+        rule("fk_orders_customer",
+            o.join(tbl(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"), "left_anti"))
+          .unionAll(rule("fk_lineitem_orders",
+            li.join(o.select("o_orderkey"),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")))
+          .unionAll(rule("uniq_orderkey",
+            o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+              .filter(col("c") > 1)))
+          .unionAll(rule("range_discount",
+            li.filter(col("l_discount") < 0 || col("l_discount") > 0.1)))
+          .unionAll(rule("range_quantity",
+            li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
+          .unionAll(rule("null_event_user",
+            tbl(s, dir, "events").filter(col("user_id").isNull)))
+          .unionAll(rule("ship_before_order",
+            li.join(o, col("l_orderkey") === col("o_orderkey"))
+              .filter(col("l_shipdate") < col("o_orderdate"))))
+          .orderBy("rule")
+      },
+      Some("""
+        SELECT rule, n_violations FROM (
+          SELECT 'fk_orders_customer' AS rule, count(*) AS n_violations
+          FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+          UNION ALL
+          SELECT 'fk_lineitem_orders', count(*)
+          FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          UNION ALL
+          SELECT 'uniq_orderkey', count(*) FROM
+            (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+          UNION ALL
+          SELECT 'range_discount', count(*) FROM lineitem
+          WHERE l_discount < 0 OR l_discount > 0.1
+          UNION ALL
+          SELECT 'range_quantity', count(*) FROM lineitem
+          WHERE l_quantity < 1 OR l_quantity > 50
+          UNION ALL
+          SELECT 'null_event_user', count(*) FROM events WHERE user_id IS NULL
+          UNION ALL
+          SELECT 'ship_before_order', count(*)
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate < o_orderdate)
+        ORDER BY rule""")),
+
+    QDef(
       "pipeline_dataset_diff",
       (s, dir) => {
         // corpus snapshot diff — the release audit between dataset
