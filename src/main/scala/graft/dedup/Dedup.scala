@@ -580,13 +580,18 @@ object Dedup {
     require(thetaNum > 0 && thetaDen >= thetaNum,
       s"theta must be in (0,1]: $thetaNum/$thetaDen")
     val uw = elems.select(col("doc_id"), col("shingle"))
-    val sizes = uw.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // one shuffle builds both the verification arrays (sorted once here
+    // so the per-pair intersection is the zero-alloc two-pointer native
+    // expression, as in jaccardPairs) and the set sizes
+    val sets = uw.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("__sh"),
+        count(lit(1)).as("n"))
     val dfreq = uw.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
     val prefixes = uw
       .join(dfreq, Seq("shingle"))
-      .join(sizes, Seq("doc_id"))
+      .join(sets.select(col("doc_id"), col("n")), Seq("doc_id"))
       .withColumn("__r", row_number().over(byRarity))
       .filter(col("__r") <=
         col("n") - expr(s"(n * $thetaNum + ${thetaDen - 1}) div $thetaDen") + 1)
@@ -596,14 +601,14 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val ni = cands
-      .join(uw.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
-      .join(uw.select(col("doc_id").as("b"), col("shingle").as("sb")), Seq("b"))
-      .filter(col("shingle") === col("sb"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
-    ni
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("__sh").as("__sha"),
+        col("n").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("__sh").as("__shb"),
+        col("n").as("nb")), Seq("b"))
+      .withColumn("ni",
+        graft.functions.VectorExpressions.sortedIntersectSize(
+          col("__sha"), col("__shb")).cast("long"))
       .filter(col("ni") * (thetaNum + thetaDen) >=
         lit(thetaNum) * (col("na") + col("nb")))
       .select(col("a"), col("b"), col("ni"), col("na"), col("nb"))

@@ -112,12 +112,15 @@ object Quantiles {
       weightCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val vw = df
+    val base = df
       .select(col(groupCol).as("__g"), col(valueCol).as("__v"),
         col(weightCol).as("__w"))
-      .groupBy(col("__g"), col("__v")).agg(sum(col("__w")).as("__w"))
       .withColumn("__b", expr(s"__v div $bucketWidth"))
-    val perBucket = vw.groupBy(col("__g"), col("__b")).agg(sum(col("__w")).as("__bw"))
+    // pass 1: straight to the (group, bucket) grain — map-side combine
+    // collapses each input partition to at most |groups|·|buckets|
+    // partial rows, so the only full-data cost is the scan itself (the
+    // value grain is never shuffled, unlike a collapse-then-window)
+    val perBucket = base.groupBy(col("__g"), col("__b")).agg(sum(col("__w")).as("__bw"))
     val located = perBucket
       .withColumn("__cum", sum(col("__bw")).over(
         Window.partitionBy(col("__g")).orderBy(col("__b"))
@@ -131,7 +134,18 @@ object Quantiles {
       .agg(min(struct(col("__b"), col("__off"), col("__tot"))).as("__m"))
       .select(col("__g"), col("__m.__b").as("__b"),
         col("__m.__off").as("__off"), col("__m.__tot").as("__tot"))
-    vw.join(broadcast(located), Seq("__g", "__b"))
+    // pass 2 re-scans the input but keeps ONLY the crossing bucket's
+    // rows (broadcast semi-filter straight after the scan), so the
+    // value-grain collapse and the cumulative window both run on a
+    // bucket-bounded frame. Two scans + two tiny shuffles beats one
+    // scan + a full value-grain shuffle-and-sort per group — scans are
+    // columnar and cache-friendly; shuffles are the scale cost.
+    base
+      .join(broadcast(located.select(col("__g"), col("__b"))), Seq("__g", "__b"),
+        "left_semi")
+      .groupBy(col("__g"), col("__v")).agg(sum(col("__w")).as("__w"))
+      .join(broadcast(located.select(col("__g"), col("__off"), col("__tot"))),
+        Seq("__g"))
       .withColumn("__cin", sum(col("__w")).over(
         Window.partitionBy(col("__g")).orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -42,12 +42,6 @@ object TpchQueries {
         // wide work, so the min-per-part aggregate sees only
         // surviving parts. Cost is exact millicents (1000*price_c DIV
         // qty), never a float division.
-        val supply = tbl(s, dir, "lineitem")
-          .select(col("l_partkey"), col("l_suppkey"),
-            expr("(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000L) DIV CAST(l_quantity AS BIGINT)")
-              .as("unit_m"))
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(min(col("unit_m")).as("cost_m"))
         val parts = tbl(s, dir, "part")
           .filter(col("p_size") === 15 && col("p_type") === "LARGE")
           .select(col("p_partkey"), col("p_brand"))
@@ -56,8 +50,17 @@ object TpchQueries {
             .filter(col("n_regionkey") === 3)), col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("s_name"), col("n_name"),
             cents(col("s_acctbal")).as("s_acctbal_c"))
-        val spe = supply
+        // the part gate broadcasts BELOW the supply aggregation: only
+        // ~1/300 of lineitem survives into the (part, supplier) grain
+        // shuffle — the aggregate-after-filter ordering that keeps the
+        // wide shuffle proportional to the answer, not the fact table
+        val spe = tbl(s, dir, "lineitem")
           .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_brand"), col("l_suppkey"),
+            expr("(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000L) DIV CAST(l_quantity AS BIGINT)")
+              .as("unit_m"))
+          .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+          .agg(min(col("unit_m")).as("cost_m"))
           .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
         val minPerPart = spe.groupBy(col("p_partkey").as("mp_partkey"))
           .agg(min(col("cost_m")).as("min_cost_m"))
