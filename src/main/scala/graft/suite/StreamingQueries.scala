@@ -135,6 +135,40 @@ object StreamingQueries {
           ON v.user_id = p.user_id
          AND epoch_us(p.ts) >= epoch_us(v.ts)
          AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
-        ORDER BY user_id, view_id, purchase_id NULLS FIRST"""))
+        ORDER BY user_id, view_id, purchase_id NULLS FIRST""")),
+
+    QDef(
+      "stream_upsert_compact",
+      (s, dir) => {
+        // the foreachBatch MERGE sink's state semantics: latest event
+        // per user under the tie-broken (sec, event_id) total order —
+        // the SAME mergeBatch code path the streaming upsert sink folds
+        // micro-batch by micro-batch (UpsertSinkSpec proves the
+        // streamed state converges to this one-shot merge, that
+        // replays are no-ops, and that late deliveries can't regress a
+        // key). One max_by aggregation, no window.
+        val e = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("value_c"),
+            unix_timestamp(col("ts")).as("sec"))
+        graft.streaming.UpsertSink
+          .mergeBatch(e.limit(0), e, Seq("user_id"), Seq("sec", "event_id"))
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"),
+            col("value_c").as("last_value_c"), col("sec").as("last_sec"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH r AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS value_c,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+                            event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+               value_c AS last_value_c, sec AS last_sec
+        FROM r WHERE rn = 1 ORDER BY user_id"""))
   )
 }
