@@ -28,7 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs the whole "cluster" in this one JVM: storage for the
   // suite's persisted artifacts + 32 task threads' execution memory all
-  // share the heap, and 8g left the second bench lap GC-bound once ~125
-  // queries' caches accumulated. The box has 128 GiB; give the rig room.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // share the heap. 8g left the second bench lap GC-bound once ~125
+  // queries' caches accumulated; at 248 queries the same pattern
+  // returned at 28g (per-lap min/max swinging 2.8-29.7 s on the
+  // shuffle-heavy dedup heads — eviction/recompute churn, not plan
+  // cost). The box has 128 GiB; give the rig room.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "56g")}",
+  // 248 queries x 4 bench laps of whole-stage-codegen classes overflow
+  // the default 240 MB JIT code cache; once it fills, the compiler shuts
+  // off and whichever query family JITs last runs interpreted — the
+  // family-shifting 5-8x per-query swings between identical runs
+  "-XX:ReservedCodeCacheSize=1g",
 )
