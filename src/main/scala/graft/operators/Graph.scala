@@ -280,6 +280,42 @@ object Graph {
     visited
   }
 
+  /** Per-seed BFS out to `maxDepth`: like [[bfsDistances]] but each seed
+    * runs its own labeled search — the landmark pass behind sampled
+    * centrality measures. Frontiers carry (seed, v) pairs; expansion is
+    * still one adjacency equi-join per round (on the frontier vertex)
+    * with a keyed anti-join against that seed's visited set, so cost per
+    * round is O(Σ_seeds frontier-boundary), never seeds × |E| scans.
+    * Returns (seed, v, dist) with dist 0..maxDepth.
+    */
+  def bfsPerSeed(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val adj = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .unionByName(edges.select(col("dst").cast("long").as("u"), col("src").cast("long").as("v")))
+      .distinct().cache()
+    var visited = seeds.select(col("v").cast("long").as("seed"),
+        col("v").cast("long").as("v"), lit(0).as("dist"))
+      .distinct().localCheckpoint(true)
+    var frontier = visited
+    var d = 1
+    while (d <= maxDepth) {
+      val next = adj
+        .join(frontier.select(col("seed"), col("v").as("u")), Seq("u"))
+        .select(col("seed"), col("v")).distinct()
+        .join(visited.select(col("seed"), col("v")), Seq("seed", "v"), "left_anti")
+        .select(col("seed"), col("v"), lit(d).as("dist"))
+        .localCheckpoint(true)
+      val grown = visited.unionByName(next).localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(frontier)
+      if (d > 1) org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(visited)
+      frontier = next
+      visited = grown
+      d += 1
+    }
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(frontier)
+    adj.unpersist(false)
+    visited
+  }
+
   /** Fixed-round Bellman-Ford single/multi-source shortest paths over a
     * WEIGHTED undirected edge list (`src`, `dst`, integer `w`) — the
     * min-plus companion to [[bfsDistances]]: each round relaxes every

@@ -2514,6 +2514,50 @@ object ExtrasQueries {
                count(*) - count(DISTINCT text) AS n_exact_dup_docs,
                CAST(floor(sum(len(string_split_regex(text, '\s+'))) * 1000
                  / count(*)) AS BIGINT) AS mean_tokens_x1000
-        FROM documents"""))
+        FROM documents""")),
+
+    QDef(
+      "join_entity_resolution",
+      (s, dir) => {
+        // blocked fuzzy-match entity resolution: find same-nation
+        // customer pairs whose names are within edit distance 1. The
+        // scale shape is FastSS deletion-neighborhood blocking — each
+        // name emits itself plus its n one-character-deletion variants;
+        // two strings within edit distance 1 ALWAYS share a variant
+        // (substitution at i: both drop i; insert/delete: one's variant
+        // IS the other), so the (nation, variant) equi-join is a
+        // certified candidate superset and the quadratic within-block
+        // scan never happens. Candidates then verify with the exact
+        // levenshtein gate. The oracle runs the naive quadratic
+        // within-nation join — the green hash is the recall proof.
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+            col("c_name").as("nm"))
+        val keyed = c.select(col("k"), col("nk"), col("nm"),
+          explode(array_union(
+            transform(sequence(lit(1), length(col("nm"))),
+              i => concat(
+                col("nm").substr(lit(1), i - 1),
+                col("nm").substr(i + 1, length(col("nm"))))),
+            array(col("nm")))).as("blk"))
+        val cand = keyed.as("a").join(keyed.as("b"),
+            col("a.nk") === col("b.nk") && col("a.blk") === col("b.blk") &&
+              col("a.k") < col("b.k"))
+          .select(col("a.k").as("a_custkey"), col("b.k").as("b_custkey"),
+            col("a.nm").as("a_nm"), col("b.nm").as("b_nm"))
+          .distinct()
+        cand.filter(levenshtein(col("a_nm"), col("b_nm")) <= 1)
+          .select(col("a_custkey"), col("b_custkey"),
+            levenshtein(col("a_nm"), col("b_nm")).cast("long").as("edit_dist"))
+          .orderBy(col("a_custkey"), col("b_custkey"))
+      },
+      Some("""
+        WITH c AS (SELECT c_custkey AS k, c_nationkey AS nk, c_name AS nm
+                   FROM customer)
+        SELECT a.k AS a_custkey, b.k AS b_custkey,
+               levenshtein(a.nm, b.nm) AS edit_dist
+        FROM c a JOIN c b
+          ON a.nk = b.nk AND a.k < b.k AND levenshtein(a.nm, b.nm) <= 1
+        ORDER BY a_custkey, b_custkey"""))
   )
 }

@@ -529,6 +529,64 @@ object GraphQueries {
                  SELECT a.v, s.dist_c + a.w AS dist_c
                  FROM aw a JOIN s${k - 1} s ON a.u = s.v) GROUP BY v)"""
         }.mkString(",\n        ")}
-        SELECT v, dist_c FROM s4 ORDER BY v"""))
+        SELECT v, dist_c FROM s4 ORDER BY v""")),
+
+    QDef(
+      "graph_closeness_sampled",
+      (s, dir) => {
+        // sampled (landmark) harmonic centrality: per-seed BFS to 3 hops
+        // over the affinity graph, harmonic score Σ |ball_d|/d — the
+        // standard estimator when exact all-pairs closeness is O(V·E).
+        // Each seed runs a LABELED frontier search (Graph.bfsPerSeed):
+        // one adjacency equi-join per round over all seeds' frontiers
+        // together, keyed anti-join vs that seed's visited set. Scores
+        // stay exact integers (harmonic ×6 clears the /2 and /3), so
+        // the per-seed unrolled oracle matches bit-for-bit.
+        val e2 = sharedSupportEdges(s, dir)
+        val verts = e2.select(col("src").as("v"))
+          .unionAll(e2.select(col("dst").as("v"))).distinct()
+        val seeds = verts.filter(col("v") % 97 === 0)
+        graft.operators.Graph.bfsPerSeed(e2, seeds, maxDepth = 3)
+          .groupBy(col("seed"))
+          .agg(sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n3"))
+          .select(col("seed"), col("n1"), col("n2"), col("n3"),
+            (col("n1") * 6 + col("n2") * 3 + col("n3") * 2).as("harmonic_x6"))
+          .orderBy(col("seed"))
+      },
+      Some(s"""
+        WITH $edgeSql,
+        e2 AS (SELECT src, dst FROM ew WHERE support >= 2),
+        adj AS (SELECT src AS u, dst AS v FROM e2
+                UNION SELECT dst AS u, src AS v FROM e2),
+        d0 AS (SELECT DISTINCT u AS seed, u AS v FROM adj WHERE u % 97 = 0),
+        f1 AS (SELECT DISTINCT s.seed, a.v FROM adj a JOIN d0 s ON a.u = s.v
+               WHERE a.v <> s.seed),
+        f2 AS (SELECT DISTINCT s.seed, a.v FROM adj a JOIN f1 s ON a.u = s.v
+               WHERE NOT EXISTS (SELECT 1 FROM d0 x
+                                 WHERE x.seed = s.seed AND x.v = a.v)
+                 AND NOT EXISTS (SELECT 1 FROM f1 x
+                                 WHERE x.seed = s.seed AND x.v = a.v)),
+        f3 AS (SELECT DISTINCT s.seed, a.v FROM adj a JOIN f2 s ON a.u = s.v
+               WHERE NOT EXISTS (SELECT 1 FROM d0 x
+                                 WHERE x.seed = s.seed AND x.v = a.v)
+                 AND NOT EXISTS (SELECT 1 FROM f1 x
+                                 WHERE x.seed = s.seed AND x.v = a.v)
+                 AND NOT EXISTS (SELECT 1 FROM f2 x
+                                 WHERE x.seed = s.seed AND x.v = a.v)),
+        lvl AS (SELECT seed, v, 1 AS lv FROM f1
+                UNION ALL SELECT seed, v, 2 FROM f2
+                UNION ALL SELECT seed, v, 3 FROM f3)
+        SELECT s.seed,
+               count(CASE WHEN lv = 1 THEN 1 END) AS n1,
+               count(CASE WHEN lv = 2 THEN 1 END) AS n2,
+               count(CASE WHEN lv = 3 THEN 1 END) AS n3,
+               CAST(count(CASE WHEN lv = 1 THEN 1 END) * 6 +
+                    count(CASE WHEN lv = 2 THEN 1 END) * 3 +
+                    count(CASE WHEN lv = 3 THEN 1 END) * 2 AS BIGINT)
+                 AS harmonic_x6
+        FROM d0 s LEFT JOIN lvl l ON l.seed = s.seed
+        GROUP BY s.seed ORDER BY s.seed"""))
   )
 }

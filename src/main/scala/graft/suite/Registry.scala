@@ -55,5 +55,5 @@ object Registry {
       DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ StreamingQueries.all ++ ExtrasQueries.all ++
       WindowExtraQueries.all ++ SamplingQueries.all ++ GraphQueries.all ++
-      TpchQueries.all
+      TpchQueries.all ++ StatQueries.all
 }

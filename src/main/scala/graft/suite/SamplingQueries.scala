@@ -519,6 +519,45 @@ object SamplingQueries {
         FROM t ORDER BY rnk, source, doc_id""")),
 
     QDef(
+      "sample_coordinated",
+      (s, dir) => {
+        // coordinated (consistent-hash) sampling across a foreign key:
+        // both orders AND their lineitems are sampled by the SAME hash
+        // of the order key, so the 10% order sample joins against a
+        // pre-filtered 10% of lineitem — referential integrity of the
+        // sample for free, and the join never touches the unsampled 90%
+        // on either side (both filters push to the scans). The
+        // per-priority census + revenue audits the sample end-to-end.
+        val cents = (c: org.apache.spark.sql.Column) =>
+          round(c * 100).cast("long")
+        val o = tbl(s, dir, "orders")
+          .filter(Sampling.hashBucket(col("o_orderkey"), 1000) < 100)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val l = tbl(s, dir, "lineitem")
+          .filter(Sampling.hashBucket(col("l_orderkey"), 1000) < 100)
+          .select(col("l_orderkey"), cents(col("l_extendedprice")).as("cents"))
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+          .groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+            count(col("l_orderkey")).as("n_items"),
+            coalesce(sum(col("cents")), lit(0L)).as("rev_cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""
+        WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders
+                   WHERE ${hashSql("CAST(o_orderkey AS VARCHAR)", 1000)} < 100),
+        l AS (SELECT l_orderkey,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem
+              WHERE ${hashSql("CAST(l_orderkey AS VARCHAR)", 1000)} < 100)
+        SELECT o_orderpriority,
+               count(DISTINCT o_orderkey) AS n_orders,
+               count(l_orderkey) AS n_items,
+               CAST(coalesce(sum(cents), 0) AS BIGINT) AS rev_cents
+        FROM o LEFT JOIN l ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
       "pipeline_corpus_training_set",
       (s, dir) => {
         // THE end-to-end corpus-to-training-set flow, every stage an

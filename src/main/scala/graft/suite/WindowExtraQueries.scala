@@ -492,5 +492,108 @@ object WindowExtraQueries {
                count(*) AS n_terms
         FROM e a JOIN c ON a.user_id = c.user_id AND a.rn = c.rn_t
         GROUP BY a.user_id, a.event_id ORDER BY a.event_id"""))
+  ) ++ Seq(
+
+    QDef(
+      "win_seasonal_decompose",
+      (s, dir) => {
+        // classical seasonal decomposition of the daily traffic series:
+        // trend = 7-day centered moving average, seasonal index = that
+        // weekday's mean share of the overall mean, residual = actual −
+        // trend. The fact scan collapses to the ~date grain FIRST (one
+        // map-side-combined count per day), so every window below runs
+        // on a frame of |days| rows — the collapsed-grain pattern: at
+        // 100 TB the expensive part stays a single aggregation. Exact
+        // integer counts; each emitted double is one fixed division of
+        // exact sums, identical in the oracle.
+        val daily = tbl(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        // Spark dayofweek: Sunday=1 … Saturday=7; DuckDB: Sunday=0.
+        val dowd = daily.withColumn("dow", dayofweek(col("d")) - 1)
+        val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+        val wd = Window.partitionBy(col("dow"))
+        val overall = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          daily.agg((sum(col("n")).cast("double") / count(lit(1))).as("m")))
+        dowd
+          .withColumn("trend",
+            sum(col("n")).over(w7).cast("double") / count(lit(1)).over(w7))
+          .withColumn("dow_index",
+            (sum(col("n")).over(wd).cast("double") / count(lit(1)).over(wd)) /
+              overall)
+          .select(col("d"), col("n"), col("trend"),
+            col("dow_index"), (col("n") - col("trend")).as("residual"))
+          .orderBy(col("d"))
+      },
+      Some("""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                       FROM events GROUP BY 1),
+        m AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS m FROM daily),
+        t AS (SELECT d, n, dayofweek(d) AS dow,
+                CAST(sum(n) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                  AND 3 FOLLOWING) AS DOUBLE) /
+                count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                  AND 3 FOLLOWING) AS trend
+              FROM daily)
+        SELECT d, n, trend,
+               (CAST(sum(n) OVER (PARTITION BY dow) AS DOUBLE) /
+                count(*) OVER (PARTITION BY dow)) / (SELECT m FROM m)
+                 AS dow_index,
+               n - trend AS residual
+        FROM t ORDER BY d""")),
+
+    QDef(
+      "win_interval_coverage",
+      (s, dir) => {
+        // union length of all sessions — "how many seconds was ANYONE
+        // active": merge every user's islands into a global covered-time
+        // measure. Sweep-line +1/-1 boundaries through the distributed
+        // global cumsum (same machinery as win_max_concurrency), then a
+        // join-free trick closes the intervals: a boundary OPENS covered
+        // time when its pre-cum (cum − d, available per-row without a
+        // lead window) is 0, and CLOSES it when its cum returns to 0, so
+        // coverage = Σ closes·t − Σ opens·t with no per-row lead over
+        // the boundary frame.
+        val ev = Registry.tbl(s, dir, "events")
+          .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        val sess = graft.operators.Islands
+          .islands(ev, Seq("user_id"), "sec", maxGap = 1800L, minLen = 3L)
+        val deltas = sess.select(col("island_start").as("t"), lit(1L).as("d"))
+          .unionAll(sess.select((col("island_end") + lit(1L)).as("t"),
+            lit(-1L).as("d")))
+          .groupBy(col("t")).agg(sum(col("d")).as("d"))
+        val swept = graft.operators.Windows.globalCumSum(deltas, "t", Seq("d"))
+        swept.agg(
+            sum(when(col("cum_d") === 0, col("t")).otherwise(lit(0L))).as("closes"),
+            sum(when(col("cum_d") - col("d") === 0 && col("cum_d") > 0, col("t"))
+              .otherwise(lit(0L))).as("opens"),
+            sum(when(col("cum_d") === 0, 1L).otherwise(lit(0L))).as("n_merged"))
+          .select((col("closes") - col("opens")).as("covered_sec"),
+            col("n_merged"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                   FROM events),
+        b AS (SELECT user_id, sec,
+              CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+                   THEN 1 ELSE 0 END AS brk FROM e),
+        g AS (SELECT user_id, sec,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS island_id FROM b),
+        s AS (SELECT user_id, island_id, min(sec) AS island_start,
+                     max(sec) AS island_end
+              FROM g GROUP BY user_id, island_id HAVING count(*) >= 3),
+        deltas AS (SELECT t, sum(d) AS d FROM (
+                     SELECT island_start AS t, 1 AS d FROM s
+                     UNION ALL SELECT island_end + 1 AS t, -1 AS d FROM s)
+                   GROUP BY t),
+        c AS (SELECT t, d, sum(d) OVER (ORDER BY t) AS cum FROM deltas)
+        SELECT CAST(sum(CASE WHEN cum = 0 THEN t ELSE 0 END) -
+                    sum(CASE WHEN cum - d = 0 AND cum > 0 THEN t ELSE 0 END)
+               AS BIGINT) AS covered_sec,
+               CAST(sum(CASE WHEN cum = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_merged
+        FROM c"""))
   )
 }
