@@ -646,6 +646,58 @@ object SimilarityQueries {
         ranked AS (SELECT *, row_number() OVER (PARTITION BY label
                      ORDER BY cos ASC, vec_id) AS rank FROM scored)
         SELECT label, vec_id, cos, CAST(rank AS INT) AS rank
-        FROM ranked WHERE rank <= 3 ORDER BY label, rank"""))
+        FROM ranked WHERE rank <= 3 ORDER BY label, rank""")),
+
+    QDef(
+      "sim_mips_pruned",
+      (s, dir) => {
+        // maximum-inner-product top-5 with a CERTIFIED Cauchy–Schwarz
+        // prune, entirely on the exact integer lane: dot(q,x)² ≤
+        // ‖q‖²·‖x‖², so after one cheap pass ranks candidates by the
+        // norm bound and five exact dots set the threshold t, every
+        // vector with ‖q‖²‖x‖² < t² (t>0) provably cannot reach the
+        // top-5 — the full-dimension dot runs only on the survivors.
+        // At 100 TB the bound pass reads one precomputable long per
+        // vector instead of 64 floats; correctness never depends on the
+        // prune (it is a certificate, not a heuristic), and integer
+        // arithmetic makes the oracle bit-exact.
+        val emb = tbl(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.intEmbedding(col("embedding")).as("ie"))
+        val qEmb = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          emb.filter(col("vec_id") === 0).select(col("ie")))
+        val scored = emb.filter(col("vec_id") =!= 0)
+          .withColumn("b2",
+            graft.functions.VectorExpressions.dotLong(col("ie"), col("ie")) *
+              org.apache.spark.sql.graft.ColumnBridge.scalar(
+                emb.filter(col("vec_id") === 0).select(
+                  graft.functions.VectorExpressions.dotLong(col("ie"), col("ie"))
+                    .as("qq"))))
+        val phase1 = scored.orderBy(col("b2").desc, col("vec_id")).limit(5)
+          .select(graft.functions.VectorExpressions
+            .dotLong(col("ie"), qEmb).as("dot"))
+        val t = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          phase1.agg(min(col("dot")).as("t")))
+        scored
+          .filter(col("b2") >=
+            when(t > 0, t * t).otherwise(lit(Long.MinValue)))
+          .select(col("vec_id").as("c_id"),
+            graft.functions.VectorExpressions.dotLong(col("ie"), qEmb)
+              .as("dot_x1e6"))
+          .orderBy(col("dot_x1e6").desc, col("c_id")).limit(5)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("dot_x1e6").desc, col("c_id"))).cast("long"))
+      },
+      Some(s"""
+        WITH iv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
+        q AS (SELECT ie AS qe FROM iv WHERE vec_id = 0),
+        sc AS (SELECT vec_id AS c_id,
+                 ${intDotSql("ie", "(SELECT qe FROM q)")} AS dot_x1e6
+               FROM iv WHERE vec_id <> 0)
+        SELECT c_id, dot_x1e6,
+               CAST(row_number() OVER (ORDER BY dot_x1e6 DESC, c_id) AS BIGINT)
+                 AS rank
+        FROM sc ORDER BY dot_x1e6 DESC, c_id LIMIT 5"""))
   )
 }

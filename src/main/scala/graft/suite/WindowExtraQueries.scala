@@ -367,6 +367,63 @@ object WindowExtraQueries {
         FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QDef(
+      "stream_windowed_topk",
+      (s, dir) => {
+        // trending: top-3 event types per 1-day tumbling window — the
+        // batch form of the streaming leaderboard (graft.streaming
+        // .Trending; TrendingSpec proves the watermarked readStream form
+        // emits identical finalized windows). The rank runs over the
+        // COUNTS frame (one row per window×type), so the expensive part
+        // stays one map-side-combined aggregation of the event stream.
+        val counts = graft.streaming.Trending.windowCounts(
+          Registry.tbl(s, dir, "events"), "event_type", "1 day")
+        graft.streaming.Trending.topK(counts, "event_type", 3)
+          .select(unix_timestamp(col("w.start")).as("win_start"),
+            col("event_type"), col("n"), col("rnk"))
+          .orderBy("win_start", "rnk")
+      },
+      Some("""
+        WITH c AS (SELECT (epoch_us(ts) // 86400000000) * 86400 AS win_start,
+                     event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT win_start, event_type, n,
+                CAST(row_number() OVER (PARTITION BY win_start
+                  ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+              FROM c)
+        SELECT win_start, event_type, n, rnk FROM r
+        WHERE rnk <= 3 ORDER BY win_start, rnk""")),
+
+    QDef(
+      "agg_decimal_money",
+      (s, dir) => {
+        // money math on the DECIMAL lane: discounted revenue per ship
+        // month with every intermediate an exact decimal — cast to
+        // DECIMAL(18,2) at ingest (the only rounding, applied to the
+        // same double in both engines), exact ×/Σ in decimal(38,4), and
+        // one integer ten-thousandths emission at the end. The decimal
+        // pipeline is the audit-grade alternative to the repo's integer-
+        // cents convention: same exactness, types carried by the engine.
+        val d2 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+        tbl(s, dir, "lineitem")
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .agg(sum(d2(col("l_extendedprice")) *
+              (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+                d2(col("l_discount")))).as("rev"),
+            count(lit(1)).as("n_items"))
+          .select(col("ship_month"),
+            (col("rev") * 10000).cast("long").as("rev_x10000"), col("n_items"))
+          .orderBy("ship_month")
+      },
+      Some("""
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) -
+                         CAST(l_discount AS DECIMAL(18,2)))) * 10000
+                 AS BIGINT) AS rev_x10000,
+               count(*) AS n_items
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
       "sim_dot_sql",
       (s, dir) => {
         // the native expression through its SQL surface (GraftExtensions)
