@@ -88,4 +88,36 @@ object Windows {
         sum(col(c)).over(w) + coalesce(element_at(map(kv: _*), col("__pid")), lit(0L)))
     }.drop("__pid")
   }
+
+  /** Distributed GLOBAL running maximum over `orderCol` — the prefix-max
+    * sibling of [[globalCumSum]] (same two-phase range-partition + offset
+    * shape, same uniqueness contract on `orderCol`): phase 1 collects the
+    * per-partition maxima (≤ numPartitions rows), the exclusive prefix
+    * max of those becomes each partition's floor, phase 2 is a plain
+    * partitioned running max combined with `greatest(floor, local)`.
+    * Adds `cummax_<valueCol>`.
+    */
+  def globalCumMax(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val staged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offRows = staged.groupBy(col("__pid"))
+      .agg(max(col(valueCol)).cast("long").as(valueCol))
+      .collect()
+      .sortBy(_.getInt(0))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var acc = Long.MinValue
+    offRows.foreach { r =>
+      offs += ((r.getInt(0), acc))
+      if (!r.isNullAt(1)) acc = math.max(acc, r.getLong(1))
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kv = offs.toSeq.flatMap { case (pid, a) => Seq(lit(pid), lit(a)) }
+    staged.withColumn(s"cummax_$valueCol",
+        greatest(max(col(valueCol)).over(w),
+          coalesce(element_at(map(kv: _*), col("__pid")), lit(Long.MinValue))))
+      .drop("__pid")
+  }
 }

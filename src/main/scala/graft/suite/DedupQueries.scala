@@ -800,6 +800,69 @@ object DedupQueries {
               FROM h)
         SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
                count(*) AS n_grams
-        FROM r GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
+        FROM r GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
+
+    QDef(
+      "dedup_lsh_recall_audit",
+      (s, dir) => {
+        // sketch calibration: measure the banded-MinHash candidate
+        // generator against the CERTIFIED exact-Jaccard join on the same
+        // corpus — the recall/precision audit a production pipeline runs
+        // before trusting an LSH config at scale. Truth = the prefix-
+        // filtered complete J >= 1/2 pairs (provably every qualifying
+        // pair); candidates = the 4-band/2-row MinHash buckets. Both are
+        // skinny pair frames, so the confusion counts are three cheap
+        // joins; ratios emitted as exact integer millionths.
+        val sc = org.apache.spark.sql.graft.ColumnBridge.scalar _
+        val sh = Dedup.shingles3FromText(tbl(s, dir, "documents"), "doc_id", "text")
+        val cand = Dedup.lshCandidates(
+          Dedup.lshBandKeys(Dedup.minhashSignature(sh, NumPerms), NumPerms))
+        val truth = Dedup.prefixFilterJaccardPairs(sh, thetaNum = 1, thetaDen = 2)
+          .select(col("a"), col("b"))
+        val tp = truth.join(cand, Seq("a", "b"), "left_semi")
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .select(col("n_candidates"),
+            sc(truth.agg(count(lit(1)).as("n"))).as("n_truth"),
+            sc(tp.agg(count(lit(1)).as("n"))).as("tp"))
+          .select(col("n_candidates"), col("n_truth"), col("tp"),
+            (col("n_truth") - col("tp")).as("fn"),
+            (col("n_candidates") - col("tp")).as("fp"),
+            expr("tp * 1000000 div n_truth").as("recall_x1e6"),
+            expr("tp * 1000000 div n_candidates").as("precision_x1e6"))
+      },
+      Some {
+        val mins = Dedup.hashCoeffs(NumPerms).zipWithIndex.map { case ((a, b), k) =>
+          s"min((shingle * $a + $b) % $P) AS mh_$k"
+        }.mkString(", ")
+        val bandRows = (0 until NumPerms / 2).map { b =>
+          s"SELECT doc_id, $b AS band, mh_${2 * b} * $P + mh_${2 * b + 1} AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $vocabSql, $shingleSql,
+            sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id),
+            bands AS ($bandRows),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM bands x JOIN bands y ON x.band = y.band
+                       AND x.key = y.key AND x.doc_id < y.doc_id),
+            us AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+            p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+                  FROM shing x JOIN shing y
+                    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2),
+            truth AS (SELECT a, b FROM p
+                      JOIN us sa ON sa.doc_id = a JOIN us sb ON sb.doc_id = b
+                      WHERE ni * 3 >= sa.n + sb.n),
+            k AS (SELECT
+                (SELECT count(*) FROM cand) AS n_candidates,
+                (SELECT count(*) FROM truth) AS n_truth,
+                (SELECT count(*) FROM truth t
+                 WHERE EXISTS (SELECT 1 FROM cand c
+                               WHERE c.a = t.a AND c.b = t.b)) AS tp)
+            SELECT n_candidates, n_truth, tp,
+                   n_truth - tp AS fn,
+                   n_candidates - tp AS fp,
+                   tp * 1000000 // n_truth AS recall_x1e6,
+                   tp * 1000000 // n_candidates AS precision_x1e6
+            FROM k"""
+      })
   )
 }

@@ -200,6 +200,40 @@ object StatQueries {
                  CAST(n * sxx - sx * sx AS DOUBLE)) *
                (CAST(n * sxy - sx * sy AS DOUBLE) /
                  CAST(n * syy - sy * sy AS DOUBLE)) AS r2
-        FROM m ORDER BY l_returnflag"""))
+        FROM m ORDER BY l_returnflag""")),
+
+    QDef(
+      "agg_max_drawdown",
+      (s, dir) => {
+        // maximum drawdown of the cumulative event-value series — the
+        // classic "inherently sequential" scan statistic, done with NO
+        // single-partition window: collapse to the per-second grain
+        // (one aggregation), then the distributed global prefix SUM
+        // builds the running balance and the distributed global prefix
+        // MAX (Windows.globalCumMax, the new prefix-max sibling) builds
+        // its high-water mark; drawdown = highwater − balance is a
+        // projection. Two range shuffles total, every partition scanned
+        // in parallel — the shape survives an arbitrarily long series.
+        val perSec = tbl(s, dir, "events")
+          .groupBy(unix_timestamp(col("ts")).as("sec"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val cum = graft.operators.Windows
+          .globalCumSum(perSec, "sec", Seq("cents"))
+          .select(col("sec"), col("cum_cents"))
+        val dd = graft.operators.Windows
+          .globalCumMax(cum, "sec", "cum_cents")
+          .select(col("sec").as("at_sec"),
+            (col("cummax_cum_cents") - col("cum_cents")).as("max_drawdown_cents"))
+        dd.orderBy(col("max_drawdown_cents").desc, col("at_sec")).limit(1)
+      },
+      Some("""
+        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        p AS (SELECT sec, sum(cents) AS cents FROM e GROUP BY 1),
+        c AS (SELECT sec, sum(cents) OVER (ORDER BY sec) AS cum FROM p),
+        d AS (SELECT sec AS at_sec,
+                max(cum) OVER (ORDER BY sec) - cum AS dd FROM c)
+        SELECT at_sec, CAST(dd AS BIGINT) AS max_drawdown_cents
+        FROM d ORDER BY dd DESC, at_sec LIMIT 1"""))
   )
 }

@@ -511,6 +511,58 @@ object TextQueries {
         FROM bg b
         JOIN bc c ON c.w1 = b.w1 AND c.w2 = b.w2
         JOIN uc u ON u.word = b.w1
-        GROUP BY b.doc_id ORDER BY b.doc_id"""))
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    QDef(
+      "text_rake_keywords",
+      (s, dir) => {
+        // RAKE-style keyword extraction, corpus-wide: stopwords are the
+        // data-derived top-10 words by frequency (rank-based — the
+        // synthetic corpus has a 31-word vocabulary, so a threshold
+        // split would be degenerate), candidate PHRASES are the maximal
+        // stopword-free token runs, found by running the gaps-and-
+        // islands operator over token positions (a gap in the surviving-
+        // position sequence IS a stopword boundary — the reference's
+        // signature semantic reused in the text domain). A word's score
+        // = degree/frequency: degree sums the lengths of every phrase it
+        // appears in. All integers; the ratio ships as exact millesimals.
+        val ids = graft.dedup.Dedup.docWordIds(
+          tbl(s, dir, "documents"), "doc_id", "text")
+        val stop = ids.groupBy(col("word_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word_id")).limit(10)
+          .select(col("word_id"))
+        val content = ids.join(broadcast(stop), Seq("word_id"), "left_anti")
+        val runs = graft.operators.Islands
+          .assignIds(content, Seq("doc_id"), "pos", maxGap = 1L)
+        val wp = Window.partitionBy(col("doc_id"), col("island_id"))
+        runs.withColumn("phlen", count(lit(1)).over(wp))
+          .groupBy(col("word_id"))
+          .agg(count(lit(1)).as("freq"), sum(col("phlen")).as("degree"))
+          .filter(col("freq") >= 3)
+          .select(col("word_id"), col("freq"), col("degree"),
+            expr("degree * 1000 div freq").as("score_x1000"))
+          .orderBy(col("score_x1000").desc, col("word_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH ${DedupQueries.vocabSql},
+        stop AS (SELECT word_id FROM (
+                   SELECT word_id, count(*) AS n FROM ids GROUP BY word_id
+                   ORDER BY n DESC, word_id LIMIT 10)),
+        content AS (SELECT doc_id, pos, word_id FROM ids
+                    WHERE word_id NOT IN (SELECT word_id FROM stop)),
+        r AS (SELECT doc_id, pos, word_id,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS grp
+              FROM content),
+        ph AS (SELECT doc_id, grp, word_id,
+                 count(*) OVER (PARTITION BY doc_id, grp) AS phlen
+               FROM r),
+        w AS (SELECT word_id, count(*) AS freq,
+                CAST(sum(phlen) AS BIGINT) AS degree
+              FROM ph GROUP BY word_id HAVING count(*) >= 3)
+        SELECT word_id, freq, degree,
+               degree * 1000 // freq AS score_x1000
+        FROM w ORDER BY score_x1000 DESC, word_id LIMIT 20"""))
   )
 }

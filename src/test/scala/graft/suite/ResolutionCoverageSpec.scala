@@ -69,6 +69,34 @@ class ResolutionCoverageSpec extends SparkSpec {
     }
   }
 
+  test("LSH recall audit: confusion counts are consistent and recall is measured") {
+    val r = DedupQueries.all.find(_.name == "dedup_lsh_recall_audit").get
+      .fn(spark, sf).collect().head
+    val (cand, truth, tp) = (r.getAs[Long]("n_candidates"),
+      r.getAs[Long]("n_truth"), r.getAs[Long]("tp"))
+    assert(tp <= math.min(cand, truth))
+    assert(r.getAs[Long]("fn") == truth - tp)
+    assert(r.getAs[Long]("fp") == cand - tp)
+    assert(r.getAs[Long]("recall_x1e6") >= 0L &&
+      r.getAs[Long]("recall_x1e6") <= 1000000L)
+    assert(truth > 0L, "audit needs a non-empty truth set to mean anything")
+  }
+
+  test("RAKE keywords: scores are the exact degree/freq ratio, ranked") {
+    val rows = TextQueries.all.find(_.name == "text_rake_keywords").get
+      .fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("freq") >= 3L)
+      assert(r.getAs[Long]("degree") >= r.getAs[Long]("freq"),
+        "every occurrence contributes at least phrase length 1 to degree")
+      assert(r.getAs[Long]("score_x1000") ==
+        r.getAs[Long]("degree") * 1000 / r.getAs[Long]("freq"))
+    }
+    val scores = rows.map(_.getAs[Long]("score_x1000"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("coordinated sample keeps referential integrity without a repair join") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
       .filter(graft.operators.Sampling.hashBucket(col("o_orderkey"), 1000) < 100)

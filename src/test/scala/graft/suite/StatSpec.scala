@@ -60,6 +60,34 @@ class StatSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
   }
 
+  test("globalCumMax equals the single-partition running max") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ((i * 37) % 1009, ((i * 73) % 200 - 100).toLong))
+      .distinctBy(_._1).toDF("k", "v")
+    val got = graft.operators.Windows.globalCumMax(df, "k", "v")
+      .orderBy("k").collect().map(r => (r.getAs[Int]("k"), r.getAs[Long]("cummax_v")))
+    val rows = df.orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1)))
+    var m = Long.MinValue
+    val want = rows.map { case (k, v) => m = math.max(m, v); (k, m) }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("max drawdown matches the naive sequential scan") {
+    val row = StatQueries.all.find(_.name == "agg_max_drawdown").get
+      .fn(spark, "/root/testdata/sf0.001").collect().head
+    val series = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .groupBy(unix_timestamp(col("ts")).as("sec"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("sec").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L; var high = Long.MinValue; var best = Long.MinValue; var at = 0L
+    series.foreach { case (sec, c) =>
+      cum += c; high = math.max(high, cum)
+      if (high - cum > best) { best = high - cum; at = sec }
+    }
+    assert(row.getAs[Long]("max_drawdown_cents") == best)
+    assert(row.getAs[Long]("at_sec") == at)
+  }
+
   test("OLS recovers an exact line with r2 = 1") {
     import spark.implicits._
     // y = 3x + 50 exactly, in cents already (slope invariant to scaling)
