@@ -123,9 +123,21 @@ object DedupQueries {
   def prebuildArtifacts(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     sharedStats(s, dir); sharedPairs(s, dir)
     sharedLabels(s, dir); sharedOldLabels(s, dir)
-    sharedSig(s, dir)
+    sharedSig(s, dir); sharedPrefixPairs(s, dir)
     ()
   }
+
+  /** The COMPLETE prefix-filtered exact-Jaccard pair set (J >= 1/2) as a
+    * shared artifact: the certified truth both the similarity-join query
+    * and the LSH recall audit read — the most expensive single index
+    * over the corpus, built once per (session, corpus) like the stats.
+    */
+  private def sharedPrefixPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    memo(s, dir, "prefix_pairs")(
+      Dedup.prefixFilterJaccardPairs(
+        Dedup.shingles3FromText(tbl(s, dir, "documents"), "doc_id", "text"),
+        thetaNum = 1, thetaDen = 2))
 
   /** Candidate statistics are THE memoized artifact; the Jaccard pair
     * surface and the containment surface are cheap projections over it.
@@ -620,12 +632,10 @@ object DedupQueries {
         // J >= 1/2 — the oracle is the full quadratic scan, so a green
         // hash IS the completeness theorem checked end-to-end.
         // Integer-only output and gates (3·ni >= na+nb), no float
-        // thresholds.
-        graft.dedup.Dedup.prefixFilterJaccardPairs(
-            graft.dedup.Dedup.shingles3FromText(
-              tbl(s, dir, "documents"), "doc_id", "text"),
-            thetaNum = 1, thetaDen = 2)
-          .orderBy("a", "b"),
+        // thresholds. The pair set is the shared `prefix_pairs` artifact
+        // (built once per corpus; the LSH recall audit reads the same
+        // frame as its truth side).
+        sharedPrefixPairs(s, dir).orderBy("a", "b"),
       Some(s"""
         WITH $vocabSql, $shingleSql,
         us AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
@@ -810,15 +820,17 @@ object DedupQueries {
         // corpus — the recall/precision audit a production pipeline runs
         // before trusting an LSH config at scale. Truth = the prefix-
         // filtered complete J >= 1/2 pairs (provably every qualifying
-        // pair); candidates = the 4-band/2-row MinHash buckets. Both are
-        // skinny pair frames, so the confusion counts are three cheap
-        // joins; ratios emitted as exact integer millionths.
+        // pair); candidates = the 4-band/2-row MinHash buckets. Both
+        // sides lean on SHARED artifacts — the banding re-derives from
+        // the persisted signature index (NOT from the stats frame, whose
+        // inner shingle join would silently drop a zero-overlap band
+        // collision), the truth is the persisted prefix_pairs — so the
+        // confusion counts are cheap joins over skinny frames; ratios
+        // emitted as exact integer millionths.
         val sc = org.apache.spark.sql.graft.ColumnBridge.scalar _
-        val sh = Dedup.shingles3FromText(tbl(s, dir, "documents"), "doc_id", "text")
         val cand = Dedup.lshCandidates(
-          Dedup.lshBandKeys(Dedup.minhashSignature(sh, NumPerms), NumPerms))
-        val truth = Dedup.prefixFilterJaccardPairs(sh, thetaNum = 1, thetaDen = 2)
-          .select(col("a"), col("b"))
+          Dedup.lshBandKeys(sharedSig(s, dir), NumPerms))
+        val truth = sharedPrefixPairs(s, dir).select(col("a"), col("b"))
         val tp = truth.join(cand, Seq("a", "b"), "left_semi")
         cand.agg(count(lit(1)).as("n_candidates"))
           .select(col("n_candidates"),
