@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // as grid-cell equi-joins instead of nested loops (rule instance
     // bound to its owning session — plan surgery must analyze under it)
     ext.injectOptimizerRule(s => new graft.plans.EpsJoinRewrite(s))
+    // edit-distance-join recognition: `levenshtein(a, b) <= k` (k ∈ {0,1})
+    // join conditions plan as FastSS deletion-neighborhood equi-joins
+    ext.injectOptimizerRule(s => new graft.plans.EditDistJoinRewrite(s))
   }
 }

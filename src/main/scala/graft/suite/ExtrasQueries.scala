@@ -2558,6 +2558,34 @@ object ExtrasQueries {
                levenshtein(a.nm, b.nm) AS edit_dist
         FROM c a JOIN c b
           ON a.nk = b.nk AND a.k < b.k AND levenshtein(a.nm, b.nm) <= 1
+        ORDER BY a_custkey, b_custkey""")),
+
+    QDef(
+      "join_edit_dist_auto",
+      (s, dir) => {
+        // the SAME fuzzy match written the way a user would write it — a
+        // plain theta join on `levenshtein(a, b) <= 1` — relying on
+        // plans/EditDistJoinRewrite (injected via GraftExtensions) to
+        // recognize the bound and plan the FastSS deletion-neighborhood
+        // equi-join automatically instead of a nested loop.
+        // EditDistRewriteSpec pins the plan shape; the oracle is the
+        // naive quadratic, so the green hash proves the rewrite exact
+        // (including its minimal-shared-key dedup gate).
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+            col("c_name").as("nm"))
+        c.as("a").join(c.as("b"),
+            col("a.nk") === col("b.nk") && col("a.k") < col("b.k") &&
+              levenshtein(col("a.nm"), col("b.nm")) <= 1)
+          .select(col("a.k").as("a_custkey"), col("b.k").as("b_custkey"))
+          .orderBy(col("a_custkey"), col("b_custkey"))
+      },
+      Some("""
+        WITH c AS (SELECT c_custkey AS k, c_nationkey AS nk, c_name AS nm
+                   FROM customer)
+        SELECT a.k AS a_custkey, b.k AS b_custkey
+        FROM c a JOIN c b
+          ON a.nk = b.nk AND a.k < b.k AND levenshtein(a.nm, b.nm) <= 1
         ORDER BY a_custkey, b_custkey"""))
   )
 }
