@@ -672,6 +672,35 @@ object SamplingQueries {
                      AS shuffle_key
             FROM packed
             ORDER BY shuffle_key, chunk_key"""
-      })
+      }),
+
+    QDef(
+      "pipeline_quality_curriculum",
+      (s, dir) =>
+        // curriculum ordering: high-quality bands first, reproducibly
+        // shuffled WITHIN each band. Bands are fixed-width score buckets
+        // (floor(score)) — a pure projection, deliberately NOT ntile,
+        // whose global sort-and-count would serialize the corpus at
+        // 100 TB — and the within-band order is the same hash key as
+        // pipeline_shuffle_order, so the contract (band DESC,
+        // shuffle_key) range-partitions into a distributed sort with no
+        // single-task stage. Score is the shared qualityScore expression
+        // tree, bit-equal across engines.
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("score"))
+          .withColumn("band", floor(col("score")).cast("long"))
+          .withColumn("shuffle_key",
+            Sampling.hashBucket(col("doc_id"), 1000000000))
+          .select(col("doc_id"), col("score"), col("band"), col("shuffle_key"))
+          .orderBy(col("band").desc, col("shuffle_key"), col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text,
+              string_split_regex(text, '\\s+') AS toks FROM documents),
+        sc AS (SELECT doc_id, ${TextQueries.qualitySql("text", "toks")} AS score
+               FROM t)
+        SELECT doc_id, score, CAST(floor(score) AS BIGINT) AS band,
+               ${hashSql("CAST(doc_id AS VARCHAR)", 1000000000)} AS shuffle_key
+        FROM sc ORDER BY band DESC, shuffle_key, doc_id"""))
   )
 }

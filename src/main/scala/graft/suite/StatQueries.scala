@@ -234,6 +234,299 @@ object StatQueries {
         d AS (SELECT sec AS at_sec,
                 max(cum) OVER (ORDER BY sec) - cum AS dd FROM c)
         SELECT at_sec, CAST(dd AS BIGINT) AS max_drawdown_cents
-        FROM d ORDER BY dd DESC, at_sec LIMIT 1"""))
+        FROM d ORDER BY dd DESC, at_sec LIMIT 1""")),
+
+    QDef(
+      "agg_chi2_independence",
+      (s, dir) => {
+        // chi-squared test of independence between event_type and
+        // day-of-week, emitted PER CELL so every number stays engine-exact:
+        // observed counts and the (oN - rc)² numerator are exact
+        // decimal(38) integers, and each cell's expected value and chi²
+        // contribution is one double division over them — never a
+        // cross-engine float accumulation (a global chi² total would sum
+        // doubles in engine-dependent order). Day-of-week comes from pure
+        // epoch arithmetic ((days+4) % 7), sidestepping the engines'
+        // incompatible dayofweek() origins. Shape at scale: one fact-grain
+        // groupBy collapses to ≤ |types|·7 cells; row/col margins reduce
+        // the tiny cell frame and broadcast back — margins never touch the
+        // fact table a second time.
+        import org.apache.spark.sql.Column
+        val d = (c: Column) => c.cast("decimal(38,0)")
+        val e = tbl(s, dir, "events").select(col("event_type"),
+          expr("((unix_timestamp(ts) div 86400) + 4) % 7").as("dow"))
+        val cells = e.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("o"))
+        val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r_tot"))
+        val ct = cells.groupBy(col("dow")).agg(sum(col("o")).as("c_tot"))
+        val n = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          cells.agg(sum(col("o")).as("n")))
+        val num = d(col("o")) * d(n) - d(col("r_tot")) * d(col("c_tot"))
+        cells
+          .join(broadcast(rt), Seq("event_type"))
+          .join(broadcast(ct), Seq("dow"))
+          .select(col("event_type"), col("dow"), col("o"),
+            ((d(col("r_tot")) * d(col("c_tot"))).cast("double") /
+              d(n).cast("double")).as("expected"),
+            ((num * num).cast("double") /
+              (d(n) * d(col("r_tot")) * d(col("c_tot"))).cast("double"))
+              .as("chi2_contrib"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""
+        WITH e AS (SELECT event_type,
+                     ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS dow
+                   FROM events),
+        cells AS (SELECT event_type, dow, count(*) AS o FROM e GROUP BY 1, 2),
+        rt AS (SELECT event_type, sum(o) AS r_tot FROM cells GROUP BY 1),
+        ct AS (SELECT dow, sum(o) AS c_tot FROM cells GROUP BY 1),
+        n AS (SELECT sum(o) AS n FROM cells)
+        SELECT c.event_type, c.dow, c.o,
+               CAST(CAST(r.r_tot AS HUGEINT) * ct.c_tot AS DOUBLE) /
+                 CAST(n.n AS DOUBLE) AS expected,
+               CAST((CAST(c.o AS HUGEINT) * n.n -
+                     CAST(r.r_tot AS HUGEINT) * ct.c_tot) *
+                    (CAST(c.o AS HUGEINT) * n.n -
+                     CAST(r.r_tot AS HUGEINT) * ct.c_tot) AS DOUBLE) /
+                 CAST(CAST(n.n AS HUGEINT) * r.r_tot * ct.c_tot AS DOUBLE)
+                 AS chi2_contrib
+        FROM cells c
+        JOIN rt r ON r.event_type = c.event_type
+        JOIN ct ON ct.dow = c.dow
+        CROSS JOIN n
+        ORDER BY c.event_type, c.dow""")),
+
+    QDef(
+      "agg_welch_ttest",
+      (s, dir) => {
+        // Welch's unequal-variance t-test (weekday vs weekend value, per
+        // event_type) from exact integer moments: the weekday/weekend
+        // split is CONDITIONAL aggregation inside one groupBy — no
+        // self-join, no theta join, one fact shuffle to |types| rows.
+        // n/Σx/Σx² accumulate as exact decimal(38) cents; t and the
+        // Welch–Satterthwaite df are each one fixed IEEE expression tree
+        // over those moments (+, ×, ÷, sqrt are all correctly rounded,
+        // so both engines produce identical bits).
+        import org.apache.spark.sql.Column
+        val d = (c: Column) => c.cast("decimal(38,0)")
+        val dbl = (c: Column) => c.cast("double")
+        val e = tbl(s, dir, "events").select(col("event_type"),
+          (expr("((unix_timestamp(ts) div 86400) + 4) % 7").isin(0, 6))
+            .as("wkend"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val zero = lit(0L)
+        val m = e.groupBy(col("event_type")).agg(
+          sum(when(!col("wkend"), 1L).otherwise(zero)).as("n1"),
+          sum(d(when(!col("wkend"), col("cents")).otherwise(zero))).as("s1"),
+          sum(d(when(!col("wkend"), col("cents") * col("cents"))
+            .otherwise(zero))).as("ss1"),
+          sum(when(col("wkend"), 1L).otherwise(zero)).as("n2"),
+          sum(d(when(col("wkend"), col("cents")).otherwise(zero))).as("s2"),
+          sum(d(when(col("wkend"), col("cents") * col("cents"))
+            .otherwise(zero))).as("ss2"))
+        // a = s₁²/n₁, b = s₂²/n₂ with sample variance from exact moments:
+        // s² = (n·Σx² − (Σx)²) / (n(n−1)), so s²/n has an exact integer
+        // numerator and denominator and ONE double division each.
+        val a = dbl(d(col("n1")) * col("ss1") - col("s1") * col("s1")) /
+          dbl(d(col("n1")) * col("n1") * (d(col("n1")) - 1))
+        val b = dbl(d(col("n2")) * col("ss2") - col("s2") * col("s2")) /
+          dbl(d(col("n2")) * col("n2") * (d(col("n2")) - 1))
+        val meanDiff = dbl(col("s1")) / dbl(col("n1")) -
+          dbl(col("s2")) / dbl(col("n2"))
+        m.select(col("event_type"),
+            col("n1").as("n_weekday"), col("n2").as("n_weekend"),
+            meanDiff.as("mean_diff_cents"),
+            (meanDiff / sqrt(a + b)).as("t_stat"),
+            (((a + b) * (a + b)) /
+              (a * a / dbl(col("n1") - 1) + b * b / dbl(col("n2") - 1)))
+              .as("df_welch"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (SELECT event_type,
+                     ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7
+                       IN (0, 6) AS wkend,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        m AS (SELECT event_type,
+                sum(CASE WHEN NOT wkend THEN 1 ELSE 0 END) AS n1,
+                sum(CAST(CASE WHEN NOT wkend THEN cents ELSE 0 END AS HUGEINT)) AS s1,
+                sum(CAST(CASE WHEN NOT wkend THEN cents * cents ELSE 0 END AS HUGEINT)) AS ss1,
+                sum(CASE WHEN wkend THEN 1 ELSE 0 END) AS n2,
+                sum(CAST(CASE WHEN wkend THEN cents ELSE 0 END AS HUGEINT)) AS s2,
+                sum(CAST(CASE WHEN wkend THEN cents * cents ELSE 0 END AS HUGEINT)) AS ss2
+              FROM e GROUP BY 1),
+        x AS (SELECT event_type, n1, n2,
+                CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md,
+                CAST(CAST(n1 AS HUGEINT) * ss1 - s1 * s1 AS DOUBLE) /
+                  CAST(CAST(n1 AS HUGEINT) * n1 * (n1 - 1) AS DOUBLE) AS a,
+                CAST(CAST(n2 AS HUGEINT) * ss2 - s2 * s2 AS DOUBLE) /
+                  CAST(CAST(n2 AS HUGEINT) * n2 * (n2 - 1) AS DOUBLE) AS b
+              FROM m)
+        SELECT event_type, CAST(n1 AS BIGINT) AS n_weekday,
+               CAST(n2 AS BIGINT) AS n_weekend,
+               md AS mean_diff_cents,
+               md / sqrt(a + b) AS t_stat,
+               ((a + b) * (a + b)) /
+                 (a * a / CAST(n1 - 1 AS DOUBLE) +
+                  b * b / CAST(n2 - 1 AS DOUBLE)) AS df_welch
+        FROM x ORDER BY event_type""")),
+
+    QDef(
+      "agg_simpson_diversity",
+      (s, dir) => {
+        // per-source vocabulary diversity via the Simpson index
+        // D = 1 − Σc(c−1)/(N(N−1)): the entropy-style corpus profile that
+        // stays engine-exact — unlike Shannon entropy (a float log sum in
+        // engine-dependent order), Simpson's numerator Σc(c−1) is an exact
+        // integer reduce, and the index is one double division. Shape:
+        // (source, word) groupBy collapses the token stream, then a
+        // per-source reduce of the tiny count frame — two map-side-combined
+        // shuffles, both shrinking.
+        import org.apache.spark.sql.Column
+        val d = (c: Column) => c.cast("decimal(38,0)")
+        val wc = tbl(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+        wc.groupBy(col("source"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(d(col("c")) * (d(col("c")) - 1)).as("coll"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            (lit(1.0) - col("coll").cast("double") /
+              (d(col("n_tokens")) * (d(col("n_tokens")) - 1)).cast("double"))
+              .as("simpson_index"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (SELECT source,
+                        unnest(string_split_regex(text, '\s+')) AS word
+                      FROM documents),
+        wc AS (SELECT source, word, count(*) AS c FROM toks GROUP BY 1, 2)
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+               1.0 - CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE) /
+                 CAST(CAST(sum(c) AS HUGEINT) * (sum(c) - 1) AS DOUBLE)
+                 AS simpson_index
+        FROM wc GROUP BY source ORDER BY source""")),
+
+    QDef(
+      "agg_kmv_set_ops",
+      (s, dir) => {
+        // KMV sketch SET ALGEBRA: bottom-k hash sketches of two customer
+        // sets (urgent-priority vs low-priority buyers) compose into
+        // union/Jaccard/overlap estimates WITHOUT ever joining the raw
+        // sets — the union sketch is the bottom-k of the two sketches'
+        // union, and Jaccard is the fraction of union-sketch members
+        // present in both sides (the standard k-minimum-values θ-sketch
+        // estimator). At 100 TB each side reduces to ≤ k rows before
+        // anything joins; the semi joins run over broadcast 256-row
+        // frames. Exact-integer hashes end in two fixed double divisions,
+        // so the oracle reproduces every bit.
+        def bottomK(df: DataFrame) = df.distinct().orderBy(col("h")).limit(KmvK)
+        val orders = tbl(s, dir, "orders")
+        def side(p: String) = bottomK(orders
+          .filter(col("o_orderpriority") === p)
+          .select(kmvHash(col("o_custkey")).as("h")))
+        val sa = side("1-URGENT")
+        val sb = side("5-LOW")
+        val u = bottomK(sa.unionAll(sb))
+        val matches = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          u.join(broadcast(sa), Seq("h"), "left_semi")
+            .join(broadcast(sb), Seq("h"), "left_semi")
+            .agg(count(lit(1)).as("m")))
+        u.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_min_hash"))
+          .withColumn("matches", matches)
+          .select(col("k_used"), col("kth_min_hash"), col("matches"),
+            (col("matches").cast("double") / col("k_used").cast("double"))
+              .as("jaccard_est"),
+            when(col("k_used") < KmvK, col("k_used").cast("double"))
+              .otherwise((col("k_used") - 1).cast("double") *
+                lit(KmvDomain.toDouble) / col("kth_min_hash"))
+              .as("union_est"))
+      },
+      Some(s"""
+        WITH a AS (SELECT DISTINCT ${kmvHashSql("o_custkey")} AS h
+                   FROM orders WHERE o_orderpriority = '1-URGENT'),
+        sa AS (SELECT h FROM a ORDER BY h LIMIT $KmvK),
+        b AS (SELECT DISTINCT ${kmvHashSql("o_custkey")} AS h
+              FROM orders WHERE o_orderpriority = '5-LOW'),
+        sb AS (SELECT h FROM b ORDER BY h LIMIT $KmvK),
+        u AS (SELECT DISTINCT h FROM
+                (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+              ORDER BY h LIMIT $KmvK),
+        m AS (SELECT count(*) AS matches FROM u
+              WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+        SELECT count(*) AS k_used, max(h) AS kth_min_hash,
+               (SELECT matches FROM m) AS matches,
+               CAST((SELECT matches FROM m) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE) AS jaccard_est,
+               CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE)
+                    ELSE CAST(count(*) - 1 AS DOUBLE) * ${KmvDomain.toDouble} /
+                      max(h)
+               END AS union_est
+        FROM u""")),
+
+    QDef(
+      "agg_countmin_estimate",
+      (s, dir) => {
+        // Count-Min sketch with a certified overestimate audit: d=4
+        // pairwise-independent hash rows × w=1024 buckets build in ONE
+        // map-side-combined pass (the 4× row explosion collapses to
+        // ≤ 4096 counters per partition before the shuffle), then the
+        // exact top-20 words read their estimates back via min over the
+        // d bucket counts. CM guarantees est ≥ exact; the emitted
+        // over_err column makes the guarantee auditable row by row —
+        // and the whole sketch is integer arithmetic, so the oracle
+        // rebuilds it bit-for-bit.
+        val W = 1024
+        val hashes = Seq((0, 1103515245L, 12345L), (1, 69069L, 1L),
+          (2, 1664525L, 1013904223L), (3, 22695477L, 1L))
+        val words = tbl(s, dir, "documents")
+          .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
+          .select(graft.dedup.Dedup.wordId(col("word")).as("word_id"))
+        val bucketed = words.select(col("word_id"),
+          explode(array(hashes.map { case (j, a, b) =>
+            struct(lit(j).as("j"),
+              (((col("word_id") * a + b) % 2147483647L) % W).as("bucket"))
+          }: _*)).as("jb"))
+          .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+        val cm = bucketed.groupBy(col("j"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val top = words.groupBy(col("word_id")).agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("word_id")).limit(20)
+        val probes = top.select(col("word_id"), col("exact_n"),
+          explode(array(hashes.map { case (j, a, b) =>
+            struct(lit(j).as("j"),
+              (((col("word_id") * a + b) % 2147483647L) % W).as("bucket"))
+          }: _*)).as("jb"))
+          .select(col("word_id"), col("exact_n"),
+            col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+        probes.join(broadcast(cm), Seq("j", "bucket"))
+          .groupBy(col("word_id"), col("exact_n"))
+          .agg(min(col("cnt")).as("cm_est"))
+          .select(col("word_id"), col("exact_n"), col("cm_est"),
+            (col("cm_est") - col("exact_n")).as("over_err"))
+          .orderBy(col("exact_n").desc, col("word_id"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                      FROM documents),
+        w AS (SELECT ${DedupQueries.wordHashSql("word")} AS word_id FROM toks),
+        hj AS (SELECT * FROM (VALUES (0, 1103515245, 12345), (1, 69069, 1),
+                 (2, 1664525, 1013904223), (3, 22695477, 1)) t(j, a, b)),
+        cm AS (SELECT hj.j, ((w.word_id * hj.a + hj.b) % 2147483647) % 1024
+                 AS bucket, count(*) AS cnt
+               FROM w CROSS JOIN hj GROUP BY 1, 2),
+        top AS (SELECT word_id, count(*) AS exact_n FROM w
+                GROUP BY 1 ORDER BY exact_n DESC, word_id LIMIT 20),
+        probes AS (SELECT t.word_id, t.exact_n, hj.j,
+                     ((t.word_id * hj.a + hj.b) % 2147483647) % 1024 AS bucket
+                   FROM top t CROSS JOIN hj)
+        SELECT p.word_id, p.exact_n, CAST(min(c.cnt) AS BIGINT) AS cm_est,
+               CAST(min(c.cnt) - p.exact_n AS BIGINT) AS over_err
+        FROM probes p JOIN cm c ON c.j = p.j AND c.bucket = p.bucket
+        GROUP BY p.word_id, p.exact_n
+        ORDER BY p.exact_n DESC, p.word_id"""))
   )
 }

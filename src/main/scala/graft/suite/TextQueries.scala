@@ -563,6 +563,59 @@ object TextQueries {
               FROM ph GROUP BY word_id HAVING count(*) >= 3)
         SELECT word_id, freq, degree,
                degree * 1000 // freq AS score_x1000
-        FROM w ORDER BY score_x1000 DESC, word_id LIMIT 20"""))
+        FROM w ORDER BY score_x1000 DESC, word_id LIMIT 20""")),
+
+    QDef(
+      "text_zipf_slope",
+      (s, dir) => {
+        // rank-free Zipf's-law fit: instead of ranking the whole
+        // vocabulary (a global row_number over millions of words at
+        // 100 TB), fit the COMPLEMENTARY CUMULATIVE frequency spectrum —
+        // if freq ∝ rank^(−α) then #types-with-tf≥c ∝ c^(−1/α), so the
+        // log-log slope of the suffix-summed spectrum recovers α from a
+        // frame with O(√tokens) rows (distinct tf values), the only
+        // globally-ordered window in the plan. Logs are integer
+        // floor-log₂ via binary-string length (bin() agrees across
+        // engines; no libm), and the OLS closes over exact integer
+        // moments with two final double divisions.
+        import org.apache.spark.sql.expressions.Window
+        val spec = tbl(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+          .groupBy(col("c").as("tf")).agg(count(lit(1)).as("n_types"))
+        val cum = spec.withColumn("cum_ge",
+          sum(col("n_types")).over(Window.orderBy(col("tf").desc)))
+        val pts = cum.select(
+          (length(bin(col("tf"))) - 1).cast("long").as("x"),
+          (length(bin(col("cum_ge"))) - 1).cast("long").as("y"))
+        val m = pts.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        m.select(col("n").as("n_points"), slope.as("slope_log2"),
+          (lit(-1.0) / slope).as("zipf_alpha"))
+      },
+      Some("""
+        WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+                      FROM documents),
+        wc AS (SELECT word, count(*) AS c FROM toks GROUP BY 1),
+        spec AS (SELECT c AS tf, count(*) AS n_types FROM wc GROUP BY 1),
+        cum AS (SELECT tf,
+                  CAST(sum(n_types) OVER (ORDER BY tf DESC) AS BIGINT)
+                    AS cum_ge FROM spec),
+        pts AS (SELECT CAST(length(bin(tf)) - 1 AS BIGINT) AS x,
+                       CAST(length(bin(cum_ge)) - 1 AS BIGINT) AS y
+                FROM cum),
+        m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy FROM pts)
+        SELECT CAST(n AS BIGINT) AS n_points,
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS slope_log2,
+               -1.0 / (CAST(n * sxy - sx * sy AS DOUBLE) /
+                       CAST(n * sxx - sx * sx AS DOUBLE)) AS zipf_alpha
+        FROM m"""))
   )
 }

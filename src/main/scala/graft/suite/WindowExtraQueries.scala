@@ -651,6 +651,47 @@ object WindowExtraQueries {
                AS BIGINT) AS covered_sec,
                CAST(sum(CASE WHEN cum = 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_merged
-        FROM c"""))
+        FROM c""")),
+
+    QDef(
+      "win_cusum_alarm",
+      (s, dir) => {
+        // one-sided CUSUM drift detection per user: the textbook
+        // recurrence Sₜ = max(0, Sₜ₋₁ + xₜ − k) looks inherently
+        // sequential, but has the closed form Sₜ = Pₜ − min(0, min_{j≤t}
+        // Pⱼ) over the prefix sums Pₜ = Σ(xᵢ − k) — so it runs as two
+        // stacked window passes (cumsum, then running min), both
+        // partitioned by user: embarrassingly parallel across users, no
+        // iteration, exact integer cents throughout. The (user, sec)
+        // collapse bounds each partition's window input first. Alarms
+        // fire where Sₜ exceeds h.
+        val K = 6000L  // allowed drift per observation, cents
+        val H = 40000L // alarm threshold, cents
+        val perSec = tbl(s, dir, "events")
+          .groupBy(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        perSec
+          .withColumn("pt", sum(col("cents") - lit(K)).over(w))
+          .withColumn("cusum_cents",
+            col("pt") - least(lit(0L), min(col("pt")).over(w)))
+          .filter(col("cusum_cents") > H)
+          .select(col("user_id"), col("sec"), col("cusum_cents"))
+          .orderBy(col("user_id"), col("sec"))
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        p AS (SELECT user_id, sec, sum(cents) AS cents FROM e GROUP BY 1, 2),
+        c AS (SELECT user_id, sec,
+                sum(cents - ${6000L}) OVER (PARTITION BY user_id ORDER BY sec)
+                  AS pt FROM p),
+        sx AS (SELECT user_id, sec,
+                 pt - least(CAST(0 AS BIGINT),
+                   min(pt) OVER (PARTITION BY user_id ORDER BY sec))
+                   AS cusum_cents FROM c)
+        SELECT user_id, sec, CAST(cusum_cents AS BIGINT) AS cusum_cents
+        FROM sx WHERE cusum_cents > ${40000L}
+        ORDER BY user_id, sec"""))
   )
 }
