@@ -24,6 +24,9 @@ object StatQueries {
   /** KMV sketch size (k smallest distinct hash values kept). */
   val KmvK = 256
 
+  /** Fixed-point scale of [[graft.functions.PortableLog]] results. */
+  private val Q10 = graft.functions.PortableLog.Q
+
   /** KMV hash domain: portable LCG over [0, 2^31). Constants are the
     * classic glibc LCG; the pre-`% 2147483647` keeps the multiply inside
     * int64 for keys up to ~8.4e9 (sf ~1000) in both engines.
@@ -527,6 +530,202 @@ object StatQueries {
                CAST(min(c.cnt) - p.exact_n AS BIGINT) AS over_err
         FROM probes p JOIN cm c ON c.j = p.j AND c.bucket = p.bucket
         GROUP BY p.word_id, p.exact_n
-        ORDER BY p.exact_n DESC, p.word_id"""))
+        ORDER BY p.exact_n DESC, p.word_id""")),
+
+    QDef(
+      "agg_entropy_by_group",
+      (s, dir) => {
+        // Shannon entropy of each event type's hour-of-day profile — the
+        // temporal-regularity score (uniform 24h bot traffic ≈ log2 24,
+        // bursty human traffic much lower). Engine-exact where a float
+        // log sum could never be: PortableLog.log2q10 is an exact INTEGER
+        // log2 (no libm on either side), so Σ c·log2q10(c) commutes
+        // across partitions and H = (n·L(n) − Σ c·L(c))/n closes with
+        // one double division over exact integers. Shape: two shrinking
+        // map-side-combined shuffles, |types×24| then |types| rows.
+        import graft.functions.PortableLog.log2q10
+        val hc = tbl(s, dir, "events")
+          .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val g = hc.groupBy(col("event_type"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_hours"),
+            sum(col("c") * log2q10(col("c"))).as("sl"))
+        val hnum = col("n") * log2q10(col("n")) - col("sl")
+        g.select(col("event_type"), col("n").as("n_events"), col("n_hours"),
+            (hnum.cast("double") / (col("n") * Q10).cast("double"))
+              .as("entropy_bits"),
+            when(col("n_hours") > 1, hnum.cast("double") /
+                (col("n") * log2q10(col("n_hours"))).cast("double"))
+              .otherwise(lit(0.0)).as("entropy_norm"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        hc AS (SELECT event_type, hour(ts) AS hr, count(*) AS c
+               FROM events GROUP BY 1, 2),
+        g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                count(*) AS n_hours,
+                CAST(sum(c * ${graft.functions.PortableLog.log2q10Sql("c")})
+                  AS BIGINT) AS sl
+              FROM hc, l2t GROUP BY event_type),
+        h AS (SELECT event_type, n, n_hours,
+                n * ${graft.functions.PortableLog.log2q10Sql("n")} - sl AS hnum,
+                ${graft.functions.PortableLog.log2q10Sql("n_hours")} AS lnh
+              FROM g, l2t)
+        SELECT event_type, n AS n_events, n_hours,
+               CAST(hnum AS DOUBLE) / CAST(n * ${Q10} AS DOUBLE)
+                 AS entropy_bits,
+               CASE WHEN n_hours > 1
+                    THEN CAST(hnum AS DOUBLE) / CAST(n * lnh AS DOUBLE)
+                    ELSE 0.0 END AS entropy_norm
+        FROM h ORDER BY event_type""")),
+
+    QDef(
+      "agg_mann_whitney",
+      (s, dir) => {
+        // Mann–Whitney U rank-sum test (weekday vs weekend value per
+        // event_type) — the nonparametric sibling of agg_welch_ttest for
+        // when values aren't normal. Midranks stay INTEGER by doubling:
+        // 2·midrank = rmin + rmax = 2·rank + ties − 1, so rank sums,
+        // U, and the tie-corrected variance numerator are all exact
+        // integer/decimal moments; z closes with one division and one
+        // (correctly-rounded) sqrt. The only global order is the
+        // per-type rank window — same shape DuckDB runs, and at scale a
+        // range-partitioned sort, not a single-node one.
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.expressions.Window
+        val d = (c: Column) => c.cast("decimal(38,0)")
+        val dbl = (c: Column) => c.cast("double")
+        val e = tbl(s, dir, "events").select(col("event_type"),
+          (expr("((unix_timestamp(ts) div 86400) + 4) % 7").isin(0, 6))
+            .as("wkend"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val r = e
+          .withColumn("rmin",
+            rank().over(Window.partitionBy(col("event_type"))
+              .orderBy(col("cents"))))
+          .withColumn("tcnt",
+            count(lit(1)).over(Window.partitionBy(col("event_type"),
+              col("cents"))))
+        val a = r.groupBy(col("event_type")).agg(
+          sum(when(!col("wkend"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("wkend"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("wkend"), col("rmin") * 2 + col("tcnt") - 1)
+            .otherwise(0L)).as("r1x2"))
+        val t = e.groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("tsz"))
+          .groupBy(col("event_type"))
+          .agg(sum(d(col("tsz")) * col("tsz") * col("tsz") - col("tsz"))
+            .as("tie3"))
+        val n = d(col("n1")) + col("n2")
+        val u1x2 = d(col("r1x2")) - d(col("n1")) * (col("n1") + 1)
+        val num = u1x2 - d(col("n1")) * col("n2")
+        val vnum = d(col("n1")) * col("n2") * ((n * n * n - n) - col("tie3"))
+        val vden = lit(12).cast("decimal(38,0)") * n * (n - 1)
+        a.join(t, Seq("event_type"))
+          .select(col("event_type"), col("n1").as("n_weekday"),
+            col("n2").as("n_weekend"),
+            (dbl(u1x2) / 2.0).as("u_stat"),
+            (dbl(num) / (sqrt(dbl(vnum) / dbl(vden)) * 2.0)).as("z_stat"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (SELECT event_type,
+                     ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7
+                       IN (0, 6) AS wkend,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        r AS (SELECT event_type, wkend,
+                rank() OVER (PARTITION BY event_type ORDER BY cents) AS rmin,
+                count(*) OVER (PARTITION BY event_type, cents) AS tcnt
+              FROM e),
+        a AS (SELECT event_type,
+                sum(CASE WHEN NOT wkend THEN 1 ELSE 0 END) AS n1,
+                sum(CASE WHEN wkend THEN 1 ELSE 0 END) AS n2,
+                sum(CASE WHEN NOT wkend THEN rmin * 2 + tcnt - 1 ELSE 0 END)
+                  AS r1x2
+              FROM r GROUP BY 1),
+        tg AS (SELECT event_type, cents, count(*) AS tsz FROM e GROUP BY 1, 2),
+        tt AS (SELECT event_type,
+                 sum(CAST(tsz AS HUGEINT) * tsz * tsz - tsz) AS tie3
+               FROM tg GROUP BY 1),
+        x AS (SELECT a.event_type, n1, n2,
+                CAST(n1 + n2 AS HUGEINT) AS n,
+                CAST(r1x2 AS HUGEINT) - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2,
+                tie3
+              FROM a JOIN tt ON tt.event_type = a.event_type)
+        SELECT event_type, CAST(n1 AS BIGINT) AS n_weekday,
+               CAST(n2 AS BIGINT) AS n_weekend,
+               CAST(u1x2 AS DOUBLE) / 2.0 AS u_stat,
+               CAST(u1x2 - CAST(n1 AS HUGEINT) * n2 AS DOUBLE) /
+                 (sqrt(CAST(CAST(n1 AS HUGEINT) * n2 * ((n * n * n - n) - tie3)
+                              AS DOUBLE) /
+                       CAST(12 * n * (n - 1) AS DOUBLE)) * 2.0) AS z_stat
+        FROM x ORDER BY event_type""")),
+
+    QDef(
+      "agg_gtest_independence",
+      (s, dir) => {
+        // G-test (log-likelihood ratio) of event_type × day-of-week
+        // independence. agg_chi2_independence must emit PER CELL because
+        // a float chi² total would sum in engine-dependent order; the
+        // G statistic CLOSES GLOBALLY here because each cell's
+        // o·(L(o·N) − L(r_tot·c_tot)) is an exact integer under
+        // PortableLog — the whole table collapses to one hash-stable
+        // row. G = 2·ln2·(Gq10/1024) converts fixed-point bits to the
+        // conventional nats scale with one literal constant. Shape: one
+        // fact-grain groupBy to ≤ |types|·7 cells, margins broadcast
+        // back, 1-row reduce.
+        import graft.functions.PortableLog.log2q10
+        val e = tbl(s, dir, "events").select(col("event_type"),
+          expr("((unix_timestamp(ts) div 86400) + 4) % 7").as("dow"))
+        val cells = e.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("o"))
+        val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r_tot"))
+        val ct = cells.groupBy(col("dow")).agg(sum(col("o")).as("c_tot"))
+        val n = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          cells.agg(sum(col("o"))))
+        val terms = cells
+          .join(broadcast(rt), Seq("event_type"))
+          .join(broadcast(ct), Seq("dow"))
+          .select(col("event_type"), col("dow"), col("o"),
+            (col("o") * n).as("p_num"),
+            (col("r_tot") * col("c_tot")).as("p_den"))
+          .select(col("event_type"), col("dow"), col("o"),
+            (col("o") * (log2q10(col("p_num")) - log2q10(col("p_den"))))
+              .as("term"))
+        terms.agg(count(lit(1)).as("n_cells"),
+            countDistinct(col("event_type")).as("nr"),
+            countDistinct(col("dow")).as("nc"),
+            sum(col("o")).as("n_obs"), sum(col("term")).as("gq"))
+          .select(col("n_cells"), col("n_obs"),
+            ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+            (col("gq").cast("double") * (2.0 * 0.6931471805599453 / Q10))
+              .as("g_stat"))
+      },
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        e AS (SELECT event_type,
+                ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS dow
+              FROM events),
+        cells AS (SELECT event_type, dow, count(*) AS o FROM e GROUP BY 1, 2),
+        rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r_tot
+               FROM cells GROUP BY 1),
+        ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c_tot
+               FROM cells GROUP BY 1),
+        nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        terms AS (SELECT c.event_type, c.dow, c.o,
+                    c.o * (${graft.functions.PortableLog
+                        .log2q10Sql("c.o * nn.n")}
+                      - ${graft.functions.PortableLog
+                        .log2q10Sql("r.r_tot * ct.c_tot")}) AS term
+                  FROM cells c JOIN rt r ON r.event_type = c.event_type
+                       JOIN ct ON ct.dow = c.dow, nn, l2t)
+        SELECT count(*) AS n_cells, CAST(sum(o) AS BIGINT) AS n_obs,
+               CAST((count(DISTINCT event_type) - 1) *
+                    (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+               CAST(sum(term) AS DOUBLE) * (2.0 * 0.6931471805599453 / ${Q10})
+                 AS g_stat
+        FROM terms"""))
   )
 }

@@ -616,6 +616,274 @@ object TextQueries {
                  CAST(n * sxx - sx * sx AS DOUBLE) AS slope_log2,
                -1.0 / (CAST(n * sxy - sx * sy AS DOUBLE) /
                        CAST(n * sxx - sx * sx AS DOUBLE)) AS zipf_alpha
-        FROM m"""))
+        FROM m""")),
+
+    QDef(
+      "text_token_entropy",
+      (s, dir) => {
+        // per-document unigram Shannon entropy — the lexical-diversity
+        // quality gate (low entropy = repetitive/template/gibberish
+        // docs; the signal LLM corpus filters cut on). Exact where float
+        // entropy isn't: PortableLog.log2q10 keeps every term an integer
+        // (H·n·1024 = n·L(n) − Σ c·L(c) commutes across partitions), so
+        // the hash gate can hold bit-for-bit. Shape: one (doc_id, word)
+        // map-side-combined shuffle then a per-doc reduce — both
+        // shrinking, no window, no sort until the final orderBy.
+        import graft.functions.PortableLog.log2q10
+        val wc = tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        wc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+            sum(col("c") * log2q10(col("c"))).as("sl"))
+          .select(col("doc_id"), col("n").as("n_tokens"), col("n_types"),
+            ((col("n") * log2q10(col("n")) - col("sl")).cast("double") /
+              (col("n") * graft.functions.PortableLog.Q).cast("double"))
+              .as("entropy_bits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        toks AS (SELECT doc_id,
+                   unnest(string_split_regex(text, '\\s+')) AS word
+                 FROM documents),
+        wc AS (SELECT doc_id, word, count(*) AS c FROM toks GROUP BY 1, 2),
+        g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                count(*) AS n_types,
+                CAST(sum(c * ${graft.functions.PortableLog.log2q10Sql("c")})
+                  AS BIGINT) AS sl
+              FROM wc, l2t GROUP BY doc_id)
+        SELECT doc_id, n AS n_tokens, n_types,
+               CAST(n * ${graft.functions.PortableLog.log2q10Sql("n")} - sl
+                    AS DOUBLE) /
+                 CAST(n * ${graft.functions.PortableLog.Q} AS DOUBLE)
+                 AS entropy_bits
+        FROM g, l2t ORDER BY doc_id""")),
+
+    QDef(
+      "text_collocations_pmi",
+      (s, dir) => {
+        // PMI collocation mining: bigrams that co-occur far above chance
+        // (the multi-word-expression detector). PMI = log2(p_xy/p_x·p_y)
+        // decomposes into a SUM of integer fixed-point logs —
+        // L(c_xy) − L(c_x) − L(c_y) + 2·L(N_uni) − L(N_bi) — so no
+        // big-product overflow at any corpus size and the hash gate
+        // holds exactly. The two corpus totals attach as ONE uncorrelated
+        // scalar subquery (no crossJoin, no BNLJ); count joins shuffle
+        // on the word key only after the bigram frame has collapsed to
+        // its >= MinC survivors.
+        import graft.functions.PortableLog.log2q10
+        val MinC = 5
+        val toks = tbl(s, dir, "documents")
+          .select(TextFunctions.tokens(col("text")).as("ts"))
+        val uni = toks.select(explode(col("ts")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        val big = toks.select(explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+          .filter(col("cxy") >= MinC)
+        // 2·L(N_uni) − L(N_bi), folded to one scalar constant
+        val kConst = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          toks.agg(sum(size(col("ts"))).as("nu"),
+              sum(greatest(size(col("ts")) - 1, lit(0))).as("nb"))
+            .select((log2q10(col("nu")) * 2 - log2q10(col("nb"))).as("k")))
+        val u1 = uni.select(col("w").as("w1"), col("cw").as("cw1"))
+        val u2 = uni.select(col("w").as("w2"), col("cw").as("cw2"))
+        big.join(u1, "w1").join(u2, "w2")
+          .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+            col("cxy").as("n"),
+            (log2q10(col("cxy")) - log2q10(col("cw1")) -
+              log2q10(col("cw2")) + kConst).as("pmi_q10"))
+          .orderBy(col("pmi_q10").desc, col("bigram"))
+          .limit(20)
+          .select(col("bigram"), col("n"),
+            (col("pmi_q10").cast("double") / graft.functions.PortableLog.Q)
+              .as("pmi_bits"))
+      },
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        t AS (SELECT string_split_regex(text, '\\s+') AS ts FROM documents),
+        uni AS (SELECT unnest(ts) AS w FROM t),
+        uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+        bi AS (SELECT unnest(generate_series(1, len(ts) - 1)) AS i, ts FROM t),
+        bc AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS cxy
+               FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM uni),
+        nb AS (SELECT CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS nbv
+               FROM t),
+        k AS (SELECT 2 * ${graft.functions.PortableLog.log2q10Sql("nu")}
+                     - ${graft.functions.PortableLog.log2q10Sql("nbv")} AS kc
+              FROM nn, nb, l2t),
+        p AS (SELECT bc.w1 || ' ' || bc.w2 AS bigram, bc.cxy AS n,
+                ${graft.functions.PortableLog.log2q10Sql("bc.cxy")}
+                  - ${graft.functions.PortableLog.log2q10Sql("u1.cw")}
+                  - ${graft.functions.PortableLog.log2q10Sql("u2.cw")}
+                  + k.kc AS pmi_q10
+              FROM bc JOIN uc u1 ON u1.w = bc.w1
+                      JOIN uc u2 ON u2.w = bc.w2, k, l2t)
+        SELECT bigram, n, CAST(pmi_q10 AS DOUBLE)
+                 / ${graft.functions.PortableLog.Q} AS pmi_bits
+        FROM p ORDER BY pmi_q10 DESC, bigram LIMIT 20""")),
+
+    QDef(
+      "text_kl_source_drift",
+      (s, dir) => {
+        // KL(source ‖ corpus) over unigram distributions — the
+        // distribution-drift score that flags a source whose vocabulary
+        // diverges from the corpus mix (domain skew, scraper breakage,
+        // language contamination). The per-word term
+        // c_sw·(L(c_sw·N) − L(C_w·n_s)) is an exact integer, so the sum
+        // commutes and hashes stably; products stay < 2^53 for corpora
+        // to ~10^8 tokens per side (beyond that, rescale counts — the
+        // log difference only shifts by the same constant both sides).
+        // Shape: (source,word) then word-keyed join of two shrinking
+        // count frames; the corpus total rides in as a scalar subquery.
+        import graft.functions.PortableLog.log2q10
+        val wcs = tbl(s, dir, "documents")
+          .select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("word"))
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("csw"))
+        val glob = wcs.groupBy(col("word")).agg(sum(col("csw")).as("cw"))
+        val ns = wcs.groupBy(col("source")).agg(sum(col("csw")).as("n_s"))
+        val nTot = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          glob.agg(sum(col("cw"))))
+        wcs.join(glob, "word").join(ns, "source")
+          // the scalar subquery must not reach log2q10's lambda directly
+          // (analysis forbids subqueries inside higher-order functions):
+          // materialize both products as plain attributes first
+          .select(col("source"), col("n_s"), col("csw"),
+            (col("csw") * nTot).as("p_num"),
+            (col("cw") * col("n_s")).as("p_den"))
+          .select(col("source"), col("n_s"), col("csw"),
+            (col("csw") * (log2q10(col("p_num")) - log2q10(col("p_den"))))
+              .as("term"))
+          .groupBy(col("source"))
+          .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("n_types"),
+            sum(col("term")).as("klnum"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            (col("klnum").cast("double") /
+              (col("n_tokens") * graft.functions.PortableLog.Q)
+                .cast("double")).as("kl_bits"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        toks AS (SELECT source,
+                   unnest(string_split_regex(text, '\\s+')) AS word
+                 FROM documents),
+        wcs AS (SELECT source, word, count(*) AS csw FROM toks GROUP BY 1, 2),
+        gw AS (SELECT word, CAST(sum(csw) AS BIGINT) AS cw
+                 FROM wcs GROUP BY 1),
+        ns AS (SELECT source, CAST(sum(csw) AS BIGINT) AS n_s
+               FROM wcs GROUP BY 1),
+        nt AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM gw),
+        terms AS (SELECT wcs.source, ns.n_s,
+                    wcs.csw * (${graft.functions.PortableLog
+                        .log2q10Sql("wcs.csw * nt.n")}
+                      - ${graft.functions.PortableLog
+                        .log2q10Sql("gw.cw * ns.n_s")}) AS term
+                  FROM wcs JOIN gw USING (word)
+                       JOIN ns USING (source), nt, l2t),
+        g AS (SELECT source, max(n_s) AS n_tokens, count(*) AS n_types,
+                CAST(sum(term) AS BIGINT) AS klnum
+              FROM terms GROUP BY source)
+        SELECT source, n_tokens, n_types,
+               CAST(klnum AS DOUBLE) /
+                 CAST(n_tokens * ${graft.functions.PortableLog.Q} AS DOUBLE)
+                 AS kl_bits
+        FROM g ORDER BY source""")),
+
+    QDef(
+      "text_log_odds_words",
+      (s, dir) => {
+        // "Fighting Words" (Monroe et al.): per-source top-5 most
+        // distinguishing words by Dirichlet-smoothed log-odds-ratio of
+        // source vs rest-of-corpus, z-scored. The log-odds delta is a
+        // SUM of four integer fixed-point logs (PortableLog), so the
+        // ranking key is an exact integer — ties break on the word, and
+        // the hash gate holds. z converts to nats with one literal ln2
+        // and closes with two unit divisions and a sqrt, all
+        // correctly-rounded IEEE. Shape: one (source,word) shuffle, a
+        // word-keyed margin join, corpus totals broadcast on a literal
+        // key (BroadcastHashJoin, not a nested loop), then a per-source
+        // top-5 window over the already-collapsed count frame.
+        import graft.functions.PortableLog.log2q10
+        val MinC = 5
+        val wcs = tbl(s, dir, "documents")
+          .select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("word"))
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("csw"))
+        val gw = wcs.groupBy(col("word")).agg(sum(col("csw")).as("cw"))
+        val ns = wcs.groupBy(col("source")).agg(sum(col("csw")).as("n_s"))
+        val totals = gw.agg(sum(col("cw")).as("n_tot"),
+          count(lit(1)).as("vocab")).withColumn("k", lit(1))
+        val base = wcs.filter(col("csw") >= MinC)
+          .join(gw, "word").join(ns, "source")
+          .withColumn("k", lit(1)).join(broadcast(totals), "k")
+          .select(col("source"), col("word"), col("csw"),
+            (col("csw") + 1).as("a1"),
+            (col("n_s") + col("vocab") - col("csw") - 1).as("a2"),
+            (col("cw") - col("csw") + 1).as("b1"),
+            (col("n_tot") - col("n_s") + col("vocab") -
+              (col("cw") - col("csw")) - 1).as("b2"))
+        val delta = log2q10(col("a1")) - log2q10(col("a2")) -
+          log2q10(col("b1")) + log2q10(col("b2"))
+        val scored = base.select(col("source"), col("word"), col("csw"),
+          delta.as("delta_q10"),
+          (lit(1.0) / col("a1").cast("double") +
+            lit(1.0) / col("b1").cast("double")).as("variance"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("delta_q10").desc, col("word"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("source"), col("rn").cast("long").as("rn"), col("word"),
+            col("csw"),
+            (col("delta_q10").cast("double") /
+              graft.functions.PortableLog.Q).as("delta_bits"),
+            ((col("delta_q10").cast("double") *
+              (0.6931471805599453 / graft.functions.PortableLog.Q)) /
+              sqrt(col("variance"))).as("z_stat"))
+          .orderBy(col("source"), col("rn"))
+      },
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        toks AS (SELECT source,
+                   unnest(string_split_regex(text, '\\s+')) AS word
+                 FROM documents),
+        wcs AS (SELECT source, word, count(*) AS csw FROM toks GROUP BY 1, 2),
+        gw AS (SELECT word, CAST(sum(csw) AS BIGINT) AS cw FROM wcs GROUP BY 1),
+        ns AS (SELECT source, CAST(sum(csw) AS BIGINT) AS n_s
+               FROM wcs GROUP BY 1),
+        tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tot,
+                  count(*) AS vocab FROM gw),
+        base AS (SELECT wcs.source, wcs.word, wcs.csw,
+                   wcs.csw + 1 AS a1,
+                   ns.n_s + tot.vocab - wcs.csw - 1 AS a2,
+                   gw.cw - wcs.csw + 1 AS b1,
+                   tot.n_tot - ns.n_s + tot.vocab -
+                     (gw.cw - wcs.csw) - 1 AS b2
+                 FROM wcs JOIN gw USING (word) JOIN ns USING (source), tot
+                 WHERE wcs.csw >= 5),
+        scored AS (SELECT source, word, csw,
+                     ${graft.functions.PortableLog.log2q10Sql("a1")}
+                       - ${graft.functions.PortableLog.log2q10Sql("a2")}
+                       - ${graft.functions.PortableLog.log2q10Sql("b1")}
+                       + ${graft.functions.PortableLog.log2q10Sql("b2")}
+                       AS delta_q10,
+                     1.0 / CAST(a1 AS DOUBLE) + 1.0 / CAST(b1 AS DOUBLE)
+                       AS variance
+                   FROM base, l2t),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY delta_q10 DESC, word) AS rn FROM scored)
+        SELECT source, CAST(rn AS BIGINT) AS rn, word, csw,
+               CAST(delta_q10 AS DOUBLE)
+                 / ${graft.functions.PortableLog.Q} AS delta_bits,
+               (CAST(delta_q10 AS DOUBLE) *
+                 (0.6931471805599453 / ${graft.functions.PortableLog.Q}))
+                 / sqrt(variance) AS z_stat
+        FROM r WHERE rn <= 5 ORDER BY source, rn"""))
   )
 }
