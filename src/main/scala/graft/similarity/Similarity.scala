@@ -605,4 +605,99 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("c_id"), col("approx_d2"), col("rank"))
   }
+
+  /** Exact integer Gram cells of the per-label second-moment matrix:
+    * g(label, i, j) = Σ_vectors ie_i·ie_j over the floor(x*1000) integer
+    * embedding — an order-free integer sum, so the matrix is
+    * engine-exact. Shape: one narrow 4096-wide explode per vector, then
+    * a map-side-combined groupBy that collapses to |labels|·dims² rows —
+    * the only pass over the fact table the whole PCA makes.
+    */
+  def gramCells(vectors: DataFrame, embCol: String, labelCol: String,
+      dims: Int): DataFrame = {
+    val ie = intEmbedding(col(embCol))
+    vectors
+      .select(col(labelCol).as("label"), ie.as("ie"))
+      .select(col("label"), posexplode(flatten(
+        transform(col("ie"), a => transform(col("ie"), b => a * b))))
+        .as(Seq("pos", "p")))
+      .groupBy(col("label"), expr(s"pos div $dims").as("i"),
+        (col("pos") % dims).cast("long").as("j"))
+      .agg(sum(col("p")).as("g"))
+  }
+
+  /** Leading eigenvalue of each label's Gram matrix by POWER ITERATION
+    * EXPRESSED RELATIONALLY — every iterate stays an exact integer, so
+    * the result is engine-deterministic without any float summation:
+    *
+    *  - the Gram is pre-scaled per label to |g2| < 2^24 by an arithmetic
+    *    right shift (floor semantics in BOTH engines, unlike `div`'s
+    *    truncation, so negatives agree);
+    *  - each round is matvec-as-join: cells ⋈ v on (label, j), then an
+    *    order-free integer SUM per (label, i) — bounded by
+    *    64·2^24·2^32 < 2^63, no overflow;
+    *  - the iterate is renormalized by shifting back under 2^32, with
+    *    the shift count derived from the binary-string length (exact
+    *    floor-log2, no libm);
+    *  - after `iters` rounds the Rayleigh quotient closes in
+    *    decimal(38,0) exact dot products with ONE double division, and
+    *    the per-label Gram shift is undone by an exact power-of-two
+    *    multiply.
+    *
+    * Scale: the fact table is touched once (gramCells); all iteration
+    * frames are |labels|·dims rows joined against |labels|·dims² cells —
+    * broadcast-sized at any corpus size. Returns (label, n_vecs, trace,
+    * eig1, expl_ratio); eig1/trace is the variance share of the top
+    * component (uncentered PCA — the ANN-relevant spectrum).
+    */
+  def gramPowerTopEig(vectors: DataFrame, embCol: String, labelCol: String,
+      dims: Int, iters: Int, cellsOpt: Option[DataFrame] = None): DataFrame = {
+    // the Gram frame is referenced ~iters+2 times in the lazy plan —
+    // callers should pass a persisted copy (Artifacts.memo) so the
+    // single fact-table pass isn't replayed per reference
+    val cells = cellsOpt.getOrElse(gramCells(vectors, embCol, labelCol, dims))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    def bitlen(c: Column): Column = length(bin(c)).cast("int")
+    def shr(c: Column, n: Column): Column =
+      call_function("shiftright", c, n.cast("int"))
+    val sg = cells.groupBy(col("label"))
+      .agg(max(abs(col("g"))).as("mg"))
+      .select(col("label"), greatest(bitlen(col("mg")) - 24, lit(0)).as("sg"))
+    val scaled = cells.join(broadcast(sg), "label")
+      .select(col("label"), col("i"), col("j"), col("g"),
+        shr(col("g"), col("sg")).as("g2"))
+    def matvec(v: DataFrame): DataFrame =
+      scaled.join(broadcast(v), Seq("label", "j"))
+        .groupBy(col("label"), col("i"))
+        .agg(sum(col("g2") * col("vj")).as("raw"))
+    def renorm(raw: DataFrame): DataFrame = {
+      val mv = raw.groupBy(col("label")).agg(max(abs(col("raw"))).as("mv"))
+        .select(col("label"), greatest(bitlen(col("mv")) - 32, lit(0)).as("sv"))
+      raw.join(broadcast(mv), "label")
+        .select(col("label"), col("i").as("j"), shr(col("raw"), col("sv")).as("vj"))
+    }
+    val v0 = cells.select(col("label")).distinct()
+      .select(col("label"), explode(sequence(lit(0L), lit(dims - 1L))).as("j"),
+        lit(1L).as("vj"))
+    var v = v0
+    for (_ <- 1 to iters) v = renorm(matvec(v))
+    val w = matvec(v).withColumnRenamed("i", "j").withColumnRenamed("raw", "wj")
+    val ray = v.join(w, Seq("label", "j"))
+      .groupBy(col("label"))
+      .agg(sum(d(col("vj")) * d(col("wj"))).as("num"),
+        sum(d(col("vj")) * d(col("vj"))).as("den"))
+    val tr = cells.filter(col("i") === col("j"))
+      .groupBy(col("label")).agg(sum(col("g")).as("trace"))
+    val ns = vectors.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    ray.join(broadcast(sg), "label").join(broadcast(tr), "label")
+      .join(broadcast(ns), "label")
+      .select(col("label"), col("n_vecs"), col("trace"),
+        ((dbl(col("num")) / dbl(col("den"))) *
+          dbl(call_function("shiftleft", lit(1L), col("sg").cast("int"))))
+          .as("eig1"))
+      .withColumn("expl_ratio", col("eig1") / dbl(col("trace")))
+      .orderBy(col("label"))
+  }
 }

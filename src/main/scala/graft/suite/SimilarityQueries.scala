@@ -698,6 +698,84 @@ object SimilarityQueries {
         SELECT c_id, dot_x1e6,
                CAST(row_number() OVER (ORDER BY dot_x1e6 DESC, c_id) AS BIGINT)
                  AS rank
-        FROM sc ORDER BY dot_x1e6 DESC, c_id LIMIT 5"""))
+        FROM sc ORDER BY dot_x1e6 DESC, c_id LIMIT 5""")),
+
+    QDef(
+      "sim_pca_power",
+      (s, dir) => {
+        // per-label leading eigenvalue of the embedding second-moment
+        // matrix — power iteration expressed RELATIONALLY with every
+        // iterate an exact integer (matvec-as-join + arithmetic-shift
+        // renormalization), so a linear-algebra result passes the hash
+        // gate. The Gram build is the single fact-table pass and is a
+        // shared session artifact; eight matvec rounds then run on
+        // |labels|·4096-row broadcast-sized frames.
+        val cells = Artifacts.memo(s, dir, "embeddings", "gram_cells")(
+          Similarity.gramCells(tbl(s, dir, "embeddings"), "embedding",
+            "label", Dims))
+        Similarity.gramPowerTopEig(tbl(s, dir, "embeddings"), "embedding",
+          "label", Dims, PcaIters, Some(cells))
+      },
+      Some(pcaOracleSql(Dims, PcaIters)))
   )
+
+  private val PcaIters = 8
+
+  /** DuckDB mirror of [[Similarity.gramPowerTopEig]]: the same integer
+    * algorithm with the `iters` matvec+renorm rounds unrolled as CTE
+    * layers (exact integers throughout, so CTE inlining can't change the
+    * result).
+    */
+  private def pcaOracleSql(dims: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (SELECT c.label, c.i, CAST(sum(c.g2 * v.vj) AS BIGINT) AS raw
+            FROM c2 c JOIN v${k - 1} v ON v.label = c.label AND v.j = c.j
+            GROUP BY 1, 2),
+      m$k AS (SELECT label, greatest(length(bin(max(abs(raw)))) - 32, 0) AS sv
+              FROM r$k GROUP BY 1),
+      v$k AS (SELECT r.label, r.i AS j, r.raw >> m.sv AS vj
+              FROM r$k r JOIN m$k m USING (label))"""
+    }.mkString(",\n")
+    s"""
+      WITH ie AS (SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ie
+           FROM embeddings),
+      pi AS (SELECT label, ie, unnest(generate_series(0, ${dims - 1})) AS i
+             FROM ie),
+      pij AS (SELECT label, ie, i, unnest(generate_series(0, ${dims - 1})) AS j
+              FROM pi),
+      cells AS (SELECT label, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                  CAST(sum(ie[i + 1] * ie[j + 1]) AS BIGINT) AS g
+                FROM pij GROUP BY 1, 2, 3),
+      sg AS (SELECT label, greatest(length(bin(max(abs(g)))) - 24, 0) AS sg
+             FROM cells GROUP BY 1),
+      c2 AS (SELECT c.label, c.i, c.j, c.g >> s.sg AS g2
+             FROM cells c JOIN sg s USING (label)),
+      v0 AS (SELECT label,
+               CAST(unnest(generate_series(0, ${dims - 1})) AS BIGINT) AS j,
+               CAST(1 AS BIGINT) AS vj
+             FROM (SELECT DISTINCT label FROM cells)),
+      $rounds,
+      w AS (SELECT c.label, c.i AS j, CAST(sum(c.g2 * v.vj) AS BIGINT) AS wj
+            FROM c2 c JOIN v$iters v ON v.label = c.label AND v.j = c.j
+            GROUP BY 1, 2),
+      ray AS (SELECT v.label,
+                sum(CAST(v.vj AS HUGEINT) * w.wj) AS num,
+                sum(CAST(v.vj AS HUGEINT) * v.vj) AS den
+              FROM v$iters v JOIN w ON w.label = v.label AND w.j = v.j
+              GROUP BY 1),
+      tr AS (SELECT label, CAST(sum(g) AS BIGINT) AS trace FROM cells
+             WHERE i = j GROUP BY 1),
+      ns AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+      SELECT r.label, ns.n_vecs, tr.trace,
+             (CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)) *
+               CAST(CAST(1 AS BIGINT) << s.sg AS DOUBLE) AS eig1,
+             ((CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)) *
+               CAST(CAST(1 AS BIGINT) << s.sg AS DOUBLE)) /
+               CAST(tr.trace AS DOUBLE) AS expl_ratio
+      FROM ray r JOIN sg s USING (label) JOIN tr USING (label)
+           JOIN ns USING (label)
+      ORDER BY r.label"""
+  }
 }
