@@ -17,12 +17,25 @@ import org.apache.spark.sql.SparkSession
   *
   * A throwing query is recorded under "errors" (name -> exception) with
   * value -1 — never silently timed as if it ran.
+  *
+  * Budget guards (round 6, after the r5 rc=124 driver kill):
+  *  - every query runs under SPARK_GRAFT_QUERY_TIMEOUT_SEC (default
+  *    120 s) via job-group cancellation — a runaway plan is cancelled
+  *    and recorded as an error, it cannot eat the round's wall budget;
+  *  - warm-lap count is SPARK_GRAFT_WARM_LAPS (default 3) but is
+  *    reduced adaptively after the cold lap so that
+  *    setup + cold + laps·cold fits SPARK_GRAFT_BENCH_BUDGET_SEC
+  *    (default 1500 s) — the suite sheds precision, never the run.
   */
 object Bench {
-  private val WarmLaps = 3
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmLapsMax =
+      sys.env.get("SPARK_GRAFT_WARM_LAPS").map(_.toInt).getOrElse(3)
+    val queryTimeoutSec =
+      sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_SEC").map(_.toLong).getOrElse(120L)
+    val benchBudgetSec =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").map(_.toDouble).getOrElse(1500.0)
     val spark = GraftSession.build("graft-bench")
     // JVM/codegen warmup so the first measured query doesn't absorb
     // session startup (~4-5s on this box)
@@ -60,15 +73,15 @@ object Bench {
     def lap(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch {
-            case t: Throwable =>
-              errors(name) = (t.getClass.getSimpleName + ": " +
-                Option(t.getMessage).getOrElse("").linesIterator
-                  .take(1).mkString.take(200))
-              false
-          }
+        val ok = Budget.runBounded(spark, name, queryTimeoutSec) {
+          fn(spark, sfDir).count()
+        } match {
+          case Budget.Ok(_) => true
+          case Budget.Failed(msg) => errors(name) = msg; false
+          case Budget.TimedOut =>
+            errors(name) = s"TIMEOUT after ${queryTimeoutSec}s (cancelled)"
+            false
+        }
         name -> (if (ok) secs(t0) else -1.0)
       }
 
@@ -78,7 +91,22 @@ object Bench {
       suite.Artifacts.rewarmAll(spark)
     }
 
+    val setupAndColdT0 = System.nanoTime()
     val cold = lap()
+    // fit the warm phase to the remaining wall budget: a warm lap costs
+    // at most a cold lap, so laps = floor(remaining / coldLapSec),
+    // clamped to [1, warmLapsMax]. Shedding laps costs median precision;
+    // the alternative — an rc=124 kill — costs the whole round.
+    val coldLapSec = cold.values.filter(_ >= 0).sum
+    val spentSec = setup.values.sum + secs(setupAndColdT0)
+    val lapsFit =
+      if (coldLapSec <= 0) warmLapsMax
+      else ((benchBudgetSec - spentSec) / coldLapSec).toInt
+    val WarmLaps = math.max(1, math.min(warmLapsMax, lapsFit))
+    if (WarmLaps < warmLapsMax)
+      System.err.println(s"[bench] budget: ${WarmLaps} warm laps (of " +
+        s"$warmLapsMax) fit in ${benchBudgetSec}s after ${spentSec.toInt}s " +
+        s"setup+cold with ${coldLapSec.toInt}s cold lap")
     val warmLaps = (1 to WarmLaps).map { _ => resetCaches(); lap() }
 
     def stat(pick: Seq[Double] => Double): Map[String, Double] =

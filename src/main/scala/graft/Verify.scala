@@ -2,20 +2,38 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Each query runs under a wall-clock budget
+  * (SPARK_GRAFT_QUERY_TIMEOUT_SEC, default 120 s — queries at sf0.01
+  * take ~1 s; the margin is for cold JIT). On timeout its Spark job
+  * group is cancelled and the QUERY is recorded failed — the RUN
+  * continues, so one runaway plan can never zero the whole round's
+  * correctness artifact again (round 5: one plan-exponential query
+  * consumed the driver's entire budget and CORRECTNESS_r05 came back
+  * empty).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
+    val timeoutSec =
+      sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_SEC").map(_.toLong).getOrElse(120L)
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.exists(n.startsWith) }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      Budget.runBounded(spark, name, timeoutSec) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } match {
+        case Budget.Ok(_) => ()
+        case Budget.Failed(msg) =>
+          System.err.println(s"[verify] $name failed: $msg")
+        case Budget.TimedOut =>
+          System.err.println(
+            s"[verify] $name TIMED OUT after ${timeoutSec}s — cancelled, continuing")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

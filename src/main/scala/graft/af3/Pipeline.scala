@@ -38,7 +38,10 @@ object Af3Pipeline {
     val partnerIdx = Scalars.chainToIdx.get(p.partnerChain)
     (poiIdx, partnerIdx) match {
       case (Some(pi), Some(qi)) =>
-        val pae = try_element_at(try_element_at(col("chain_pair_pae_min"), lit(pi + 1)), lit(qi + 1))
+        // `get` (0-based, null-safe) not nested try_element_at — the
+        // TryEval-in-TryEval nesting trips a janino codegen bug and
+        // drops the projection to interpreter mode (see Scalars.matrixAt0)
+        val pae = get(get(col("chain_pair_pae_min"), lit(pi)), lit(qi))
         summaries
           .filter(col("_corrupt").isNull)
           .filter(

@@ -49,7 +49,11 @@ object Scalars {
     * (py:97; the off-by-one hazard flagged in SURVEY §2.7).
     */
   def matrixAt0(m: Column, i: Int, j: Int): Column =
-    try_element_at(try_element_at(m, lit(i + 1)), lit(j + 1))
+    // `get` (0-based, null on out-of-bounds) rather than nested
+    // try_element_at: TryEval-in-TryEval trips a janino codegen bug
+    // ("isNull_N is not an rvalue") and silently drops the whole
+    // projection to interpreter mode — same semantics, no fallback
+    get(get(m, lit(i)), lit(j))
 
   /** `f"{mn}-{mx}"` island range label (py:376–378). */
   def rangeLabel(mn: Column, mx: Column): Column =

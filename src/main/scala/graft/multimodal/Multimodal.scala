@@ -218,10 +218,11 @@ object Multimodal {
       case None => decodeStub(b)
     }
 
-  /** STUB decoder for what genuinely needs a codec: COMPRESSED video
-    * frame decode (H.264/VP9/MJPEG payloads — container metadata is
-    * real via [[parseMp4Meta]], and uncompressed-DIB AVI frames decode
-    * for REAL via [[parseAviDib]]/[[decodeVideoFrames]]), plus audio
+  /** STUB decoder for what genuinely needs a codec: STATEFUL compressed
+    * video frame decode (H.264/VP9 payloads — container metadata is
+    * real via [[parseMp4Meta]], uncompressed-DIB AVI frames decode
+    * for REAL via [[parseAviDib]]/[[decodeVideoFrames]], and MJPEG AVI
+    * frames decode for REAL via [[parseAviMjpg]]), plus audio
     * payloads that are not parseable PCM WAV (real WAV decode lives in
     * [[decodeAudio]]). A real codec call goes here (e.g. ffmpeg via
     * JNI). The fake derives width/height/frames deterministically from
@@ -1320,16 +1321,174 @@ object Multimodal {
     if (fs.isEmpty) None else Some((w, h, us, fs))
   }
 
+  // ---- AVI (MJPEG) video frame decode -----------------------------------
+  //
+  // Motion-JPEG is per-frame baseline JPEG — no inter-frame state, so
+  // each '00dc' chunk decodes independently through the JDK's built-in
+  // ImageIO JPEG reader (no external codec). DETERMINISM CAVEAT, stated
+  // honestly: unlike the DIB path, JPEG IDCT output is pinned only per
+  // JDK implementation (identical within one JVM/JDK line, not
+  // guaranteed bit-identical across VMs) — which is why MJPEG expected
+  // values in oracles/specs are produced by a DIRECT ImageIO round-trip
+  // of the same frame bytes, so what is independently exercised is the
+  // RIFF/AVI container walk and frame extraction, with the codec itself
+  // shared. Truly stateful codecs (H.264/VP9) remain the one honest stub.
+
+  private val MjpgFourcc = 0x47504A4DL // 'MJPG' little-endian
+
+  /** Encode row-major 0xRRGGBB pixels as baseline JPEG via ImageIO —
+    * the fixture-side encoder for MJPEG AVIs. */
+  def encodeJpeg(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Decode one JPEG payload to row-major 0xRRGGBB pixels (None if the
+    * bytes don't parse or blow the [[MaxDecodePixels]] bomb guard). */
+  def decodeJpegPx(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).flatMap { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxDecodePixels) None
+        else Some((w, h,
+          img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xffffff)))
+      }
+    } catch { case _: Exception => None }
+
+  /** Hand-assembled RIFF/AVI container with an 'MJPG' video stream —
+    * same layout as [[makeAviDib]] but '00dc' chunks carry the given
+    * pre-encoded JPEG payloads (per-frame sizes vary). */
+  def makeAviMjpg(
+      w: Int, h: Int, usPerFrame: Int, jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    require(jpegFrames.nonEmpty, "at least one frame")
+    val moviContent = 4 + jpegFrames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlSize = 4 + 64 + (8 + 4 + 64 + 48)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviContent)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    val maxF = jpegFrames.map(_.length).max
+    cc("RIFF"); bb.putInt(riffSize); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlSize); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(jpegFrames.length).putInt(0).putInt(1).putInt(maxF)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(4 + 64 + 48); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc("MJPG")
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(usPerFrame).putInt(1000000)
+      .putInt(0).putInt(jpegFrames.length).putInt(maxF).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    cc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(MjpgFourcc.toInt).putInt(maxF).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(moviContent); cc("movi")
+    jpegFrames.foreach { f =>
+      cc("00dc"); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  /** Decode an MJPEG AVI: `(width, height, usPerFrame, frames)` — the
+    * same RIFF walk as [[parseAviDib]] gated on biCompression == 'MJPG',
+    * each '00dc' payload decoded as an independent baseline JPEG.
+    * Chunks that fail JPEG parse are dropped (not fatal); None when no
+    * frame survives or the container isn't an MJPG AVI.
+    */
+  def parseAviMjpg(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Seq[Array[Int]])] = {
+    val isAvi = bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+    if (!isAvi) return None
+    val end = math.min(bytes.length.toLong, 8L + le32(bytes, 4))
+    var w = 0; var h = 0; var us = 0; var comp = -1L
+    var moviStart = -1L; var moviEnd = -1L
+    var off = 12L
+    while (off + 8 <= end) {
+      val id = fourcc(bytes, off.toInt)
+      val sz = le32(bytes, off.toInt + 4)
+      val body = off + 8
+      if (body + sz > end) return None
+      if (id == "LIST" && sz >= 4) {
+        val sub = fourcc(bytes, body.toInt)
+        if (sub == "hdrl") {
+          var o = body + 4
+          val hEnd = body + sz
+          while (o + 8 <= hEnd) {
+            val cid = fourcc(bytes, o.toInt)
+            val csz = le32(bytes, o.toInt + 4)
+            val cb = o + 8
+            if (cb + csz > hEnd) return None
+            if (cid == "avih" && csz >= 40) {
+              us = le32(bytes, cb.toInt).toInt
+              w = le32(bytes, cb.toInt + 32).toInt
+              h = le32(bytes, cb.toInt + 36).toInt
+            } else if (cid == "LIST" && csz >= 4 &&
+                fourcc(bytes, cb.toInt) == "strl") {
+              var so = cb + 4
+              val sEnd = cb + csz
+              while (so + 8 <= sEnd) {
+                val sid = fourcc(bytes, so.toInt)
+                val ssz = le32(bytes, so.toInt + 4)
+                if (so + 8 + ssz > sEnd) return None
+                if (sid == "strf" && ssz >= 20)
+                  comp = le32(bytes, so.toInt + 8 + 16)
+                so += 8 + ssz + (ssz & 1)
+              }
+            }
+            o = cb + csz + (csz & 1)
+          }
+        } else if (sub == "movi") {
+          moviStart = body + 4; moviEnd = body + sz
+        }
+      }
+      off = body + sz + (sz & 1)
+    }
+    if (w <= 0 || h <= 0 || comp != MjpgFourcc ||
+        w.toLong * h.toLong > MaxDecodePixels ||
+        moviStart < 0) return None
+    val frames = Seq.newBuilder[Array[Int]]
+    var fo = moviStart
+    while (fo + 8 <= moviEnd) {
+      val id = fourcc(bytes, fo.toInt)
+      val sz = le32(bytes, fo.toInt + 4)
+      val body = fo + 8
+      if (body + sz > moviEnd) return None
+      if (id == "00dc" && sz > 0) {
+        val payload = java.util.Arrays.copyOfRange(
+          bytes, body.toInt, (body + sz).toInt)
+        decodeJpegPx(payload).foreach { case (jw, jh, px) =>
+          // the JPEG's own dimensions rule; require container agreement
+          if (jw == w && jh == h) frames += px
+        }
+      }
+      fo = body + sz + (sz & 1)
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some((w, h, us, fs))
+  }
+
   /** Batch REAL video frame decode: one row per frame of every blob that
-    * parses as an uncompressed-DIB AVI; everything else is dropped by
-    * the [[parseAviDib]] gate. Same one-decoder-per-partition
-    * mapPartitions batch shape as [[decode]]/[[decodeAudio]].
+    * parses as an uncompressed-DIB AVI (pure byte arithmetic) or an
+    * MJPEG AVI (per-frame JDK ImageIO JPEG); everything else is dropped
+    * by the parse gates. Same one-decoder-per-partition mapPartitions
+    * batch shape as [[decode]]/[[decodeAudio]].
     */
   def decodeVideoFrames(blobs: Dataset[MediaBlob]): Dataset[VideoFramePx] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.flatMap { b =>
-        parseAviDib(b.content).toSeq.flatMap { case (w, h, _, frames) =>
+        parseAviDib(b.content).orElse(parseAviMjpg(b.content))
+          .toSeq.flatMap { case (w, h, _, frames) =>
           frames.zipWithIndex.map { case (px, i) =>
             VideoFramePx(b.doc_id, i.toLong, w.toLong, h.toLong, pixelCrcInts(px))
           }
@@ -1364,5 +1523,38 @@ object Multimodal {
       val (w, h, us, frames) = fixtureAviFrames(i)
       MediaBlob(-51L - i, "video", makeAviDib(w, h, us, frames))
     }.toDS()
+  }
+
+  /** MJPEG fixture source material: (w, h, usPerFrame, jpeg frame
+    * bytes) — three pattern frames ImageIO-encoded once per JVM. */
+  lazy val fixtureMjpgJpegs: (Int, Int, Int, Seq[Array[Byte]]) = {
+    val (w, h, us) = (16, 12, 66000)
+    def frame(img: Int): Array[Int] = Array.tabulate(w * h) { i =>
+      val g = patternGray(img, (i % w) % PatternSize, (i / w) % PatternSize)
+      (g << 16) | (g << 8) | g
+    }
+    (w, h, us, (0 until 3).map(i => encodeJpeg(frame(i), w, h)))
+  }
+
+  /** The fixture MJPEG AVI as a blob (doc_id -54). */
+  def fixtureMjpgBlobs(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    val (w, h, us, jpegs) = fixtureMjpgJpegs
+    Seq(MediaBlob(-54L, "video", makeAviMjpg(w, h, us, jpegs))).toDS()
+  }
+
+  /** Expected (doc_id, frame_idx, width, height, px_crc) rows for the
+    * MJPEG fixture via a DIRECT ImageIO round-trip of the frame bytes —
+    * container-independent, so the AVI walk + extraction is what an
+    * oracle built from these rows actually exercises (the JPEG codec
+    * itself is the JDK's on both sides; see the MJPEG determinism
+    * caveat above). */
+  def fixtureMjpgExpected: Seq[(Long, Long, Long, Long, Long)] = {
+    val (_, _, _, jpegs) = fixtureMjpgJpegs
+    jpegs.zipWithIndex.flatMap { case (j, i) =>
+      decodeJpegPx(j).map { case (jw, jh, px) =>
+        (-54L, i.toLong, jw.toLong, jh.toLong, pixelCrcInts(px))
+      }
+    }
   }
 }

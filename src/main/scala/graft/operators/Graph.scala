@@ -360,4 +360,60 @@ object Graph {
     adj.unpersist(false)
     dist
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge list,
+    * in exact scaled-integer arithmetic so the result is
+    * engine-deterministic: authority(v) = Σ hub over in-neighbors,
+    * hub(v) = Σ authority over out-neighbors, each half-round
+    * renormalized by an arithmetic right shift that brings the max
+    * score under 2^32 (shift count = bit length of the max — exact
+    * floor-log2, no floats; the gramPowerTopEig renorm). Sums stay
+    * < 2^32·maxdeg « 2^63. Vertices with no in-(out-)edges simply have
+    * no authority (hub) row — frames stay sparse.
+    *
+    * Shape per round: two equi-joins + two map-side-combined sums over
+    * the edge grain — O(E) per round, every stage keyed. Lineage is
+    * localCheckpoint-cut per half-round (the renorm references its
+    * input twice; an uncut loop doubles the plan per round — the
+    * sim_pca_power lesson).
+    *
+    * Output: (v, auth_c, hub_c) with zero-filled absences.
+    */
+  def hitsScaled(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "hitsScaled: need at least one iteration")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct().cache()
+    def bitlen(c: org.apache.spark.sql.Column) = length(bin(c)).cast("int")
+    def renorm(raw: DataFrame, vCol: String, sCol: String): DataFrame = {
+      val mx = raw.agg(max(abs(col("raw"))).as("m"))
+        .select(greatest(bitlen(col("m")) - 32, lit(0)).as("sh"))
+      val sh = org.apache.spark.sql.graft.ColumnBridge.scalar(mx)
+      raw.select(col("v").as(vCol),
+        call_function("shiftright", col("raw"), sh.cast("int")).as(sCol))
+    }
+    var h = e.select(col("src").as("v")).distinct()
+      .select(col("v"), lit(1L).as("h")).localCheckpoint(true)
+    var a: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val rawA = e.join(h.select(col("v").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(sum(col("h")).as("raw"))
+      val a2 = renorm(rawA, "v", "a").localCheckpoint(true)
+      if (a != null) org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(a)
+      a = a2
+      val rawH = e.join(a.select(col("v").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("v")).agg(sum(col("a")).as("raw"))
+      val h2 = renorm(rawH, "v", "h").localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(h)
+      h = h2
+      i += 1
+    }
+    val out = a.select(col("v"), col("a").as("auth_c"))
+      .join(h.select(col("v"), col("h").as("hub_c")), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("auth_c"), lit(0L)).as("auth_c"),
+        coalesce(col("hub_c"), lit(0L)).as("hub_c"))
+    e.unpersist(false)
+    out
+  }
 }

@@ -664,9 +664,13 @@ object Similarity {
     val sg = cells.groupBy(col("label"))
       .agg(max(abs(col("g"))).as("mg"))
       .select(col("label"), greatest(bitlen(col("mg")) - 24, lit(0)).as("sg"))
+    // the scaled Gram is referenced in every round plus the closing
+    // matvec: checkpoint it once so those references are plan leaves,
+    // not iters+1 replays of the fact-table pass
     val scaled = cells.join(broadcast(sg), "label")
       .select(col("label"), col("i"), col("j"), col("g"),
         shr(col("g"), col("sg")).as("g2"))
+      .localCheckpoint(true)
     def matvec(v: DataFrame): DataFrame =
       scaled.join(broadcast(v), Seq("label", "j"))
         .groupBy(col("label"), col("i"))
@@ -680,8 +684,18 @@ object Similarity {
     val v0 = cells.select(col("label")).distinct()
       .select(col("label"), explode(sequence(lit(0L), lit(dims - 1L))).as("j"),
         lit(1L).as("vj"))
-    var v = v0
-    for (_ <- 1 to iters) v = renorm(matvec(v))
+    // lineage MUST be cut every round: renorm references its input
+    // twice, so an uncut loop doubles the logical plan per round —
+    // 2^iters plan replication (the exact failure
+    // Dedup.connectedComponents guards against; see SCALE.md "OOM in
+    // the explain string"). localCheckpoint(true) is eager, so each
+    // round is one tiny job over a |labels|·dims-row frame.
+    var v = v0.localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = renorm(matvec(v)).localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(v)
+      v = next
+    }
     val w = matvec(v).withColumnRenamed("i", "j").withColumnRenamed("raw", "wj")
     val ray = v.join(w, Seq("label", "j"))
       .groupBy(col("label"))

@@ -1437,21 +1437,54 @@ object ExtrasQueries {
       (s, dir) => {
         // RFM customer segmentation: per-user recency (last purchase
         // second), frequency (purchase count) and monetary (total
-        // cents), each cut into terciles by ntile over a TIE-BROKEN
-        // total order (user_id appended), then segment population
-        // counts — 27 possible (r,f,m) codes. ntile over |users| rows
-        // per metric; the fact grain collapses first.
+        // cents), each cut into terciles over a TIE-BROKEN total order
+        // (user_id appended), then segment population counts — 27
+        // possible (r,f,m) codes. NO unpartitioned ntile window (that
+        // funnels |users| rows through ONE task, three times): each
+        // metric's global rank is (exclusive cum-count of smaller
+        // metric VALUES, via the two-phase globalCumSum over the
+        // distinct-value frame) + (row_number within the value,
+        // partitioned by value — parallel), and the tercile comes from
+        // the exact ntile arithmetic on (rank, n). Every stage is a
+        // keyed shuffle; nothing is single-task at 10^9 users.
         val base = tbl(s, dir, "events")
           .filter(col("event_type") === "purchase")
           .groupBy(col("user_id"))
           .agg(max(unix_timestamp(col("ts"))).as("last_sec"),
             count(lit(1)).as("freq"),
             sum(round(col("value") * 100).cast("long")).as("monetary_c"))
-        val seg = base
-          .withColumn("r", ntile(3).over(Window.orderBy(col("last_sec"), col("user_id"))))
-          .withColumn("f", ntile(3).over(Window.orderBy(col("freq"), col("user_id"))))
-          .withColumn("m", ntile(3).over(Window.orderBy(col("monetary_c"), col("user_id"))))
-        seg.groupBy(col("r"), col("f"), col("m"))
+          .localCheckpoint(true)
+        val nUsers = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          base.agg(count(lit(1))))
+        // exact integer division for non-negative longs (Column `/` is
+        // floating-point division)
+        import org.apache.spark.sql.Column
+        def idiv(a: Column, b: Column): Column =
+          ((a - (a % b)) / b).cast("long")
+        // ntile(3) semantics: with n = 3q + r rows, tiles 1..r get q+1
+        // rows, tiles r+1..3 get q — reproduced from the 1-based rank
+        def tercile(rk: Column, n: Column): Column = {
+          val q = idiv(n, lit(3L)); val r = n % 3
+          val big = q + 1; val cut = r * big
+          when(rk <= cut, idiv(rk - 1, big) + 1)
+            .otherwise(idiv(rk - cut - 1, q) + r + 1)
+            .cast("int")
+        }
+        def tiles(metric: String, out: String): org.apache.spark.sql.DataFrame = {
+          val cnts = base.groupBy(col(metric).as("v"))
+            .agg(count(lit(1)).as("c"))
+          val cum = graft.operators.Windows.globalCumSum(cnts, "v", Seq("c"))
+            .select(col("v"), (col("cum_c") - col("c")).as("prev"))
+          base.select(col("user_id"), col(metric).as("v"))
+            .join(cum, "v")
+            .withColumn("rk", col("prev") + row_number().over(
+              Window.partitionBy(col("v")).orderBy(col("user_id"))))
+            .select(col("user_id"), tercile(col("rk"), nUsers).as(out))
+        }
+        tiles("last_sec", "r")
+          .join(tiles("freq", "f"), "user_id")
+          .join(tiles("monetary_c", "m"), "user_id")
+          .groupBy(col("r"), col("f"), col("m"))
           .agg(count(lit(1)).as("n_users"))
           .orderBy("r", "f", "m")
       },
@@ -1471,6 +1504,37 @@ object ExtrasQueries {
         SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
                count(*) AS n_users
         FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    QDef(
+      "agg_retention_cohorts",
+      (s, dir) => {
+        // weekly cohort retention: each user's cohort is their first
+        // active week; the (cohort, week-offset) matrix counts distinct
+        // users still active N weeks later. Shapes: one user-grain
+        // min-aggregation, one distinct on the (user, week) grain, one
+        // user-keyed equi-join (co-partitioned — both sides hash on
+        // user_id), then a cells-grain count-distinct. Nothing global,
+        // nothing windowed; at 10^9 users every stage stays keyed.
+        val ev = tbl(s, dir, "events")
+          .select(col("user_id"),
+            expr("(unix_timestamp(ts) div 86400) div 7").as("wk"))
+        val active = ev.distinct()
+        val cohort = active.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        active.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_wk", "offset_wk")
+      },
+      Some("""
+        WITH ev AS (SELECT DISTINCT user_id,
+                      (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS wk
+                    FROM events),
+        co AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+        SELECT co.cohort_wk, ev.wk - co.cohort_wk AS offset_wk,
+               count(DISTINCT ev.user_id) AS n_users
+        FROM ev JOIN co ON co.user_id = ev.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QDef(
       "tpch_q15_top_supplier",

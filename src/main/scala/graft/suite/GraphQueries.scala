@@ -587,6 +587,53 @@ object GraphQueries {
                     count(CASE WHEN lv = 3 THEN 1 END) * 2 AS BIGINT)
                  AS harmonic_x6
         FROM d0 s LEFT JOIN lvl l ON l.seed = s.seed
-        GROUP BY s.seed ORDER BY s.seed"""))
+        GROUP BY s.seed ORDER BY s.seed""")),
+
+    QDef(
+      "graph_hits",
+      (s, dir) =>
+        // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+        // support>=2 affinity graph (direction = the id orientation the
+        // edge artifact carries), 4 rounds of exact scaled-integer
+        // mutual reinforcement with shift renormalization — every
+        // iterate an integer, lineage checkpoint-cut per half-round
+        // (operators/Graph.hitsScaled). Authorities = parts many
+        // co-purchase baskets point INTO under the orientation; the
+        // oracle unrolls the identical recurrence as MATERIALIZED CTEs.
+        graft.operators.Graph.hitsScaled(sharedSupportEdges(s, dir), iters = 4)
+          .select(col("v").as("part"), col("auth_c"), col("hub_c"))
+          .orderBy(col("auth_c").desc, col("part")),
+      Some(s"""
+        WITH $edgeSql,
+        e2 AS MATERIALIZED (SELECT src, dst FROM ew WHERE support >= 2),
+        h0 AS (SELECT DISTINCT src AS v, CAST(1 AS BIGINT) AS h FROM e2),
+        ${(1 to 4).map(hitsRound).mkString(",\n        ")}
+        SELECT v AS part, auth_c, hub_c FROM (
+          SELECT coalesce(a.v, h.v) AS v,
+                 coalesce(a.a, 0) AS auth_c, coalesce(h.h, 0) AS hub_c
+          FROM a4 a FULL OUTER JOIN h4 h ON h.v = a.v)
+        ORDER BY auth_c DESC, part"""))
   )
+
+  /** One unrolled HITS round for the oracle: the SAME scaled-integer
+    * recurrence [[graft.operators.Graph.hitsScaled]] iterates — integer
+    * sums over in-/out-neighbors, then an arithmetic right shift by
+    * max(bitlen(max) − 32, 0). MATERIALIZED: each layer reads the
+    * previous twice; inlining would replay 2^rounds plans.
+    */
+  private def hitsRound(k: Int) =
+    s"""ra$k AS MATERIALIZED (
+          SELECT e.dst AS v, CAST(sum(h.h) AS BIGINT) AS raw
+          FROM e2 e JOIN h${k - 1} h ON h.v = e.src GROUP BY 1),
+        sa$k AS (SELECT greatest(length(bin(max(abs(raw)))) - 32, 0) AS sh
+                 FROM ra$k),
+        a$k AS MATERIALIZED (
+          SELECT v, raw >> (SELECT sh FROM sa$k) AS a FROM ra$k),
+        rh$k AS MATERIALIZED (
+          SELECT e.src AS v, CAST(sum(a.a) AS BIGINT) AS raw
+          FROM e2 e JOIN a$k a ON a.v = e.dst GROUP BY 1),
+        sh$k AS (SELECT greatest(length(bin(max(abs(raw)))) - 32, 0) AS sh
+                 FROM rh$k),
+        h$k AS MATERIALIZED (
+          SELECT v, raw >> (SELECT sh FROM sh$k) AS h FROM rh$k)"""
 }

@@ -156,6 +156,34 @@ object MultimodalQueries {
       }),
 
     QDef(
+      "mm_video_mjpeg_frames",
+      (s, dir) =>
+        // REAL Motion-JPEG frame decode: '00dc' chunks of an 'MJPG' AVI
+        // decoded per frame by the JDK's ImageIO JPEG reader — no
+        // external codec, no stub. Corpus text blobs carry no RIFF/AVI
+        // magic and drop at the gate; the MJPEG fixture survives.
+        // Expected values come from a DIRECT ImageIO round-trip of the
+        // same frame bytes (no container), so this query independently
+        // exercises the RIFF walk + frame extraction; the JPEG codec is
+        // the JDK's on both sides (MJPEG determinism caveat in
+        // Multimodal.scala).
+        Multimodal.decodeVideoFrames(
+          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureMjpgBlobs(s)))
+          .toDF()
+          .orderBy("doc_id", "frame_idx"),
+      Some {
+        val rows = Multimodal.fixtureMjpgExpected.map {
+          case (d, f, w, h, crc) =>
+            s"(CAST($d AS BIGINT), CAST($f AS BIGINT), CAST($w AS BIGINT), " +
+              s"CAST($h AS BIGINT), CAST($crc AS BIGINT))"
+        }
+        s"""SELECT * FROM (VALUES ${rows.mkString(",\n          ")})
+            AS t(doc_id, frame_idx, width, height, px_crc)
+            ORDER BY doc_id, frame_idx"""
+      }),
+
+    QDef(
       "mm_video_neardup",
       (s, dir) => {
         // shared-scene video dedup: videos linked by the number of

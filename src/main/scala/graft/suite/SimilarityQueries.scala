@@ -723,34 +723,44 @@ object SimilarityQueries {
 
   /** DuckDB mirror of [[Similarity.gramPowerTopEig]]: the same integer
     * algorithm with the `iters` matvec+renorm rounds unrolled as CTE
-    * layers (exact integers throughout, so CTE inlining can't change the
-    * result).
+    * layers. Every round CTE is MATERIALIZED — each layer references the
+    * previous twice, so inlining (DuckDB's default) replays 2^iters
+    * plans; materialization makes it `iters` tiny scans (exact integers
+    * throughout, so materialization can't change the result). The Gram
+    * build is a single-unnest self-join on vec_id — |vectors|·dims
+    * narrow rows joined once — not a dims² nested unnest that would
+    * materialize |vectors|·dims² rows each dragging the full list.
     */
   private def pcaOracleSql(dims: Int, iters: Int): String = {
     val rounds = (1 to iters).map { k =>
-      s"""r$k AS (SELECT c.label, c.i, CAST(sum(c.g2 * v.vj) AS BIGINT) AS raw
+      s"""r$k AS MATERIALIZED (
+            SELECT c.label, c.i, CAST(sum(c.g2 * v.vj) AS BIGINT) AS raw
             FROM c2 c JOIN v${k - 1} v ON v.label = c.label AND v.j = c.j
             GROUP BY 1, 2),
-      m$k AS (SELECT label, greatest(length(bin(max(abs(raw)))) - 32, 0) AS sv
+      m$k AS MATERIALIZED (
+            SELECT label, greatest(length(bin(max(abs(raw)))) - 32, 0) AS sv
               FROM r$k GROUP BY 1),
-      v$k AS (SELECT r.label, r.i AS j, r.raw >> m.sv AS vj
+      v$k AS MATERIALIZED (
+            SELECT r.label, r.i AS j, r.raw >> m.sv AS vj
               FROM r$k r JOIN m$k m USING (label))"""
     }.mkString(",\n")
     s"""
-      WITH ie AS (SELECT label,
+      WITH ie AS (SELECT vec_id, label,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ie
            FROM embeddings),
-      pi AS (SELECT label, ie, unnest(generate_series(0, ${dims - 1})) AS i
-             FROM ie),
-      pij AS (SELECT label, ie, i, unnest(generate_series(0, ${dims - 1})) AS j
-              FROM pi),
-      cells AS (SELECT label, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-                  CAST(sum(ie[i + 1] * ie[j + 1]) AS BIGINT) AS g
-                FROM pij GROUP BY 1, 2, 3),
+      px AS MATERIALIZED (
+            SELECT vec_id, label, CAST(i AS BIGINT) AS i, ie[i + 1] AS v
+            FROM ie, unnest(generate_series(0, ${dims - 1})) AS t(i)),
+      cells AS MATERIALIZED (
+            SELECT a.label, a.i, b.i AS j,
+                  CAST(sum(a.v * b.v) AS BIGINT) AS g
+                FROM px a JOIN px b ON a.vec_id = b.vec_id
+                GROUP BY 1, 2, 3),
       sg AS (SELECT label, greatest(length(bin(max(abs(g)))) - 24, 0) AS sg
              FROM cells GROUP BY 1),
-      c2 AS (SELECT c.label, c.i, c.j, c.g >> s.sg AS g2
+      c2 AS MATERIALIZED (
+            SELECT c.label, c.i, c.j, c.g >> s.sg AS g2
              FROM cells c JOIN sg s USING (label)),
       v0 AS (SELECT label,
                CAST(unnest(generate_series(0, ${dims - 1})) AS BIGINT) AS j,

@@ -673,7 +673,14 @@ object StatQueries {
         // o·(L(o·N) − L(r_tot·c_tot)) is an exact integer under
         // PortableLog — the whole table collapses to one hash-stable
         // row. G = 2·ln2·(Gq10/1024) converts fixed-point bits to the
-        // conventional nats scale with one literal constant. Shape: one
+        // conventional nats scale with one literal constant.
+        // PRECISION CONTRACT: each log carries < 1/1024 bit of floor
+        // quantization and every term weights it by o, so
+        // |g_stat − G_true| ≤ 4·ln2·N/1024 ≈ N/369 nats — fine at the
+        // ~1e4-cell-count scale of a dashboard, swamped by N at corpus
+        // scale. `g_per_obs` (= G/N, the mutual-information-rate form,
+        // I(X;Y) ≈ g_per_obs/2) is the scale-stable reading: its error
+        // is ≤ 4·ln2/1024 ≈ 0.0027 nats INDEPENDENT of N. Shape: one
         // fact-grain groupBy to ≤ |types|·7 cells, margins broadcast
         // back, 1-row reduce.
         import graft.functions.PortableLog.log2q10
@@ -701,7 +708,9 @@ object StatQueries {
           .select(col("n_cells"), col("n_obs"),
             ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
             (col("gq").cast("double") * (2.0 * 0.6931471805599453 / Q10))
-              .as("g_stat"))
+              .as("g_stat"),
+            ((col("gq").cast("double") * (2.0 * 0.6931471805599453 / Q10)) /
+              col("n_obs").cast("double")).as("g_per_obs"))
       },
       Some(s"""
         WITH ${graft.functions.PortableLog.l2tCte},
@@ -725,7 +734,9 @@ object StatQueries {
                CAST((count(DISTINCT event_type) - 1) *
                     (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
                CAST(sum(term) AS DOUBLE) * (2.0 * 0.6931471805599453 / ${Q10})
-                 AS g_stat
+                 AS g_stat,
+               (CAST(sum(term) AS DOUBLE) * (2.0 * 0.6931471805599453 / ${Q10}))
+                 / CAST(sum(o) AS DOUBLE) AS g_per_obs
         FROM terms"""))
   )
 }

@@ -7,9 +7,10 @@ class PortableLogSpec extends SparkSpec {
   import spark.implicits._
 
   test("log2q10 == floor(1024*log2 n) within one table-boundary step") {
+    val rnd = new scala.util.Random(11)
     val ns = Seq(1L, 2L, 3L, 4L, 5L, 7L, 10L, 63L, 64L, 65L, 100L, 12345L,
       999999999L, (1L << 42), (1L << 42) + 12345L) ++
-      (1 to 200).map(_ => math.abs(new scala.util.Random(11).nextLong()) % (1L << 50) + 1)
+      (1 to 200).map(_ => math.abs(rnd.nextLong()) % (1L << 50) + 1)
     val got = ns.toDF("n")
       .select(col("n"), PortableLog.log2q10(col("n")).as("l"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))

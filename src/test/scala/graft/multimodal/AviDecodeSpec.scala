@@ -74,4 +74,48 @@ class AviDecodeSpec extends SparkSpec {
     val h1 = rows.filter(_.doc_id == -52L).map(_.px_crc).toSet
     assert((h0 & h1).size == 2)
   }
+
+  test("MJPEG AVI: container walk extracts frames whose pixels equal a direct ImageIO round-trip") {
+    val (w, h, us, jpegs) = Multimodal.fixtureMjpgJpegs
+    val avi = Multimodal.makeAviMjpg(w, h, us, jpegs)
+    val Some((pw, ph, pus, frames)) = Multimodal.parseAviMjpg(avi)
+    assert((pw, ph, pus) == (w, h, us))
+    assert(frames.size == jpegs.size)
+    // pixel-exact vs decoding the SAME jpeg bytes without the container:
+    // the container walk must not touch the payload
+    frames.zip(jpegs).foreach { case (px, j) =>
+      val Some((jw, jh, direct)) = Multimodal.decodeJpegPx(j)
+      assert((jw, jh) == (w, h) && px.sameElements(direct))
+    }
+    // JPEG is lossy (edge ringing spikes single pixels) but the decoded
+    // frame must still track the source pattern on average
+    val src = Array.tabulate(w * h) { i =>
+      Multimodal.patternGray(0, (i % w) % Multimodal.PatternSize,
+        (i / w) % Multimodal.PatternSize)
+    }
+    val meanErr = frames.head.zip(src).map { case (p, g) =>
+      math.abs((p & 0xff) - g) }.sum.toDouble / src.length
+    assert(meanErr <= 16.0, s"mean channel error $meanErr")
+  }
+
+  test("MJPEG gate: DIB AVIs, corrupt JPEG payloads, and non-AVI bytes are rejected or dropped") {
+    // a DIB AVI is NOT an MJPG AVI (and vice versa)
+    val (w, h, us, frames) = Multimodal.fixtureAviFrames(0)
+    assert(Multimodal.parseAviMjpg(Multimodal.makeAviDib(w, h, us, frames)).isEmpty)
+    val (mw, mh, mus, jpegs) = Multimodal.fixtureMjpgJpegs
+    assert(Multimodal.parseAviDib(Multimodal.makeAviMjpg(mw, mh, mus, jpegs)).isEmpty)
+    assert(Multimodal.parseAviMjpg("plain text".getBytes("UTF-8")).isEmpty)
+    // corrupt one frame's JPEG entropy bytes: that frame drops, others survive
+    val garbled = jpegs.updated(1, jpegs(1).take(4) ++ Array.fill[Byte](16)(0x55))
+    val Some((_, _, _, kept)) = Multimodal.parseAviMjpg(
+      Multimodal.makeAviMjpg(mw, mh, mus, garbled))
+    assert(kept.size == jpegs.size - 1)
+  }
+
+  test("distributed MJPEG decode matches the fixture's expected rows") {
+    val rows = Multimodal.decodeVideoFrames(Multimodal.fixtureMjpgBlobs(spark))
+      .collect().sortBy(_.frame_idx)
+      .map(r => (r.doc_id, r.frame_idx, r.width, r.height, r.px_crc))
+    assert(rows.toSeq == Multimodal.fixtureMjpgExpected)
+  }
 }

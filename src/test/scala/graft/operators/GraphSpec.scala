@@ -138,6 +138,41 @@ class GraphSpec extends SparkSpec {
     assert(r1 == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
   }
 
+  test("hits: matches a driver-side exact-integer mirror of the recurrence") {
+    // small DAG with a clear authority (3: in from 1,2,4) and hub (1:
+    // out to 2,3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 3L), (3L, 5L))
+    def mirror(iters: Int): (Map[Long, Long], Map[Long, Long]) = {
+      def renorm(m: Map[Long, Long]): Map[Long, Long] = {
+        val mx = m.values.max
+        val sh = math.max(64 - java.lang.Long.numberOfLeadingZeros(mx) - 32, 0)
+        m.map { case (k, v) => k -> (v >> sh) }
+      }
+      var h = edges.map(_._1).distinct.map(_ -> 1L).toMap
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        a = renorm(edges.filter(e => h.contains(e._1))
+          .groupBy(_._2).map { case (v, es) => v -> es.map(e => h(e._1)).sum })
+        h = renorm(edges.filter(e => a.contains(e._2))
+          .groupBy(_._1).map { case (v, es) => v -> es.map(e => a(e._2)).sum })
+      }
+      (a, h)
+    }
+    val (ea, eh) = mirror(4)
+    val got = Graph.hitsScaled(edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gotA = got.map(t => t._1 -> t._2).toMap
+    val gotH = got.map(t => t._1 -> t._3).toMap
+    // every vertex present, absences zero-filled
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    ea.foreach { case (v, x) => assert(gotA(v) == x, s"auth v=$v") }
+    eh.foreach { case (v, x) => assert(gotH(v) == x, s"hub v=$v") }
+    assert(gotA(1L) == 0L && gotA(4L) == 0L && gotH(5L) == 0L)
+    // 3 is the top authority; 1 the top hub
+    assert(gotA.maxBy(t => (t._2, -t._1))._1 == 3L)
+    assert(gotH.maxBy(t => (t._2, -t._1))._1 == 1L)
+  }
+
   test("orientation sends every edge from its lower (deg,id) endpoint") {
     val o = Graph.orientByDegree(fixtureEdges)
     // vertex 4 has degree 4 (max in K4+pendant); vertex 5 degree 1 —
