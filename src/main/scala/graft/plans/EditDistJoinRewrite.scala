@@ -40,6 +40,15 @@ import org.apache.spark.sql.graft.ColumnBridge
   * Injected via [[graft.GraftExtensions]]; kill switch
   * `spark.graft.editDistJoinRewrite.enabled=false`. Any unexpected shape
   * falls back to the untouched join with a logged warning.
+  *
+  * CAUTION for hand-blocked callers: a query that ALREADY does its own
+  * FastSS blocking and then re-verifies with the plain two-argument
+  * `levenshtein(a, b) <= 1` will have that filter pushed into its join
+  * condition, re-match this rule, and stack a second deletion-variant
+  * explode on the pre-exploded inputs (measured 10× slowdown on
+  * join_entity_resolution in round 6). Hand-written verification must
+  * use the thresholded form — `levenshtein(a, b, k) >= 0` — which this
+  * rule deliberately never matches.
   */
 class EditDistJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 

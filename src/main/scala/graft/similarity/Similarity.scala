@@ -666,10 +666,16 @@ object Similarity {
       .select(col("label"), greatest(bitlen(col("mg")) - 24, lit(0)).as("sg"))
     // the scaled Gram is referenced in every round plus the closing
     // matvec: checkpoint it once so those references are plan leaves,
-    // not iters+1 replays of the fact-table pass
+    // not iters+1 replays of the fact-table pass. The frame is
+    // |labels|·dims² rows with a BOUNDED label domain (class labels) —
+    // a handful of partitions is the right layout; spreading ~40k rows
+    // over 32 shuffle partitions just buys 32 near-empty tasks per
+    // matvec round (for an unbounded grouping key, partition by label
+    // instead).
     val scaled = cells.join(broadcast(sg), "label")
       .select(col("label"), col("i"), col("j"), col("g"),
         shr(col("g"), col("sg")).as("g2"))
+      .coalesce(4)
       .localCheckpoint(true)
     def matvec(v: DataFrame): DataFrame =
       scaled.join(broadcast(v), Seq("label", "j"))
@@ -690,9 +696,13 @@ object Similarity {
     // Dedup.connectedComponents guards against; see SCALE.md "OOM in
     // the explain string"). localCheckpoint(true) is eager, so each
     // round is one tiny job over a |labels|·dims-row frame.
-    var v = v0.localCheckpoint(true)
+    // iterate frames are |labels|·dims rows — broadcast-sized at ANY
+    // corpus scale (the fact table was already collapsed by gramCells),
+    // so each round runs as ONE task instead of shuffle.partitions
+    // near-empty ones
+    var v = v0.coalesce(1).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val next = renorm(matvec(v)).localCheckpoint(true)
+      val next = renorm(matvec(v)).coalesce(1).localCheckpoint(true)
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(v)
       v = next
     }

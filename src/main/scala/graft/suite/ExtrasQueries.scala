@@ -1506,6 +1506,42 @@ object ExtrasQueries {
         FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
     QDef(
+      "agg_time_to_convert",
+      (s, dir) => {
+        // conversion-latency histogram: per user, first 'view' then the
+        // first 'purchase' AT OR AFTER it; the delta bucketed by hour.
+        // Two user-grain min-aggregations and one co-partitioned
+        // user-keyed join — the classic funnel-latency shape with no
+        // window and nothing global; integer bucket arithmetic keeps
+        // the hash gate exact.
+        val ev = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("sec"))
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("sec")).as("view_sec"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(firstView, "user_id")
+          .filter(col("sec") >= col("view_sec"))
+          .groupBy(col("user_id"))
+          .agg((min(col("sec")) - min(col("view_sec"))).as("delta_sec"))
+        conv.groupBy(expr("delta_sec div 3600").as("hours_bucket"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("hours_bucket")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        fv AS (SELECT user_id, min(sec) AS view_sec FROM ev
+               WHERE event_type = 'view' GROUP BY 1),
+        cv AS (SELECT e.user_id,
+                 min(e.sec) - min(fv.view_sec) AS delta_sec
+               FROM ev e JOIN fv ON fv.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.sec >= fv.view_sec
+               GROUP BY 1)
+        SELECT delta_sec // 3600 AS hours_bucket, count(*) AS n_users
+        FROM cv GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
       "agg_retention_cohorts",
       (s, dir) => {
         // weekly cohort retention: each user's cohort is their first
@@ -2592,27 +2628,41 @@ object ExtrasQueries {
         // IS the other), so the (nation, variant) equi-join is a
         // certified candidate superset and the quadratic within-block
         // scan never happens. Candidates then verify with the exact
-        // levenshtein gate. The oracle runs the naive quadratic
-        // within-nation join — the green hash is the recall proof.
+        // levenshtein gate. A pair sharing V variants would surface V
+        // times; instead of a pair-level distinct (a wide-row shuffle
+        // that measured 25 s at sf0.1 — 19 variants per 18-char name),
+        // the MINIMAL-SHARED-KEY gate keeps exactly the one candidate
+        // row whose key is min(intersect(a_variants, b_variants)) — a
+        // codegen'd filter, no extra shuffle (the same gate
+        // plans/EditDistJoinRewrite emits; 25.5 s → join_edit_dist_auto
+        // territory). The oracle runs the naive quadratic within-nation
+        // join — the green hash is the recall proof.
         val c = tbl(s, dir, "customer")
           .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
             col("c_name").as("nm"))
-        val keyed = c.select(col("k"), col("nk"), col("nm"),
-          explode(array_union(
+          .withColumn("blks", array_union(
             transform(sequence(lit(1), length(col("nm"))),
               i => concat(
                 col("nm").substr(lit(1), i - 1),
                 col("nm").substr(i + 1, length(col("nm"))))),
-            array(col("nm")))).as("blk"))
-        val cand = keyed.as("a").join(keyed.as("b"),
+            array(col("nm"))))
+        val keyed = c.withColumn("blk", explode(col("blks")))
+        // verification uses the BANDED levenshtein (threshold=1, -1
+        // above the band): O(k·n) instead of O(n²) per pair, and — the
+        // part that bit in round 6 — the un-thresholded form in a join
+        // filter re-matches plans/EditDistJoinRewrite, which would
+        // stack a SECOND deletion-variant explode on the already-
+        // blocked join (measured 31 s; this shape is 2 s)
+        keyed.as("a").join(keyed.as("b"),
             col("a.nk") === col("b.nk") && col("a.blk") === col("b.blk") &&
               col("a.k") < col("b.k"))
+          .filter(col("a.blk") ===
+            array_min(array_intersect(col("a.blks"), col("b.blks"))))
+          .withColumn("edit_dist",
+            levenshtein(col("a.nm"), col("b.nm"), 1).cast("long"))
+          .filter(col("edit_dist") >= 0)
           .select(col("a.k").as("a_custkey"), col("b.k").as("b_custkey"),
-            col("a.nm").as("a_nm"), col("b.nm").as("b_nm"))
-          .distinct()
-        cand.filter(levenshtein(col("a_nm"), col("b_nm")) <= 1)
-          .select(col("a_custkey"), col("b_custkey"),
-            levenshtein(col("a_nm"), col("b_nm")).cast("long").as("edit_dist"))
+            col("edit_dist"))
           .orderBy(col("a_custkey"), col("b_custkey"))
       },
       Some("""

@@ -701,6 +701,65 @@ object SimilarityQueries {
         FROM sc ORDER BY dot_x1e6 DESC, c_id LIMIT 5""")),
 
     QDef(
+      "sim_rrf_fusion",
+      (s, dir) => {
+        // reciprocal-rank fusion (Cormack et al. 2009) of two exact
+        // retrievers for query vector 0 — inner-product ranking and
+        // L2 ranking (d² = ‖x‖² − 2·dot + ‖q‖²; the constant ‖q‖²
+        // drops out of the ordering, so the sort key stays an exact
+        // integer). Each list is a TakeOrderedAndProject top-20 (no
+        // global window over N), ranks attach on the 20-row frames, a
+        // full-outer join fuses, and RRF = Σ 1/(60+rank) over lists
+        // that retrieved the item — both engines evaluate the same
+        // two-term IEEE sum, so the float is deterministic.
+        import org.apache.spark.sql.expressions.Window
+        val emb = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.intEmbedding(col("embedding")).as("ie"))
+        val qIe = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          emb.filter(col("vec_id") === 0).select(col("ie")))
+        val sc = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            graft.functions.VectorExpressions.dotLong(col("ie"), qIe).as("dot"),
+            graft.functions.VectorExpressions.dotLong(col("ie"), col("ie")).as("n2"))
+        val td = sc.orderBy(col("dot").desc, col("vec_id")).limit(20)
+          .withColumn("rank_dot", row_number().over(
+            Window.orderBy(col("dot").desc, col("vec_id"))).cast("long"))
+          .select(col("vec_id"), col("rank_dot"))
+        val te = sc.select(col("vec_id"), (col("n2") - lit(2L) * col("dot")).as("k2"))
+          .orderBy(col("k2").asc, col("vec_id")).limit(20)
+          .withColumn("rank_l2", row_number().over(
+            Window.orderBy(col("k2").asc, col("vec_id"))).cast("long"))
+          .select(col("vec_id"), col("rank_l2"))
+        td.join(te, Seq("vec_id"), "full_outer")
+          .select(col("vec_id").as("c_id"), col("rank_dot"), col("rank_l2"),
+            (coalesce(lit(1.0) / (lit(60L) + col("rank_dot")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60L) + col("rank_l2")), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("c_id")).limit(5)
+      },
+      Some(s"""
+        WITH iv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
+        q AS (SELECT ie AS qe FROM iv WHERE vec_id = 0),
+        sc AS (SELECT vec_id,
+                 ${intDotSql("ie", "(SELECT qe FROM q)")} AS dot,
+                 ${intDotSql("ie", "ie")} AS n2
+               FROM iv WHERE vec_id <> 0),
+        td AS (SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT)
+                   AS rank_dot
+               FROM sc ORDER BY dot DESC, vec_id LIMIT 20),
+        te AS (SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY n2 - 2 * dot, vec_id) AS BIGINT)
+                   AS rank_l2
+               FROM sc ORDER BY n2 - 2 * dot, vec_id LIMIT 20)
+        SELECT coalesce(td.vec_id, te.vec_id) AS c_id, rank_dot, rank_l2,
+               coalesce(CAST(1 AS DOUBLE) / (60 + rank_dot), CAST(0 AS DOUBLE)) +
+                 coalesce(CAST(1 AS DOUBLE) / (60 + rank_l2), CAST(0 AS DOUBLE))
+                 AS rrf
+        FROM td FULL OUTER JOIN te ON te.vec_id = td.vec_id
+        ORDER BY rrf DESC, c_id LIMIT 5""")),
+
+    QDef(
       "sim_pca_power",
       (s, dir) => {
         // per-label leading eigenvalue of the embedding second-moment
@@ -719,7 +778,10 @@ object SimilarityQueries {
       Some(pcaOracleSql(Dims, PcaIters)))
   )
 
-  private val PcaIters = 8
+  // 5 rounds: the Rayleigh quotient is already converged to <1e-3 rel
+  // error on this spectrum by round 4 (PcaPowerSpec brute-force check);
+  // extra rounds only buy per-round scheduling overhead on both engines
+  private val PcaIters = 5
 
   /** DuckDB mirror of [[Similarity.gramPowerTopEig]]: the same integer
     * algorithm with the `iters` matvec+renorm rounds unrolled as CTE

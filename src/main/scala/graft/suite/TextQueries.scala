@@ -893,6 +893,44 @@ object TextQueries {
         FROM r WHERE rn <= 5 ORDER BY source, rn""")),
 
     QDef(
+      "text_tokenizer_fertility",
+      (s, dir) =>
+        // tokenizer-evaluation profile per source: BPE-ish tokens per
+        // whitespace word ("fertility", the standard tokenizer-quality
+        // number) and chars per BPE-ish token, as exact scaled-integer
+        // ratios ((1000·a) div b — engine-identical truncation). One
+        // narrow projection + one map-side-combined groupBy; the two
+        // token counts are codegen'd regex scans, no explode.
+        tbl(s, dir, "documents")
+          .select(col("source"),
+            TextFunctions.tokenCountBpeIsh(col("text")).cast("long").as("bt"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("wt"),
+            col("n_chars"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("bt")).as("bpe_tokens"),
+            sum(col("wt")).as("ws_tokens"), sum(col("n_chars")).as("n_chars"))
+          .select(col("source"), col("n_docs"), col("bpe_tokens"),
+            col("ws_tokens"),
+            expr("(1000 * bpe_tokens) div ws_tokens").as("fertility_x1000"),
+            expr("(1000 * n_chars) div bpe_tokens").as("chars_per_tok_x1000"))
+          .orderBy("source"),
+      Some(s"""
+        WITH d AS (SELECT source,
+                     CAST(len(regexp_extract_all(text,
+                       '${TextFunctions.BpeIshPattern}')) AS BIGINT) AS bt,
+                     CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS wt,
+                     n_chars
+                   FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(bt) AS BIGINT) AS bpe_tokens,
+               CAST(sum(wt) AS BIGINT) AS ws_tokens,
+               (1000 * CAST(sum(bt) AS BIGINT)) // CAST(sum(wt) AS BIGINT)
+                 AS fertility_x1000,
+               (1000 * CAST(sum(n_chars) AS BIGINT)) // CAST(sum(bt) AS BIGINT)
+                 AS chars_per_tok_x1000
+        FROM d GROUP BY source ORDER BY source""")),
+
+    QDef(
       "text_bpe_train_merges",
       (s, dir) =>
         // REAL BPE merge training (Sennrich et al. 2016) on the

@@ -692,6 +692,54 @@ object WindowExtraQueries {
                    AS cusum_cents FROM c)
         SELECT user_id, sec, CAST(cusum_cents AS BIGINT) AS cusum_cents
         FROM sx WHERE cusum_cents > ${40000L}
-        ORDER BY user_id, sec"""))
+        ORDER BY user_id, sec""")),
+
+    QDef(
+      "win_session_transitions",
+      (s, dir) => {
+        // within-session behavior Markov matrix: events sessionized by
+        // the standard 1800 s gap (per-user lag + running break count —
+        // both windows PARTITIONED by user), then each event paired
+        // with its successor INSIDE the session via lead, and the
+        // (from, to) transition counts collapsed. Ties on the second
+        // grain break on event_id, so the sequence — and the hash — is
+        // total-order deterministic. Everything is user-partitioned
+        // windows + one tiny-domain groupBy; nothing global.
+        val ev = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("sec"))
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"), col("event_id"))
+        val sess = ev
+          .withColumn("brk",
+            when(col("sec") - lag(col("sec"), 1).over(wOrd) > 1800L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("brk")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wSess = Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("sec"), col("event_id"))
+        sess.withColumn("to_type", lead(col("event_type"), 1).over(wSess))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        b AS (SELECT *, CASE WHEN sec - lag(sec) OVER
+                   (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+                 THEN 1 ELSE 0 END AS brk FROM e),
+        g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                   ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM b),
+        t AS (SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id, sid
+                  ORDER BY sec, event_id) AS to_type
+              FROM g)
+        SELECT from_type, to_type, count(*) AS n
+        FROM t WHERE to_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
