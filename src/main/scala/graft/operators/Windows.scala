@@ -97,7 +97,8 @@ object Windows {
     * partitioned running max combined with `greatest(floor, local)`.
     * Adds `cummax_<valueCol>`.
     */
-  def globalCumMax(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+  def globalCumMax(df: DataFrame, orderCol: String, valueCol: String,
+      inclusive: Boolean = true): DataFrame = {
     val staged = df
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
@@ -112,11 +113,16 @@ object Windows {
       offs += ((r.getInt(0), acc))
       if (!r.isNullAt(1)) acc = math.max(acc, r.getLong(1))
     }
+    // exclusive mode (prefix max over STRICTLY preceding keys — the 2-D
+    // skyline primitive) ends the frame one row early; the cross-
+    // partition floor from phase 1 is exclusive either way
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
     val kv = offs.toSeq.flatMap { case (pid, a) => Seq(lit(pid), lit(a)) }
     staged.withColumn(s"cummax_$valueCol",
-        greatest(max(col(valueCol)).over(w),
+        greatest(
+          coalesce(max(col(valueCol)).over(w), lit(Long.MinValue)),
           coalesce(element_at(map(kv: _*), col("__pid")), lit(Long.MinValue))))
       .drop("__pid")
   }

@@ -931,6 +931,54 @@ object TextQueries {
         FROM d GROUP BY source ORDER BY source""")),
 
     QDef(
+      "text_ngram_coverage_curve",
+      (s, dir) => {
+        // vocabulary-sizing curve: what fraction of all corpus bigram
+        // OCCURRENCES do the top-K most frequent bigrams cover, at
+        // K = 10 / 100 / 1000. One (gram)-keyed count of the corpus,
+        // then each point is a TakeOrderedAndProject top-K + 1-row sum
+        // — no global window, no rank over the full vocabulary; the
+        // corpus total rides in as a scalar subquery. Coverage is the
+        // exact integer (10^6·covered) div total, so the hash holds.
+        val bg = tbl(s, dir, "documents")
+          .select(TextFunctions.tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ws) - 1)," +
+              " i -> concat(ws[i-1], ' ', ws[i]))")).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+        val total = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          bg.agg(sum(col("c"))))
+        Seq(10, 100, 1000).map { k =>
+          bg.orderBy(col("c").desc, col("gram")).limit(k)
+            .agg(sum(col("c")).as("covered"))
+            .select(lit(k.toLong).as("k"), col("covered"),
+              total.as("total"),
+              expr(s"(1000000 * covered) div total").as("coverage_x1e6"))
+        }.reduce(_ unionByName _).orderBy("k")
+      },
+      Some("""
+        WITH toks AS (SELECT string_split_regex(text, '\s+') AS ws
+                      FROM documents),
+        bg AS (SELECT ws[i] || ' ' || ws[i + 1] AS gram, count(*) AS c
+               FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                     FROM toks WHERE len(ws) >= 2) q
+               GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM bg),
+        c10 AS (SELECT CAST(sum(c) AS BIGINT) AS covered FROM
+                 (SELECT c FROM bg ORDER BY c DESC, gram LIMIT 10)),
+        c100 AS (SELECT CAST(sum(c) AS BIGINT) AS covered FROM
+                 (SELECT c FROM bg ORDER BY c DESC, gram LIMIT 100)),
+        c1000 AS (SELECT CAST(sum(c) AS BIGINT) AS covered FROM
+                 (SELECT c FROM bg ORDER BY c DESC, gram LIMIT 1000))
+        SELECT k, covered, t AS total,
+               (1000000 * covered) // t AS coverage_x1e6
+        FROM (SELECT CAST(10 AS BIGINT) AS k, covered FROM c10
+              UNION ALL SELECT 100, covered FROM c100
+              UNION ALL SELECT 1000, covered FROM c1000), tot
+        ORDER BY k""")),
+
+    QDef(
       "text_bpe_train_merges",
       (s, dir) =>
         // REAL BPE merge training (Sennrich et al. 2016) on the

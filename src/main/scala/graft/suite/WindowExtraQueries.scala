@@ -10,6 +10,9 @@ import Registry.tbl
   */
 object WindowExtraQueries {
 
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
   def all: Seq[QDef] = Seq(
 
     QDef(
@@ -740,6 +743,44 @@ object WindowExtraQueries {
               FROM g)
         SELECT from_type, to_type, count(*) AS n
         FROM t WHERE to_type IS NOT NULL
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QDef(
+      "win_pareto_skyline",
+      (s, dir) => {
+        // 2-D Pareto skyline (minimize retail price, maximize size):
+        // part p survives iff NO part is <= on price and >= on size
+        // with at least one strict. The scalable form is the classic
+        // sort-based sweep made distributed: collapse to the distinct-
+        // price grain (max size per price), take the EXCLUSIVE global
+        // running max of size over strictly-cheaper prices (two-phase
+        // range partition — no single-task window), keep prices whose
+        // max size beats it, and join survivors back to the part grain
+        // (ties on both axes survive together — no strict dominance).
+        // O(n log n) total vs the O(n²) dominance scan the ORACLE runs
+        // — the green hash certifies the sweep exact.
+        val p = tbl(s, dir, "part")
+          .select(col("p_partkey"), cents(col("p_retailprice")).as("price_c"),
+            col("p_size").cast("long").as("p_size"))
+        val pg = p.groupBy(col("price_c")).agg(max(col("p_size")).as("msize"))
+        val ex = graft.operators.Windows
+          .globalCumMax(pg, "price_c", "msize", inclusive = false)
+        val survivors = ex.filter(col("msize") > col("cummax_msize"))
+          .select(col("price_c"), col("msize").as("p_size"))
+        p.join(survivors, Seq("price_c", "p_size"))
+          .select(col("p_partkey"), col("price_c"), col("p_size"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        WITH p AS (SELECT p_partkey,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                     CAST(p_size AS BIGINT) AS p_size
+                   FROM part)
+        SELECT p_partkey, price_c, p_size
+        FROM p a
+        WHERE NOT EXISTS (SELECT 1 FROM p b
+                          WHERE (b.price_c < a.price_c AND b.p_size >= a.p_size)
+                             OR (b.price_c <= a.price_c AND b.p_size > a.p_size))
+        ORDER BY p_partkey"""))
   )
 }

@@ -44,4 +44,23 @@ class GlobalCumSumSpec extends SparkSpec {
     val total = df.agg(sum("a")).head.getLong(0)
     assert(last == total)
   }
+
+  test("globalCumMax exclusive = prefix max over STRICTLY preceding keys") {
+    val rnd = new scala.util.Random(7)
+    val df = rnd.shuffle((1 to 733).toList)
+      .map(i => (i.toLong, ((i * 37) % 101).toLong)).toDF("key", "v")
+    val got = Windows.globalCumMax(df, "key", "v", inclusive = false)
+      .select("key", "cummax_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val base = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var run = Long.MinValue
+    base.zip(got).foreach { case ((k, v), (gk, gm)) =>
+      assert(gk == k && gm == run, s"key=$k")
+      run = math.max(run, v)
+    }
+    // inclusive mode unchanged: last row's inclusive max is the global max
+    val incl = Windows.globalCumMax(df, "key", "v")
+      .orderBy(col("key").desc).limit(1).select("cummax_v").head.getLong(0)
+    assert(incl == base.map(_._2).max)
+  }
 }
