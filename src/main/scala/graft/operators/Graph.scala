@@ -187,6 +187,50 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (topic-sensitive; Haveliwala 2002) in the
+    * same exact scaled-integer arithmetic as [[pageRankScaled]], with
+    * the teleport mass restricted to the SEED set: rank(v) =
+    * [v ∈ S]·(15·scale)/(100·|S|) + Σ_in (rank·85) div (100·od).
+    * Rank frames stay SPARSE — only vertices mass has reached carry a
+    * row (a BFS-like expansion from the seeds), so the per-round cost
+    * is proportional to the reached subgraph, not the whole graph.
+    * Lineage checkpoint-cut per round as always.
+    */
+  def personalizedPageRankScaled(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 4,
+      scale: Long = 1000000000000L,
+      damp: Int = 85): DataFrame = {
+    val adj = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .unionByName(edges.select(col("dst").cast("long").as("u"), col("src").cast("long").as("v")))
+      .distinct()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("od"))
+    val adjDeg = adj.join(deg, Seq("u")).cache()
+    val sd = seeds.select(col("v").cast("long").as("v")).distinct().cache()
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalizedPageRankScaled: empty seed set")
+    val base = (15L * scale) / (100L * nSeeds)
+    val baseDf = sd.select(col("v"), lit(base).as("c"))
+    var ranks = sd.select(col("v"), lit(scale / nSeeds).as("rank_c"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val contrib = adjDeg
+        .join(ranks.select(col("v").as("u"), col("rank_c").as("rc")), Seq("u"))
+        .select(col("v"), expr(s"(rc * $damp) div (100 * od)").as("c"))
+      val next = contrib.unionByName(baseDf)
+        .groupBy("v").agg(sum(col("c")).as("rank_c"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(ranks)
+      ranks = next
+      i += 1
+    }
+    adjDeg.unpersist(false)
+    sd.unpersist(false)
+    ranks
+  }
+
   /** Fixed-round synchronous label propagation (Raghavan et al. 2007)
     * over an UNDIRECTED edge list, made fully deterministic: every
     * vertex starts labeled with its own id, and each round every vertex

@@ -590,6 +590,37 @@ object GraphQueries {
         GROUP BY s.seed ORDER BY s.seed""")),
 
     QDef(
+      "graph_ppr",
+      (s, dir) =>
+        // personalized PageRank from the v % 97 = 0 seed parts (the
+        // BFS query's seed convention), 4 scaled-integer rounds with
+        // teleport mass restricted to the seeds — "parts related to
+        // THESE parts" rather than globally central ones. Rank frames
+        // stay sparse (only reached vertices), checkpoint-cut per
+        // round; the oracle unrolls the identical integer recurrence.
+        graft.operators.Graph.personalizedPageRankScaled(
+            sharedSupportEdges(s, dir),
+            sharedSupportEdges(s, dir).select(col("src").as("v"))
+              .unionByName(sharedSupportEdges(s, dir).select(col("dst").as("v")))
+              .distinct().filter(col("v") % 97 === 0),
+            iters = 4)
+          .select(col("v").as("part"), col("rank_c"))
+          .orderBy(col("rank_c").desc, col("part")),
+      Some(s"""
+        WITH $edgeSql,
+        e2 AS (SELECT src, dst FROM ew WHERE support >= 2),
+        adj AS (SELECT src AS u, dst AS v FROM e2
+                UNION SELECT dst AS u, src AS v FROM e2),
+        dg AS (SELECT u, count(*) AS od FROM adj GROUP BY u),
+        ad AS (SELECT a.u, a.v, d.od FROM adj a JOIN dg d ON d.u = a.u),
+        sd AS (SELECT DISTINCT u AS v FROM adj WHERE u % 97 = 0),
+        ns AS (SELECT count(*) AS n FROM sd),
+        r0 AS (SELECT v, 1000000000000 // (SELECT n FROM ns) AS rank_c
+               FROM sd),
+        ${(1 to 4).map(pprRound).mkString(",\n        ")}
+        SELECT v AS part, rank_c FROM r4 ORDER BY rank_c DESC, v""")),
+
+    QDef(
       "graph_hits",
       (s, dir) =>
         // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
@@ -614,6 +645,22 @@ object GraphQueries {
           FROM a4 a FULL OUTER JOIN h4 h ON h.v = a.v)
         ORDER BY auth_c DESC, part"""))
   )
+
+  /** One unrolled personalized-PageRank round: teleport mass lands on
+    * SEEDS ONLY; propagated contributions and the seed base sum as
+    * exact integers, mirroring
+    * [[graft.operators.Graph.personalizedPageRankScaled]] — rank rows
+    * exist only where mass has reached (sparse union of contributions
+    * and the seed base).
+    */
+  private def pprRound(k: Int) =
+    s"""r$k AS MATERIALIZED (
+          SELECT v, CAST(sum(c) AS BIGINT) AS rank_c FROM (
+            SELECT a.v, (r.rank_c * 85) // (100 * a.od) AS c
+            FROM ad a JOIN r${k - 1} r ON r.v = a.u
+            UNION ALL
+            SELECT v, 150000000000 // (SELECT n FROM ns) AS c FROM sd)
+          GROUP BY v)"""
 
   /** One unrolled HITS round for the oracle: the SAME scaled-integer
     * recurrence [[graft.operators.Graph.hitsScaled]] iterates — integer

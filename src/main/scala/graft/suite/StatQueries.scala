@@ -737,6 +737,83 @@ object StatQueries {
                  AS g_stat,
                (CAST(sum(term) AS DOUBLE) * (2.0 * 0.6931471805599453 / ${Q10}))
                  / CAST(sum(o) AS DOUBLE) AS g_per_obs
-        FROM terms"""))
+        FROM terms""")),
+
+    QDef(
+      "stat_ols_slope",
+      (s, dir) => {
+        // distributed simple-OLS per event type: regress purchase value
+        // (cents) on hour-of-day with the closed-form normal equations —
+        // b1 = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Every moment is an
+        // order-free integer sum (x ≤ 23, y ≤ cents: products < 2^53 to
+        // ~10^8 events per group; decimal(38,0) closes the numerators
+        // exactly beyond that), so the slope's num/den are ENGINE-EXACT
+        // integers and the only float is one final division. Shape: one
+        // fact-grain map + one map-side-combined groupBy — OLS at 100 TB
+        // is exactly one aggregation pass.
+        val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val e = tbl(s, dir, "events")
+          .select(col("event_type"),
+            expr("(unix_timestamp(ts) div 3600) % 24").as("x"),
+            round(col("value") * 100).cast("long").as("y"))
+        e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("event_type"), col("n"),
+            (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+              .cast("long").as("b1_num"),
+            (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+              .cast("long").as("b1_den"))
+          .withColumn("slope_cents_per_hour",
+            col("b1_num").cast("double") / col("b1_den").cast("double"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type,
+                     ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24) AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+                   FROM events),
+        m AS (SELECT event_type, count(*) AS n,
+                CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                CAST(sum(x * x) AS HUGEINT) AS sxx,
+                CAST(sum(x * y) AS HUGEINT) AS sxy
+              FROM e GROUP BY 1)
+        SELECT event_type, n,
+               CAST(n * sxy - sx * sy AS BIGINT) AS b1_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS b1_den,
+               CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE) /
+                 CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)
+                 AS slope_cents_per_hour
+        FROM m ORDER BY event_type""")),
+
+    QDef(
+      "dq_key_skew",
+      (s, dir) => {
+        // join-key skew report — the ops-side tool that decides whether
+        // a key needs salting: the 10 heaviest lineitem order keys, each
+        // with its row count and the exact skew ratio against the mean
+        // rows-per-key ((10^6·c·distinct_keys) div total_rows, integer).
+        // One map-side-combined count + a TakeOrderedAndProject top-10;
+        // the two corpus scalars ride in as scalar subqueries.
+        val k = tbl(s, dir, "lineitem")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+        val nKeys = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          k.agg(count(lit(1))))
+        val nRows = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          k.agg(sum(col("c"))))
+        k.select(col("l_orderkey"), col("c"), nKeys.as("n_keys"),
+            nRows.as("n_rows"))
+          .select(col("l_orderkey"), col("c"), col("n_keys"), col("n_rows"),
+            expr("(1000000 * c * n_keys) div n_rows").as("skew_x1e6"))
+          .orderBy(col("c").desc, col("l_orderkey")).limit(10)
+      },
+      Some("""
+        WITH k AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1),
+        t AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows
+              FROM k)
+        SELECT l_orderkey, c, n_keys, n_rows,
+               (1000000 * c * n_keys) // n_rows AS skew_x1e6
+        FROM k, t ORDER BY c DESC, l_orderkey LIMIT 10"""))
   )
 }

@@ -138,6 +138,36 @@ class GraphSpec extends SparkSpec {
     assert(r1 == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
   }
 
+  test("personalized pagerank: mass stays on the seed-reachable subgraph, seeds keep the teleport floor") {
+    // path 1-2-3-4-5 plus isolated edge 8-9: seeding at 1 must never
+    // put mass on 8 or 9, and vertex 5 (4 hops out) is reached at
+    // iters=4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val got = Graph.personalizedPageRankScaled(
+      edges, Seq(1L).toDF("v"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got.values.forall(_ > 0L))
+    // the seed receives the full teleport base every round
+    val base = (15L * 1000000000000L) / 100L
+    assert(got(1L) >= base)
+    // exact-integer driver mirror of the recurrence
+    val adj = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val od = adj.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    var r = Map(1L -> 1000000000000L)
+    for (_ <- 1 to 4) {
+      val flowed = adj.filter(e => r.contains(e._1))
+        .groupBy(_._2).map { case (v, es) =>
+          v -> es.map(e => (r(e._1) * 85) / (100 * od(e._1))).sum }
+      r = (flowed.keySet + 1L).map { v =>
+        v -> (flowed.getOrElse(v, 0L) + (if (v == 1L) base else 0L))
+      }.toMap
+    }
+    assert(got == r)
+  }
+
   test("hits: matches a driver-side exact-integer mirror of the recurrence") {
     // small DAG with a clear authority (3: in from 1,2,4) and hub (1:
     // out to 2,3)
