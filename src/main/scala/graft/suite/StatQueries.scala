@@ -814,6 +814,77 @@ object StatQueries {
               FROM k)
         SELECT l_orderkey, c, n_keys, n_rows,
                (1000000 * c * n_keys) // n_rows AS skew_x1e6
-        FROM k, t ORDER BY c DESC, l_orderkey LIMIT 10"""))
+        FROM k, t ORDER BY c DESC, l_orderkey LIMIT 10""")),
+
+    QDef(
+      "dq_referential_integrity",
+      (s, dir) => {
+        // whole-schema referential-integrity audit in one result: for
+        // every FK edge of the star schema, the child row count and how
+        // many child rows point at a missing parent. Each edge is a
+        // LEFT ANTI join on the key (null-safe: a null FK is an orphan
+        // by definition here, counted once) — anti joins broadcast the
+        // parent key set when small and degrade to shuffled hash joins
+        // at scale; nothing quadratic, nothing collected.
+        def orphans(child: org.apache.spark.sql.DataFrame, fk: String,
+            parent: org.apache.spark.sql.DataFrame, pk: String,
+            edge: String) = {
+          val total = child.count()
+          val bad = child.select(col(fk).as("k"))
+            .join(parent.select(col(pk).as("k")).distinct(), Seq("k"),
+              "left_anti")
+            .count()
+          (edge, total, bad)
+        }
+        val rows = Seq(
+          orphans(tbl(s, dir, "lineitem"), "l_orderkey",
+            tbl(s, dir, "orders"), "o_orderkey", "lineitem->orders"),
+          orphans(tbl(s, dir, "lineitem"), "l_partkey",
+            tbl(s, dir, "part"), "p_partkey", "lineitem->part"),
+          orphans(tbl(s, dir, "lineitem"), "l_suppkey",
+            tbl(s, dir, "supplier"), "s_suppkey", "lineitem->supplier"),
+          orphans(tbl(s, dir, "orders"), "o_custkey",
+            tbl(s, dir, "customer"), "c_custkey", "orders->customer"),
+          orphans(tbl(s, dir, "customer"), "c_nationkey",
+            tbl(s, dir, "nation"), "n_nationkey", "customer->nation"),
+          orphans(tbl(s, dir, "supplier"), "s_nationkey",
+            tbl(s, dir, "nation"), "n_nationkey", "supplier->nation"),
+          orphans(tbl(s, dir, "nation"), "n_regionkey",
+            tbl(s, dir, "region"), "r_regionkey", "nation->region"))
+        import s.implicits._
+        rows.toDF("fk_edge", "n_child", "n_orphans").orderBy("fk_edge")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'lineitem->orders' AS fk_edge,
+                 (SELECT count(*) FROM lineitem) AS n_child,
+                 (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_orphans
+          UNION ALL SELECT 'lineitem->part',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+          UNION ALL SELECT 'lineitem->supplier',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+          UNION ALL SELECT 'orders->customer',
+                 (SELECT count(*) FROM orders),
+                 (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+          UNION ALL SELECT 'customer->nation',
+                 (SELECT count(*) FROM customer),
+                 (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+          UNION ALL SELECT 'supplier->nation',
+                 (SELECT count(*) FROM supplier),
+                 (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+                   (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+          UNION ALL SELECT 'nation->region',
+                 (SELECT count(*) FROM nation),
+                 (SELECT count(*) FROM nation n WHERE NOT EXISTS
+                   (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)))
+        ORDER BY fk_edge"""))
   )
 }
