@@ -78,8 +78,9 @@ object Bench {
         } match {
           case Budget.Ok(_) => true
           case Budget.Failed(msg) => errors(name) = msg; false
-          case Budget.TimedOut =>
-            errors(name) = s"TIMEOUT after ${queryTimeoutSec}s (cancelled)"
+          case Budget.TimedOut(stuck) =>
+            errors(name) = s"TIMEOUT after ${queryTimeoutSec}s (cancelled" +
+              (if (stuck) ", worker stuck in planning" else "") + ")"
             false
         }
         name -> (if (ok) secs(t0) else -1.0)

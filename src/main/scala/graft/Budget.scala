@@ -9,21 +9,34 @@ import org.apache.spark.sql.SparkSession
   * is job-group cancellation: the worker thread tags everything it
   * launches with a job group, and on timeout the watchdog cancels that
   * group (interruptOnCancel=true so task threads get interrupted too).
-  * Plan CONSTRUCTION (analysis/optimization on the caller thread) is
-  * also covered: the worker thread is interrupted as well, and a
-  * plan-exponential query — round 5's failure mode — burns most of its
-  * wall in precisely that phase.
+  * Plan CONSTRUCTION (analysis/optimization on the worker thread) is
+  * only PARTIALLY covered: `Thread.interrupt()` sets a flag that
+  * CPU-bound Catalyst analysis/optimization never checks, so a worker
+  * stuck in the plan-exponential phase keeps burning one driver core
+  * (and holding its plan's heap) after the timeout — the run CONTINUES
+  * (the thread is daemon, results are recorded TimedOut) but is not
+  * freed of the cost. The guard's real guarantees are (a) launched
+  * Spark JOBS are cancelled (job-group cancel + task interrupt), and
+  * (b) the harness never blocks on a runaway worker. Callers are told
+  * via [[Outcome]] whether the worker was still alive after the grace
+  * join (`TimedOut(workerStillRunning = true)`) so they can shed load —
+  * Bench's adaptive lap-shedding and Verify's partial-output cleanup
+  * both key off it.
   */
 object Budget {
   sealed trait Outcome[+A]
   final case class Ok[A](value: A) extends Outcome[A]
   final case class Failed(msg: String) extends Outcome[Nothing]
-  case object TimedOut extends Outcome[Nothing]
+  /** `workerStillRunning`: the worker thread survived the cancel + grace
+    * join — it is stuck in uninterruptible driver-side work (Catalyst
+    * analysis, most likely) and is still consuming a core.
+    */
+  final case class TimedOut(workerStillRunning: Boolean) extends Outcome[Nothing]
 
   def runBounded[A](spark: SparkSession, name: String, timeoutSec: Long)(
       body: => A): Outcome[A] = {
     val group = s"budget-$name-${System.nanoTime()}"
-    @volatile var out: Outcome[A] = TimedOut
+    @volatile var out: Outcome[A] = TimedOut(workerStillRunning = false)
     val worker = new Thread(() => {
       try {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
@@ -44,7 +57,7 @@ object Budget {
       // bounded grace for the cancel to propagate; the thread is daemon,
       // so a stuck driver-side loop can't block JVM exit either way
       worker.join(10000L)
-      TimedOut
+      TimedOut(workerStillRunning = worker.isAlive)
     } else out
   }
 }

@@ -31,9 +31,20 @@ object Verify {
         case Budget.Ok(_) => ()
         case Budget.Failed(msg) =>
           System.err.println(s"[verify] $name failed: $msg")
-        case Budget.TimedOut =>
+        case Budget.TimedOut(stuck) =>
+          // a write cancelled mid-flight can leave a PARTIAL parquet dir
+          // that the downstream DuckDB compare would read as a (wrong)
+          // result — delete it so the query reads unambiguously failed
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+          }
           System.err.println(
-            s"[verify] $name TIMED OUT after ${timeoutSec}s — cancelled, continuing")
+            s"[verify] $name TIMED OUT after ${timeoutSec}s — cancelled, " +
+              s"partial output removed, continuing" +
+              (if (stuck) " (worker stuck in uninterruptible planning)" else ""))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

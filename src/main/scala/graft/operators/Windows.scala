@@ -91,14 +91,30 @@ object Windows {
 
   /** Distributed GLOBAL running maximum over `orderCol` — the prefix-max
     * sibling of [[globalCumSum]] (same two-phase range-partition + offset
-    * shape, same uniqueness contract on `orderCol`): phase 1 collects the
-    * per-partition maxima (≤ numPartitions rows), the exclusive prefix
-    * max of those becomes each partition's floor, phase 2 is a plain
-    * partitioned running max combined with `greatest(floor, local)`.
-    * Adds `cummax_<valueCol>`.
+    * shape): phase 1 collects the per-partition maxima (≤ numPartitions
+    * rows), the exclusive prefix max of those becomes each partition's
+    * floor, phase 2 is a plain partitioned running max combined with
+    * `greatest(floor, local)`. Adds `cummax_<valueCol>`.
+    *
+    * Tie contract: INCLUSIVE mode keeps [[globalCumSum]]'s uniqueness
+    * requirement on `orderCol` (a row frame splits ties arbitrarily).
+    * EXCLUSIVE mode — "prefix max over STRICTLY preceding KEYS", the 2-D
+    * skyline primitive — is safe under duplicate keys: its frame is
+    * RANGE-based (`rangeBetween(…, -1)` = keys ≤ current−1 = strictly
+    * less, for the integral keys the mode requires), so tied rows never
+    * see each other regardless of their physical order, and the range
+    * partitioner keeps equal keys in one partition so the phase-1 floor
+    * stays strictly-preceding too.
     */
   def globalCumMax(df: DataFrame, orderCol: String, valueCol: String,
       inclusive: Boolean = true): DataFrame = {
+    if (!inclusive) {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(orderCol).dataType
+      require(Seq[DataType](LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"globalCumMax exclusive mode needs an integral order key " +
+          s"(rangeBetween -1 = strictly less only holds for integers); got $dt")
+    }
     val staged = df
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
@@ -113,12 +129,14 @@ object Windows {
       offs += ((r.getInt(0), acc))
       if (!r.isNullAt(1)) acc = math.max(acc, r.getLong(1))
     }
-    // exclusive mode (prefix max over STRICTLY preceding keys — the 2-D
-    // skyline primitive) ends the frame one row early; the cross-
-    // partition floor from phase 1 is exclusive either way
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding,
-        if (inclusive) Window.currentRow else -1)
+    // exclusive mode (prefix max over STRICTLY preceding KEYS — the 2-D
+    // skyline primitive) uses a RANGE frame ending at key−1, so duplicate
+    // keys are tie-safe; the cross-partition floor from phase 1 is
+    // exclusive either way
+    val w0 = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val w =
+      if (inclusive) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w0.rangeBetween(Window.unboundedPreceding, -1)
     val kv = offs.toSeq.flatMap { case (pid, a) => Seq(lit(pid), lit(a)) }
     staged.withColumn(s"cummax_$valueCol",
         greatest(

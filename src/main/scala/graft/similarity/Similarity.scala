@@ -85,6 +85,43 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
+  /** Brute-force cosine top-k with the query side bounded BY
+    * CONSTRUCTION: the query set is the `nQueries` corpus vectors with
+    * the smallest (hash_bucket(id), id) — a deterministic hash
+    * reservoir (one TakeOrderedAndProject, distribution-free, same set
+    * at any N on any cluster), not an id-range filter that silently
+    * grows or empties with the corpus. The reservoir broadcasts past
+    * ONE corpus scan — O(nQueries·N) arithmetic. The plan is a
+    * BroadcastNestedLoopJoin whose broadcast side is PROVABLY bounded
+    * (the limit sits in its subtree), which PlanShapeSpec verifies
+    * STRUCTURALLY — no name-based exception. [[cosineTopK]] remains the
+    * unbounded spec-only form.
+    */
+  def cosineTopKSampled(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      nQueries: Int,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), asDouble(col(embCol)).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+    val q = corpus
+      .select(col(idCol).as("q_id"), asDouble(col(embCol)).as("q_emb"),
+        graft.operators.Sampling.hashBucket(col(idCol), 1000000000).as("__b"))
+      .orderBy(col("__b"), col("q_id")).limit(nQueries)
+      .withColumn("q_norm", norm(col("q_emb")))
+      .drop("__b")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  }
+
   /** Integer-exact hyperplane weights: w(k, d) = ((k*37 + d*17) mod 7) - 3
     * for plane k, dimension d (0-based). Deterministic, reproducible in
     * SQL via the same formula.

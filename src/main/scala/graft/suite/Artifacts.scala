@@ -17,6 +17,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Builds run under a plain reentrant lock, NOT computeIfAbsent: build
   * lambdas may memoize their own dependencies, and ConcurrentHashMap
   * forbids recursive updates from inside a mapping function.
+  *
+  * SECOND TIER — parquet spill keyed by the same content fingerprint
+  * (`tmp/artifacts/<table>_<key>_<fp>`): a fresh JVM over unchanged
+  * input RELOADS the artifact instead of rebuilding it, so the bench
+  * setup phase on a re-run costs file scans, not k-means/CC training.
+  * Built artifacts are written once (atomic temp-dir rename — a racing
+  * second writer loses and reads the winner's files) and read back, so
+  * even first-build consumers hold a frame whose lineage is a trivial
+  * parquet scan rather than the full build plan — a durable lineage cut
+  * (checkpoint semantics without the session-scoped storage). Stale
+  * fingerprints of the same (table, key) are deleted on write. Every
+  * artifact is deterministic by repo-wide contract (integer k-means,
+  * hash-min CC, polynomial hashes), so replaying from disk is
+  * bit-identical to rebuilding.
   */
 object Artifacts {
 
@@ -76,10 +90,48 @@ object Artifacts {
           it.remove()
         }
       }
-      val df = build.persist()
+      val df = loadOrBuild(s, dir, table, fp, key)(build).persist()
       df.count()
       cache.put(k, df)
       df
     }
+  }
+
+  /** Parquet spill root — overridable for tests/ops via
+    * GRAFT_ARTIFACT_DIR; relative paths resolve against the launch cwd
+    * (the repo root for sbt/Bench/Verify runs).
+    */
+  private def spillRoot: String =
+    sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "tmp/artifacts")
+
+  private def loadOrBuild(s: SparkSession, dir: String, table: String,
+      fp: Long, key: String)(build: => DataFrame): DataFrame = {
+    val name = s"${table}_${key}_${java.lang.Long.toHexString(fp)}"
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(spillRoot)
+    val fs = root.getFileSystem(conf)
+    val dest = new org.apache.hadoop.fs.Path(root, name)
+    val ok = new org.apache.hadoop.fs.Path(dest, "_SUCCESS")
+    if (fs.exists(ok)) return s.read.parquet(dest.toString)
+    val built = build
+    // drop indexes of superseded generations of this (table, key)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(s"${table}_${key}_") && n != name)
+        try fs.delete(st.getPath, true) catch { case _: Throwable => () }
+    }
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    built.write.mode("overwrite").parquet(tmp.toString)
+    // a partial dest (killed mid-write, no _SUCCESS) blocks the rename:
+    // clear it; if a racing writer completed meanwhile, the rename below
+    // fails and we read the winner's files
+    if (fs.exists(dest) && !fs.exists(ok))
+      try fs.delete(dest, true) catch { case _: Throwable => () }
+    if (!fs.rename(tmp, dest)) {
+      // a concurrent writer won the rename: discard ours, read theirs
+      try fs.delete(tmp, true) catch { case _: Throwable => () }
+    }
+    s.read.parquet(dest.toString)
   }
 }

@@ -1542,7 +1542,7 @@ object ExtrasQueries {
         FROM cv GROUP BY 1 ORDER BY 1""")),
 
     QDef(
-      "agg_retention_cohorts",
+      "agg_retention_weekly",
       (s, dir) => {
         // weekly cohort retention: each user's cohort is their first
         // active week; the (cohort, week-offset) matrix counts distinct

@@ -50,10 +50,21 @@ object Registry {
     }
   }
 
-  def all: Seq[QDef] =
-    CoreQueries.all ++ RelationalQueries.all ++ Af3Queries.all ++
-      DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ StreamingQueries.all ++ ExtrasQueries.all ++
-      WindowExtraQueries.all ++ SamplingQueries.all ++ GraphQueries.all ++
-      TpchQueries.all ++ StatQueries.all
+  /** The full registry. Built once; duplicate keys are a build-time
+    * error — SparkEntry.queries folds this into a last-wins ListMap, so
+    * a silent key collision would unregister an earlier query without
+    * any test noticing (it happened once: two `agg_retention_cohorts`
+    * definitions, and the round-5 daily triangle silently vanished).
+    */
+  lazy val all: Seq[QDef] = {
+    val qs =
+      CoreQueries.all ++ RelationalQueries.all ++ Af3Queries.all ++
+        DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+        MultimodalQueries.all ++ StreamingQueries.all ++ ExtrasQueries.all ++
+        WindowExtraQueries.all ++ SamplingQueries.all ++ GraphQueries.all ++
+        TpchQueries.all ++ StatQueries.all
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys.toSeq.sorted
+    require(dups.isEmpty, s"duplicate registry keys: ${dups.mkString(", ")}")
+    qs
+  }
 }

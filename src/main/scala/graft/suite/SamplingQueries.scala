@@ -20,7 +20,7 @@ object SamplingQueries {
     * then the two-residue lattice scramble, then the bucket mod — all
     * plain BIGINT arithmetic, bit-for-bit the Spark value.
     */
-  private def hashSql(expr: String, buckets: Int): String = {
+  private[suite] def hashSql(expr: String, buckets: Int): String = {
     val fold =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),

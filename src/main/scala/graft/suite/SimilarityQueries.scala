@@ -55,11 +55,28 @@ object SimilarityQueries {
     Artifacts.memo(s, dir, "embeddings", "ivf_dists")(
       Similarity.ivfDists(tbl(s, dir, "embeddings"), "vec_id", "embedding", IvfCells))
 
-  /** Bench setup hook: build the IVF index (and the semantic-dedup
-    * labels that derive from it) and the PQ codebook+codes up front.
+  /** The SCALE-FORM IVF index: numCells = max(16, floor(√N)) — the
+    * production law ScaleProbe measures (per-probe candidates ~√N, so
+    * query cost grows ~N^1.5 TOTAL but ~√N per query, vs the pinned
+    * 16-cell index whose per-probe candidate sets grow linearly with N).
+    * The count is one metadata-scale action; the codebook stays a
+    * broadcast dimension (√N rows). Cached like the pinned index.
+    */
+  private def sharedIvfDistsScaled(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Artifacts.memo(s, dir, "embeddings", "ivf_dists_scaled") {
+      val e = tbl(s, dir, "embeddings")
+      val cells = math.max(16L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+      Similarity.ivfDists(e, "vec_id", "embedding", cells.toInt)
+    }
+
+  /** Bench setup hook: build the IVF indexes (pinned + scale-form, and
+    * the semantic-dedup labels that derive from the pinned one) and the
+    * PQ codebook+codes up front.
     */
   def prebuildArtifacts(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     sharedIvfDists(s, dir); sharedSemanticLabels(s, dir)
+    sharedIvfDistsScaled(s, dir)
     sharedPqCents(s, dir); sharedPqCodes(s, dir); ()
   }
 
@@ -144,9 +161,10 @@ object SimilarityQueries {
     * takes per-dimension floor(mean), empty cells keeping their previous
     * centroid — the exact mirror of Similarity.kmeansCodebook.
     */
-  private def kmeansCteSql(iters: Int): String = {
+  private def kmeansCteSql(iters: Int,
+      limitSql: String = IvfCells.toString): String = {
     val init =
-      s"c0 AS (SELECT vec_id AS cid, ie AS ce FROM av ORDER BY vec_id LIMIT $IvfCells)"
+      s"c0 AS (SELECT vec_id AS cid, ie AS ce FROM av ORDER BY vec_id LIMIT $limitSql)"
     val steps = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, ie, cid AS cell FROM (
               SELECT v.vec_id, v.ie, c.cid,
@@ -170,10 +188,10 @@ object SimilarityQueries {
     * deterministic k-means codebook, all pairwise cell distances, and
     * the argmin cell assignment (mirrors Similarity.ivfAssign).
     */
-  private val ivfPreludeSql =
+  private def ivfPreludeSqlWith(limitSql: String): String =
     s"""iv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
         av AS (SELECT vec_id, ie, ${intDotSql("ie", "ie")} AS aa FROM iv),
-        ${kmeansCteSql(graft.similarity.Similarity.IvfKmeansIters)},
+        ${kmeansCteSql(graft.similarity.Similarity.IvfKmeansIters, limitSql)},
         cents AS (SELECT cid, ce, ${intDotSql("ce", "ce")} AS cc
                   FROM c${graft.similarity.Similarity.IvfKmeansIters}),
         dists AS (SELECT a.vec_id, a.ie, c.cid,
@@ -183,6 +201,15 @@ object SimilarityQueries {
                      SELECT *, row_number() OVER (PARTITION BY vec_id
                        ORDER BY d2, cid) AS rn FROM dists)
                    WHERE rn = 1)"""
+
+  private val ivfPreludeSql = ivfPreludeSqlWith(IvfCells.toString)
+
+  /** The production √N-cells operating point as SQL: numCells tracks
+    * corpus size (ScaleProbe's measured law), floored at the pinned 16
+    * so tiny fixtures keep a real codebook.
+    */
+  private val scaledCellsSql =
+    "(SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
   /** DuckDB mirror of the PQ pipeline ending in `fin(vec_id, block,
     * code, q_err)`, with `sv` (subvectors+self-dots) and `c1` (the
@@ -248,6 +275,40 @@ object SimilarityQueries {
           .orderBy("q_id", "rank"),
       Some(s"""
         WITH $ivfPreludeSql,
+        probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
+                     SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY d2, cid) AS pr
+                     FROM dists d JOIN av a ON a.vec_id = d.vec_id)
+                   WHERE pr <= $IvfProbe),
+        cand AS (SELECT p.q_id, s.vec_id AS c_id,
+                   ${intDotSql("p.q_ie", "s.ie")} AS idot,
+                   p.q_aa, sa.aa AS c_aa
+                 FROM probes p
+                 JOIN assign s ON s.cell = p.cell AND s.vec_id != p.q_id
+                 JOIN av sa ON sa.vec_id = s.vec_id),
+        scored AS (SELECT q_id, c_id,
+                     CASE WHEN q_aa = 0 OR c_aa = 0 THEN 0.0
+                          ELSE idot / (sqrt(CAST(q_aa AS DOUBLE))
+                                       * sqrt(CAST(c_aa AS DOUBLE))) END AS cos
+                   FROM cand),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, c_id) AS rank FROM scored)
+        SELECT q_id, c_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    QDef(
+      "sim_ivf_topk_scaled",
+      (s, dir) =>
+        // the SCALE-FORM of sim_ivf_topk: same probe-and-exact-rank
+        // retrieval, but over the √N-cells index — per-probe candidate
+        // population stays ~√N as the corpus grows instead of N/16, so
+        // THIS registered shape survives 100×. The pinned-16 form stays
+        // registered for oracle-stable recall comparisons; ScaleProbe
+        // records the law, SCALE.md the measured sf1/sf0.1 ratio.
+        Similarity.ivfTopKFrom(sharedIvfDistsScaled(s, dir), IvfProbe, k = 3)
+          .orderBy("q_id", "rank"),
+      Some(s"""
+        WITH ${ivfPreludeSqlWith(scaledCellsSql)},
         probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
                      SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
                        ORDER BY d2, cid) AS pr
@@ -407,19 +468,28 @@ object SimilarityQueries {
 
     QDef(
       "sim_cosine_topk",
-      (s, dir) => {
-        val e = tbl(s, dir, "embeddings")
-        Similarity.cosineTopK(
-          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
-          .orderBy("q_id", "rank")
-      },
+      (s, dir) =>
+        // brute-force exact baseline, query side bounded BY CONSTRUCTION:
+        // a 20-vector deterministic hash reservoir (same set at any N),
+        // broadcast past one corpus scan — O(20·N). PlanShapeSpec proves
+        // the broadcast side bounded STRUCTURALLY (the limit is in its
+        // subtree), so no name exception exists for this query anymore.
+        // The unbounded brute form (Similarity.cosineTopK) is spec-only.
+        Similarity.cosineTopKSampled(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          nQueries = 20, k = 3)
+          .orderBy("q_id", "rank"),
       Some(s"""
         WITH p AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        q AS (SELECT vec_id, emb FROM (
+                SELECT vec_id, emb,
+                  ${SamplingQueries.hashSql("CAST(vec_id AS VARCHAR)", 1000000000)} AS b
+                FROM p) s ORDER BY b, vec_id LIMIT 20),
         scored AS (
           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
             $dotFoldSql / (${normSql("q")} * ${normSql("c")}) AS cos
-          FROM p q JOIN p c ON q.vec_id < 20 AND q.vec_id != c.vec_id),
+          FROM q JOIN p c ON q.vec_id != c.vec_id),
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
             AS rank FROM scored)

@@ -745,12 +745,16 @@ object StatQueries {
         // distributed simple-OLS per event type: regress purchase value
         // (cents) on hour-of-day with the closed-form normal equations —
         // b1 = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Every moment is an
-        // order-free integer sum (x ≤ 23, y ≤ cents: products < 2^53 to
-        // ~10^8 events per group; decimal(38,0) closes the numerators
-        // exactly beyond that), so the slope's num/den are ENGINE-EXACT
-        // integers and the only float is one final division. Shape: one
-        // fact-grain map + one map-side-combined groupBy — OLS at 100 TB
-        // is exactly one aggregation pass.
+        // order-free integer sum, and num/den stay decimal(38,0)
+        // END-TO-END (HUGEINT-width on the DuckDB side, cast to the
+        // same decimal type): n·Σxy crosses 2^63 at roughly 10^7
+        // events per group, where a long output would silently null in
+        // non-ANSI Spark while DuckDB's CAST raises — so no narrowing
+        // cast exists anywhere. The only float is the final division
+        // (decimal→double is the same round-to-nearest of the exact
+        // integer in both engines — the stat_linear_regression
+        // precedent). Shape: one fact-grain map + one map-side-combined
+        // groupBy — OLS at 100 TB is exactly one aggregation pass.
         val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
         val e = tbl(s, dir, "events")
           .select(col("event_type"),
@@ -762,9 +766,9 @@ object StatQueries {
             sum(col("x") * col("y")).as("sxy"))
           .select(col("event_type"), col("n"),
             (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
-              .cast("long").as("b1_num"),
+              .cast("decimal(38,0)").as("b1_num"),
             (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
-              .cast("long").as("b1_den"))
+              .cast("decimal(38,0)").as("b1_den"))
           .withColumn("slope_cents_per_hour",
             col("b1_num").cast("double") / col("b1_den").cast("double"))
           .orderBy("event_type")
@@ -780,10 +784,10 @@ object StatQueries {
                 CAST(sum(x * y) AS HUGEINT) AS sxy
               FROM e GROUP BY 1)
         SELECT event_type, n,
-               CAST(n * sxy - sx * sy AS BIGINT) AS b1_num,
-               CAST(n * sxx - sx * sx AS BIGINT) AS b1_den,
-               CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE) /
-                 CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)
+               CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS b1_num,
+               CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS b1_den,
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE)
                  AS slope_cents_per_hour
         FROM m ORDER BY event_type""")),
 

@@ -940,6 +940,10 @@ object TextQueries {
         // — no global window, no rank over the full vocabulary; the
         // corpus total rides in as a scalar subquery. Coverage is the
         // exact integer (10^6·covered) div total, so the hash holds.
+        // The bigram frame is referenced by all three top-K branches
+        // PLUS the scalar total — localCheckpoint it once (the
+        // MATERIALIZED-CTE mirror) or the corpus tokenize+explode+groupBy
+        // replays up to 6 times.
         val bg = tbl(s, dir, "documents")
           .select(TextFunctions.tokens(col("text")).as("ws"))
           .filter(size(col("ws")) >= 2)
@@ -947,6 +951,7 @@ object TextQueries {
             "transform(sequence(1, size(ws) - 1)," +
               " i -> concat(ws[i-1], ' ', ws[i]))")).as("gram"))
           .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
         val total = org.apache.spark.sql.graft.ColumnBridge.scalar(
           bg.agg(sum(col("c"))))
         Seq(10, 100, 1000).map { k =>
@@ -1061,9 +1066,12 @@ object TextQueries {
   /** DuckDB mirror of [[graft.text.Bpe.trainMerges]]: `rounds` unrolled
     * (pair-count → argmax → replace) CTE layers, each MATERIALIZED —
     * every layer reads the previous twice, so inlining would replay
-    * 2^rounds plans (the sim_pca_power lesson). Plain `replace` is a
-    * leftmost non-overlapping scan in both engines, so greedy merge
-    * application agrees exactly.
+    * 2^rounds plans (the sim_pca_power lesson). Merge application is
+    * the double-the-separators trick ([[graft.text.Bpe.applyMerge]]):
+    * plain `replace` is a non-rescanning leftmost scan in both engines,
+    * and with doubled separators that scan IS greedy leftmost merging,
+    * so back-to-back occurrences ("a a a a") merge exactly as Sennrich's
+    * reference does ("aa aa") — identically on both sides.
     */
   private def bpeCtes(rounds: Int): String = {
     val roundsSql = (1 to rounds).map { k =>
@@ -1077,9 +1085,10 @@ object TextQueries {
         GROUP BY 1, 2),
       b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
       w$k AS MATERIALIZED (
-        SELECT replace(w,
-                 ' ' || (SELECT l FROM b$k) || ' ' || (SELECT r FROM b$k) || ' ',
-                 ' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' ') AS w,
+        SELECT regexp_replace(replace(replace(w, ' ', '  '),
+                 ' ' || (SELECT l FROM b$k) || '  ' || (SELECT r FROM b$k) || ' ',
+                 ' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' '),
+                 ' +', ' ', 'g') AS w,
                cnt
         FROM w${k - 1})"""
     }.mkString(",\n      ")

@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   * (the argmax pair) — metadata, not data, the same contract as
   * [[graft.operators.Windows.globalCumSum]]'s offsets.
   *
-  * Words are held as space-separated symbol strings (" l o w "), the
-  * winning pair applied with plain (non-regex) `replace` — leftmost
-  * non-overlapping scan, identical semantics in Java and DuckDB, so
-  * "a a a" under merge (a,a) becomes "aa a" in both engines. Symbols
-  * never contain spaces (whitespace tokenization upstream), so the
-  * padded " l r " search is unambiguous. Every round localCheckpoints
+  * Words are held as space-separated symbol strings (" l o w "). The
+  * winning pair applies via [[applyMerge]] — TRUE greedy leftmost
+  * non-overlapping merging (Sennrich's semantics): "a a a a" under
+  * merge (a,a) becomes "aa aa", "a b a b" under (a,b) becomes
+  * "ab ab". A naive padded `replace(w, " l r ", " lr ")` misses every
+  * second consecutive occurrence because the shared separator space is
+  * consumed by the first match; applyMerge doubles the separators
+  * first so adjacent occurrences no longer share boundary characters
+  * (see its scaladoc). Symbols never contain spaces (whitespace
+  * tokenization upstream). Every round localCheckpoints
   * the word frame: the iterate is referenced twice per round (pair
   * count + rewrite) and an uncut lineage loop doubles the plan per
   * round (see Dedup.connectedComponents / Similarity.gramPowerTopEig).
@@ -59,7 +63,7 @@ object Bpe {
         val (l, r, c) = (b.getString(0), b.getString(1), b.getLong(2))
         merges += Merge(k.toLong, l, r, c)
         val next = w.select(
-          replace(col("w"), lit(s" $l $r "), lit(s" $l$r ")).as("w"),
+          applyMerge(col("w"), l, r).as("w"),
           col("cnt")).localCheckpoint(true)
         org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w)
         w = next
@@ -68,6 +72,28 @@ object Bpe {
     }
     (merges.toSeq, w)
   }
+
+  /** Apply one merge (l, r) -> "lr" to a space-padded symbol string with
+    * TRUE greedy leftmost non-overlapping semantics.
+    *
+    * Plain `replace(w, " l r ", " lr ")` is leftmost non-overlapping but
+    * the padded pattern CONSUMES both boundary spaces, so back-to-back
+    * occurrences lose their shared separator: " a a a a " -> " aa a a "
+    * (one merge, not two) and " a b a b " -> " ab a b ". The classic fix:
+    * double every space first, so each separator contributes one space
+    * to its left occurrence and one to its right — then the same plain
+    * replace of " l  r " with " lr " is EXACTLY greedy leftmost merging
+    * (Java and DuckDB `replace` are both non-rescanning leftmost scans).
+    * A final regexp collapse of space runs restores the canonical
+    * single-space padded form. All three steps are engine-identical, so
+    * the DuckDB oracle mirror (TextQueries.bpeCtes) stays exact.
+    */
+  def applyMerge(w: org.apache.spark.sql.Column, l: String,
+      r: String): org.apache.spark.sql.Column =
+    regexp_replace(
+      replace(replace(w, lit(" "), lit("  ")),
+        lit(s" $l  $r "), lit(s" $l$r ")),
+      " +", " ")
 
   /** Weighted adjacent-pair counts of a symbolized word frame: every
     * adjacent position counts (including overlaps — "a a a" contributes

@@ -1,24 +1,33 @@
 package graft
 
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
-/** Global scale-killer guard: every registered query's physical plan is
-  * free of all-pairs join shapes — CartesianProduct anywhere, and
-  * BroadcastNestedLoopJoin between unbounded sides — the operators that
-  * turn a 100 TB run into an N^2 run.
+/** Global scale-killer guards over every registered query's physical
+  * plan (built with AQE DISABLED for inspection — AdaptiveSparkPlanExec
+  * is a leaf node, so `collect` over an AQE plan sees nothing inside
+  * and every structural check would pass vacuously):
   *
-  * Two deliberate exceptions, each with a bounded side:
-  * - `sim_cosine_topk` is the documented brute-force baseline the ANN
-  *   queries are measured against (all-pairs by definition).
-  * - A BroadcastNestedLoopJoin whose broadcast side is a BOUNDED
-  *   dimension is the intended shape for unconditioned dimension
-  *   attachment: the numCells-row k-means codebook in `sim_ivf_cells` /
-  *   `sim_ivf_topk` / `sim_ivf_pq_topk` / `sim_ivf_prefix_rerank` /
-  *   `sim_knn_classify` (the compositions inherit the
-  *   shared IVF distance frame and with it the same bounded codebook
-  *   join). Cost is O(N x dim), not O(N^2). (1-row scalars no
-  *   longer need even that: `ColumnBridge.scalar` attaches them as
-  *   uncorrelated scalar subqueries — `text_tfidf_topk` migrated.)
+  * 1. No CartesianProduct, anywhere, ever.
+  * 2. A BroadcastNestedLoopJoin is legal ONLY when its broadcast side
+  *    is bounded: either PROVABLY (a limit-class node or zero-grouping
+  *    aggregate gates the build subtree through unary operators — e.g.
+  *    `sim_cosine_topk`'s 20-row hash reservoir, which therefore needs
+  *    NO name exception), or via the documented exception list for the
+  *    numCells-row k-means codebook joins, whose boundedness
+  *    (iterated join/agg over a limit seed) is real but not provable
+  *    by local plan structure: `sim_ivf_cells` / `sim_ivf_topk` /
+  *    `sim_ivf_topk_scaled` / `sim_ivf_pq_topk` / `sim_ivf_prefix_rerank`
+  *    / `sim_knn_classify`. Cost there is O(N·cells·dim), not O(N²).
+  *    (1-row scalars don't need even that: `ColumnBridge.scalar`
+  *    attaches them as uncorrelated scalar subqueries.)
+  * 3. No Window with an EMPTY partition spec over unbounded input — an
+  *    unpartitioned window funnels every row through ONE task (the
+  *    agg_rfm_segments lesson, caught two rounds late). Allowed only
+  *    when a limit-class node or grand aggregate below it bounds the
+  *    rows a single task can see (every "rank-the-top-15" window after
+  *    a limit stays legal; ranking an unbounded frame does not).
   *
   * Planning only — queries are built and optimized at sf0.001, not
   * executed, though builder-side fixture setup (bucketed tables, corpus
@@ -26,28 +35,83 @@ import org.apache.spark.sql.functions._
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private val bruteForceBaseline = Set("sim_cosine_topk")
   private val boundedDimensionBnl =
-    Set("sim_ivf_cells", "sim_ivf_topk", "sim_ivf_pq_topk",
-      "sim_ivf_prefix_rerank", "sim_knn_classify")
+    Set("sim_ivf_cells", "sim_ivf_topk", "sim_ivf_topk_scaled",
+      "sim_ivf_pq_topk", "sim_ivf_prefix_rerank", "sim_knn_classify")
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("no registered query plans an all-pairs join (except documented exceptions)") {
-    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      if (bruteForceBaseline(name)) None
-      else {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        val cart = plan.contains("CartesianProduct")
-        val bnl = plan.contains("BroadcastNestedLoopJoin") && !boundedDimensionBnl(name)
-        if (cart || bnl) Some(name) else None
+  /** Every registered query's physical plan, planned with AQE off. */
+  private lazy val plans: Seq[(String, SparkPlan)] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.toSeq.map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** Narrow structural boundedness: a limit-class node or a grand
+    * (zero-grouping) aggregate, reached through UNARY operators only.
+    * Deliberately does not traverse joins/unions — boundedness through
+    * those needs cardinality facts plan structure doesn't carry.
+    */
+  private def bounded(p: SparkPlan): Boolean = {
+    val n = p.nodeName
+    val isLimit = n.contains("TakeOrderedAndProject") || n.contains("GlobalLimit") ||
+      n.contains("CollectLimit") || n.contains("LocalLimit")
+    val isGrandAgg = p match {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case _ => false
+    }
+    isLimit || isGrandAgg || (p.children.size == 1 && bounded(p.children.head))
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    val offenders = plans.collect {
+      case (name, p) if p.collect { case c: CartesianProductExec => c }.nonEmpty => name
+    }
+    assert(offenders.isEmpty, s"CartesianProduct found in: ${offenders.mkString(", ")}")
+  }
+
+  test("every BroadcastNestedLoopJoin has a bounded broadcast side") {
+    val offenders = plans.flatMap { case (name, p) =>
+      val bad = p.collect {
+        case j: BroadcastNestedLoopJoinExec =>
+          val build = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case _ => j.right
+          }
+          bounded(build) || boundedDimensionBnl(name)
       }
+      if (bad.contains(false)) Some(name) else None
     }
     assert(offenders.isEmpty,
-      s"all-pairs join shapes found in: ${offenders.mkString(", ")}")
-    // and the baseline IS the brute-force shape it claims to be
-    val baseline = SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(baseline.contains("BroadcastNestedLoopJoin") ||
-      baseline.contains("CartesianProduct"))
+      s"BroadcastNestedLoopJoin with unbounded broadcast side in: ${offenders.mkString(", ")}")
+    // and sim_cosine_topk passes via the STRUCTURAL proof, not a name
+    val cosPlan = plans.toMap.apply("sim_cosine_topk")
+    val cosBnl = cosPlan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(cosBnl.nonEmpty, "sim_cosine_topk should broadcast its reservoir")
+    cosBnl.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case _ => j.right
+      }
+      assert(bounded(build), "sim_cosine_topk's broadcast side must be provably bounded")
+    }
+  }
+
+  test("no registered query plans an unpartitioned window over unbounded input") {
+    val offenders = plans.flatMap { case (name, p) =>
+      val bad = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !w.children.forall(bounded) => w
+        case w: WindowGroupLimitExec
+            if w.partitionSpec.isEmpty && !w.children.forall(bounded) => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-task window over unbounded input in: ${offenders.mkString(", ")}")
   }
 }

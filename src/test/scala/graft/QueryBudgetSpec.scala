@@ -23,7 +23,7 @@ class QueryBudgetSpec extends SparkSpec {
       } match {
         case Budget.Ok(_) => None
         case Budget.Failed(msg) => Some(s"$name FAILED: $msg")
-        case Budget.TimedOut => Some(s"$name TIMED OUT after ${capSec}s")
+        case Budget.TimedOut(_) => Some(s"$name TIMED OUT after ${capSec}s")
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))

@@ -42,6 +42,22 @@ class BpeSpec extends SparkSpec {
     assert(fin.select(trim(col("w"))).as[String].head() == "aa a")
   }
 
+  test("greedy leftmost merges every non-overlapping occurrence in repeated runs") {
+    // the case the naive padded replace gets wrong (" a a a a " ->
+    // " aa a a "): canonical BPE pairs up greedily left to right
+    def applied(word: String, l: String, r: String): String = {
+      val df = Seq((word, 1L)).toDF("word", "cnt")
+      Bpe.symbolized(df, "word", "cnt")
+        .select(trim(Bpe.applyMerge(col("w"), l, r)))
+        .as[String].head()
+    }
+    assert(applied("aaaa", "a", "a") == "aa aa")
+    assert(applied("aaaaa", "a", "a") == "aa aa a")   // odd run: trailing single
+    assert(applied("abab", "a", "b") == "ab ab")      // adjacent distinct-pair occurrences
+    assert(applied("aab", "a", "b") == "a ab")
+    assert(applied("ba", "a", "b") == "b a")          // order matters: no merge
+  }
+
   test("training stops when no pairs remain instead of looping") {
     val tiny = Seq(("ab", 3L)).toDF("word", "cnt")
     val (merges, fin) = Bpe.trainMerges(tiny, "word", "cnt", 10)
