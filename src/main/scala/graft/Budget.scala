@@ -19,9 +19,12 @@ import org.apache.spark.sql.SparkSession
   * Spark JOBS are cancelled (job-group cancel + task interrupt), and
   * (b) the harness never blocks on a runaway worker. Callers are told
   * via [[Outcome]] whether the worker was still alive after the grace
-  * join (`TimedOut(workerStillRunning = true)`) so they can shed load —
-  * Bench's adaptive lap-shedding and Verify's partial-output cleanup
-  * both key off it.
+  * join (`TimedOut(workerStillRunning = true)`). The flag is surfaced
+  * for DIAGNOSTICS: Bench interpolates it into the error record, and
+  * Verify's partial-output cleanup runs on ANY timeout (plus a final
+  * post-`spark.stop()` sweep of timed-out names, because a stuck
+  * worker can recreate a purged dir with a late write) — neither
+  * branches on the flag itself.
   */
 object Budget {
   sealed trait Outcome[+A]

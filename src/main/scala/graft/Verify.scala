@@ -23,6 +23,25 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.exists(n.startsWith) }
+    // a write cancelled mid-flight can leave a PARTIAL parquet dir that
+    // the downstream DuckDB compare would read as a (wrong) result —
+    // delete it so the query reads unambiguously failed. The walk stream
+    // is closed in finally and each delete is individually guarded: a
+    // STUCK worker still writing into the dir (job-group cancel doesn't
+    // reach not-yet-submitted jobs) can race the walk, and one racing
+    // file must not abort the remaining verify loop.
+    def purge(name: String): Unit = {
+      val dir = Paths.get(s"$outDir/$name")
+      if (Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+        catch { case _: Throwable => () }
+        finally walk.close()
+      }
+    }
+    val timedOut = scala.collection.mutable.ListBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       Budget.runBounded(spark, name, timeoutSec) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -32,15 +51,8 @@ object Verify {
         case Budget.Failed(msg) =>
           System.err.println(s"[verify] $name failed: $msg")
         case Budget.TimedOut(stuck) =>
-          // a write cancelled mid-flight can leave a PARTIAL parquet dir
-          // that the downstream DuckDB compare would read as a (wrong)
-          // result — delete it so the query reads unambiguously failed
-          val dir = Paths.get(s"$outDir/$name")
-          if (Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            Files.walk(dir).iterator().asScala.toSeq.reverse
-              .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
-          }
+          purge(name)
+          timedOut += name
           System.err.println(
             s"[verify] $name TIMED OUT after ${timeoutSec}s — cancelled, " +
               s"partial output removed, continuing" +
@@ -62,6 +74,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // stamp the run's scale so a compare against a DIFFERENT sf dir is
+    // detectable after the fact (round 7: a scale-mixed compare recorded
+    // a phantom hash regression) — the comparer, or a human, can check
+    // sf_dir here against the oracle's input before trusting a mismatch
+    Files.writeString(Paths.get(s"$outDir/_meta.json"),
+      s"""{"sf_dir": ${q(sfDir)}, "timeout_sec": $timeoutSec, """ +
+        s""""n_queries": ${selected.size}, "timed_out": [${
+          timedOut.map(q).mkString(", ")}]}""")
     spark.stop()
+    // a worker stuck past its cancel can RECREATE a purged output dir
+    // with a late-completing write; after spark.stop() no executor
+    // thread can write any more, so this final sweep is authoritative
+    timedOut.foreach(purge)
   }
 }

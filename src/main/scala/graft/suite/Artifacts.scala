@@ -114,10 +114,15 @@ object Artifacts {
     val ok = new org.apache.hadoop.fs.Path(dest, "_SUCCESS")
     if (fs.exists(ok)) return s.read.parquet(dest.toString)
     val built = build
-    // drop indexes of superseded generations of this (table, key)
+    // drop indexes of superseded generations of this (table, key) —
+    // matched EXACTLY by stripping the trailing _<hexfp> segment: a
+    // startsWith prefix test would let key "ivf_dists" claim (and
+    // delete) "ivf_dists_scaled"'s current spill dirs, breaking the
+    // already-loaded scaled frame's parquet-scan lineage on re-scan
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(s"${table}_${key}_") && n != name)
+      val cut = n.lastIndexOf('_')
+      if (cut > 0 && n.substring(0, cut) == s"${table}_${key}" && n != name)
         try fs.delete(st.getPath, true) catch { case _: Throwable => () }
     }
     val tmp = new org.apache.hadoop.fs.Path(root,

@@ -211,6 +211,101 @@ object SimilarityQueries {
   private val scaledCellsSql =
     "(SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
+  /** KNN classification served off an IVF index (pinned or scale-form):
+    * each vector's label is predicted by majority vote over its 3
+    * nearest (IVF-probed, exact-cosine-ranked) neighbors, ties to the
+    * smallest label — the standard label-quality / mislabel audit at
+    * corpus scale. The vote is a count + lexicographic argmax
+    * (order-independent, engine-exact); the true label joins back for a
+    * per-row correctness flag so downstream can aggregate accuracy
+    * without re-running the vote.
+    */
+  private def knnClassifyDf(s: org.apache.spark.sql.SparkSession, dir: String,
+      dists: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nn = Similarity.ivfTopKFrom(dists, IvfProbe, k = 3)
+    val lab = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("lab"))
+    nn.join(lab.select(col("vec_id").as("c_id"), col("lab")), "c_id")
+      .groupBy(col("q_id"), col("lab")).agg(count(lit(1)).as("votes"))
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("votes"), (-col("lab")).as("nl"))).as("m"))
+      .select(col("q_id"), (-col("m.nl")).as("pred_label"),
+        col("m.votes").as("votes"))
+      .join(lab.select(col("vec_id").as("q_id"), col("lab").as("true_label")), "q_id")
+      .withColumn("correct",
+        when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB mirror of [[knnClassifyDf]], parameterized by the IVF
+    * prelude so the pinned and √N-cells forms share one body.
+    */
+  private def knnClassifySql(prelude: String): String = s"""
+    WITH $prelude,
+    probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
+                 SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY d2, cid) AS pr
+                 FROM dists d JOIN av a ON a.vec_id = d.vec_id)
+               WHERE pr <= $IvfProbe),
+    cand AS (SELECT p.q_id, s.vec_id AS c_id,
+               ${intDotSql("p.q_ie", "s.ie")} AS idot,
+               p.q_aa, sa.aa AS c_aa
+             FROM probes p
+             JOIN assign s ON s.cell = p.cell AND s.vec_id != p.q_id
+             JOIN av sa ON sa.vec_id = s.vec_id),
+    scored AS (SELECT q_id, c_id,
+                 CASE WHEN q_aa = 0 OR c_aa = 0 THEN 0.0
+                      ELSE idot / (sqrt(CAST(q_aa AS DOUBLE))
+                                   * sqrt(CAST(c_aa AS DOUBLE))) END AS cos
+               FROM cand),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, c_id) AS rank FROM scored),
+    nn AS (SELECT q_id, c_id FROM ranked WHERE rank <= 3),
+    votes AS (SELECT n.q_id, CAST(e.label AS BIGINT) AS lab, count(*) AS votes
+              FROM nn n JOIN embeddings e ON e.vec_id = n.c_id
+              GROUP BY 1, 2),
+    pick AS (SELECT q_id, lab, votes, row_number() OVER (
+               PARTITION BY q_id ORDER BY votes DESC, lab) AS rn
+             FROM votes)
+    SELECT p.q_id, p.lab AS pred_label, p.votes,
+           CAST(e.label AS BIGINT) AS true_label,
+           CAST(CASE WHEN p.lab = CAST(e.label AS BIGINT)
+                THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM pick p JOIN embeddings e ON e.vec_id = p.q_id
+    WHERE p.rn = 1 ORDER BY p.q_id"""
+
+  /** DuckDB mirror of the Matryoshka prefix-rerank funnel
+    * ([[Similarity.ivfPrefixRerankTopK]]), parameterized by the IVF
+    * prelude so the pinned and √N-cells forms share one body.
+    */
+  private def prefixRerankSql(prelude: String): String = s"""
+    WITH $prelude,
+    probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
+                 SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY d2, cid) AS pr
+                 FROM dists d JOIN av a ON a.vec_id = d.vec_id)
+               WHERE pr <= $IvfProbe),
+    coarse AS (SELECT p.q_id, s.vec_id AS c_id, p.q_ie, s.ie AS c_ie,
+                 p.q_aa, sa.aa AS c_aa,
+                 ${intDotSql("list_slice(p.q_ie, 1, 8)", "list_slice(s.ie, 1, 8)")} AS pdot
+               FROM probes p
+               JOIN assign s ON s.cell = p.cell AND s.vec_id != p.q_id
+               JOIN av sa ON sa.vec_id = s.vec_id),
+    short AS (SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY pdot DESC, c_id) AS crank FROM coarse)
+              WHERE crank <= 10),
+    scored AS (SELECT q_id, c_id,
+                 CASE WHEN q_aa = 0 OR c_aa = 0 THEN 0.0
+                      ELSE ${intDotSql("q_ie", "c_ie")} /
+                           (sqrt(CAST(q_aa AS DOUBLE))
+                            * sqrt(CAST(c_aa AS DOUBLE))) END AS cos
+               FROM short),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, c_id) AS rank FROM scored)
+    SELECT q_id, c_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
+
   /** DuckDB mirror of the PQ pipeline ending in `fin(vec_id, block,
     * code, q_err)`, with `sv` (subvectors+self-dots) and `c1` (the
     * trained per-block codebook) reusable by the ADC query. Exact
@@ -332,62 +427,20 @@ object SimilarityQueries {
 
     QDef(
       "sim_knn_classify",
-      (s, dir) => {
-        // KNN classification served off the SHARED IVF index: each
-        // vector's label is predicted by majority vote over its 3
-        // nearest (IVF-probed, exact-cosine-ranked) neighbors, ties to
-        // the smallest label — the standard label-quality / mislabel
-        // audit at corpus scale. The vote is a count + lexicographic
-        // argmax (order-independent, engine-exact); the true label
-        // joins back for a per-row correctness flag so downstream can
-        // aggregate accuracy without re-running the vote.
-        val nn = Similarity.ivfTopKFrom(sharedIvfDists(s, dir), IvfProbe, k = 3)
-        val lab = tbl(s, dir, "embeddings")
-          .select(col("vec_id"), col("label").cast("long").as("lab"))
-        nn.join(lab.select(col("vec_id").as("c_id"), col("lab")), "c_id")
-          .groupBy(col("q_id"), col("lab")).agg(count(lit(1)).as("votes"))
-          .groupBy(col("q_id"))
-          .agg(max(struct(col("votes"), (-col("lab")).as("nl"))).as("m"))
-          .select(col("q_id"), (-col("m.nl")).as("pred_label"),
-            col("m.votes").as("votes"))
-          .join(lab.select(col("vec_id").as("q_id"), col("lab").as("true_label")), "q_id")
-          .withColumn("correct",
-            when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
-          .orderBy("q_id")
-      },
-      Some(s"""
-        WITH $ivfPreludeSql,
-        probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
-                     SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
-                       ORDER BY d2, cid) AS pr
-                     FROM dists d JOIN av a ON a.vec_id = d.vec_id)
-                   WHERE pr <= $IvfProbe),
-        cand AS (SELECT p.q_id, s.vec_id AS c_id,
-                   ${intDotSql("p.q_ie", "s.ie")} AS idot,
-                   p.q_aa, sa.aa AS c_aa
-                 FROM probes p
-                 JOIN assign s ON s.cell = p.cell AND s.vec_id != p.q_id
-                 JOIN av sa ON sa.vec_id = s.vec_id),
-        scored AS (SELECT q_id, c_id,
-                     CASE WHEN q_aa = 0 OR c_aa = 0 THEN 0.0
-                          ELSE idot / (sqrt(CAST(q_aa AS DOUBLE))
-                                       * sqrt(CAST(c_aa AS DOUBLE))) END AS cos
-                   FROM cand),
-        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                     ORDER BY cos DESC, c_id) AS rank FROM scored),
-        nn AS (SELECT q_id, c_id FROM ranked WHERE rank <= 3),
-        votes AS (SELECT n.q_id, CAST(e.label AS BIGINT) AS lab, count(*) AS votes
-                  FROM nn n JOIN embeddings e ON e.vec_id = n.c_id
-                  GROUP BY 1, 2),
-        pick AS (SELECT q_id, lab, votes, row_number() OVER (
-                   PARTITION BY q_id ORDER BY votes DESC, lab) AS rn
-                 FROM votes)
-        SELECT p.q_id, p.lab AS pred_label, p.votes,
-               CAST(e.label AS BIGINT) AS true_label,
-               CAST(CASE WHEN p.lab = CAST(e.label AS BIGINT)
-                    THEN 1 ELSE 0 END AS BIGINT) AS correct
-        FROM pick p JOIN embeddings e ON e.vec_id = p.q_id
-        WHERE p.rn = 1 ORDER BY p.q_id""")),
+      (s, dir) => knnClassifyDf(s, dir, sharedIvfDists(s, dir)),
+      Some(knnClassifySql(ivfPreludeSql))),
+
+    QDef(
+      "sim_knn_classify_scaled",
+      (s, dir) =>
+        // the SCALE-FORM twin: the same vote served off the √N-cells
+        // index, so per-probe candidate sets stay ~√N as the corpus
+        // grows — no registered ANN consumer is left pinned to the
+        // 16-cell operating point (the r7 verdict's remaining weak
+        // spot). The pinned form stays registered for oracle-stable
+        // recall comparisons across corpus sizes.
+        knnClassifyDf(s, dir, sharedIvfDistsScaled(s, dir)),
+      Some(knnClassifySql(ivfPreludeSqlWith(scaledCellsSql)))),
 
     QDef(
       "sim_corpus_spread",
@@ -438,33 +491,20 @@ object SimilarityQueries {
         Similarity.ivfPrefixRerankTopK(sharedIvfDists(s, dir), IvfProbe,
             prefixDims = 8, shortlist = 10, k = 3)
           .orderBy("q_id", "rank"),
-      Some(s"""
-        WITH $ivfPreludeSql,
-        probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
-                     SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
-                       ORDER BY d2, cid) AS pr
-                     FROM dists d JOIN av a ON a.vec_id = d.vec_id)
-                   WHERE pr <= $IvfProbe),
-        coarse AS (SELECT p.q_id, s.vec_id AS c_id, p.q_ie, s.ie AS c_ie,
-                     p.q_aa, sa.aa AS c_aa,
-                     ${intDotSql("list_slice(p.q_ie, 1, 8)", "list_slice(s.ie, 1, 8)")} AS pdot
-                   FROM probes p
-                   JOIN assign s ON s.cell = p.cell AND s.vec_id != p.q_id
-                   JOIN av sa ON sa.vec_id = s.vec_id),
-        short AS (SELECT * FROM (
-                    SELECT *, row_number() OVER (PARTITION BY q_id
-                      ORDER BY pdot DESC, c_id) AS crank FROM coarse)
-                  WHERE crank <= 10),
-        scored AS (SELECT q_id, c_id,
-                     CASE WHEN q_aa = 0 OR c_aa = 0 THEN 0.0
-                          ELSE ${intDotSql("q_ie", "c_ie")} /
-                               (sqrt(CAST(q_aa AS DOUBLE))
-                                * sqrt(CAST(c_aa AS DOUBLE))) END AS cos
-                   FROM short),
-        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                     ORDER BY cos DESC, c_id) AS rank FROM scored)
-        SELECT q_id, c_id, cos, CAST(rank AS INT) AS rank
-        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+      Some(prefixRerankSql(ivfPreludeSql))),
+
+    QDef(
+      "sim_ivf_rerank_scaled",
+      (s, dir) =>
+        // the SCALE-FORM twin of the Matryoshka funnel: cells track √N,
+        // so both funnel stages (prefix shortlist, full-width rerank)
+        // see ~√N candidates per probe at any corpus size. With this
+        // and sim_knn_classify_scaled, every IVF consumer has a
+        // registered scale-form serving path.
+        Similarity.ivfPrefixRerankTopK(sharedIvfDistsScaled(s, dir), IvfProbe,
+            prefixDims = 8, shortlist = 10, k = 3)
+          .orderBy("q_id", "rank"),
+      Some(prefixRerankSql(ivfPreludeSqlWith(scaledCellsSql)))),
 
     QDef(
       "sim_cosine_topk",

@@ -745,15 +745,18 @@ object StatQueries {
         // distributed simple-OLS per event type: regress purchase value
         // (cents) on hour-of-day with the closed-form normal equations —
         // b1 = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Every moment is an
-        // order-free integer sum, and num/den stay decimal(38,0)
-        // END-TO-END (HUGEINT-width on the DuckDB side, cast to the
-        // same decimal type): n·Σxy crosses 2^63 at roughly 10^7
-        // events per group, where a long output would silently null in
-        // non-ANSI Spark while DuckDB's CAST raises — so no narrowing
-        // cast exists anywhere. The only float is the final division
-        // (decimal→double is the same round-to-nearest of the exact
-        // integer in both engines — the stat_linear_regression
-        // precedent). Shape: one fact-grain map + one map-side-combined
+        // order-free integer sum, and num/den are computed in
+        // decimal(38,0) (HUGEINT on the DuckDB side): n·Σxy crosses
+        // 2^63 at roughly 10^7 events per group, where a long would
+        // silently null in non-ANSI Spark while DuckDB's CAST raises —
+        // so no narrowing cast exists in the ARITHMETIC. The wide
+        // integers cross the output boundary as DOUBLE: round-7 lesson —
+        // DECIMAL(38,0) OUTPUT cells do not hash-canonicalize
+        // identically across the two engines (the driver's compare
+        // formats decimals differently), while decimal→double /
+        // hugeint→double is the same IEEE round-to-nearest of the exact
+        // integer in both. Keep exact wide types internal; emit floats.
+        // Shape: one fact-grain map + one map-side-combined
         // groupBy — OLS at 100 TB is exactly one aggregation pass.
         val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
         val e = tbl(s, dir, "events")
@@ -766,11 +769,10 @@ object StatQueries {
             sum(col("x") * col("y")).as("sxy"))
           .select(col("event_type"), col("n"),
             (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
-              .cast("decimal(38,0)").as("b1_num"),
+              .cast("double").as("b1_num"),
             (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
-              .cast("decimal(38,0)").as("b1_den"))
-          .withColumn("slope_cents_per_hour",
-            col("b1_num").cast("double") / col("b1_den").cast("double"))
+              .cast("double").as("b1_den"))
+          .withColumn("slope_cents_per_hour", col("b1_num") / col("b1_den"))
           .orderBy("event_type")
       },
       Some("""
@@ -784,8 +786,8 @@ object StatQueries {
                 CAST(sum(x * y) AS HUGEINT) AS sxy
               FROM e GROUP BY 1)
         SELECT event_type, n,
-               CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS b1_num,
-               CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS b1_den,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS b1_num,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS b1_den,
                CAST(n * sxy - sx * sy AS DOUBLE) /
                  CAST(n * sxx - sx * sx AS DOUBLE)
                  AS slope_cents_per_hour
