@@ -19,9 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * forbids recursive updates from inside a mapping function.
   *
   * SECOND TIER — parquet spill keyed by the same content fingerprint
-  * (`tmp/artifacts/<table>_<key>_<fp>`): a fresh JVM over unchanged
-  * input RELOADS the artifact instead of rebuilding it, so the bench
-  * setup phase on a re-run costs file scans, not k-means/CC training.
+  * (`tmp/artifacts/<table>_<key>_<dirtag>_<fp>`): a fresh JVM over
+  * unchanged input RELOADS the artifact instead of rebuilding it, so
+  * the bench setup phase on a re-run costs file scans, not k-means/CC
+  * training. The `<dirtag>` segment scopes the spill to its sf DIR:
+  * "stale generation" means the SAME dir's data regenerated (same tag,
+  * different fp — delete), not a sibling scale's index (different tag
+  * — keep), so a verify at sf0.01 no longer clobbers the sf0.1 bench
+  * spills between driver phases and each scale's reload survives.
   * Built artifacts are written once (atomic temp-dir rename — a racing
   * second writer loses and reads the winner's files) and read back, so
   * even first-build consumers hold a frame whose lineage is a trivial
@@ -104,9 +109,17 @@ object Artifacts {
   private def spillRoot: String =
     sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "tmp/artifacts")
 
+  /** 8-hex tag of the sf dir's absolute path — scopes spill names (and
+    * stale-spill deletion) per input dir so different scales coexist.
+    */
+  private def dirTag(dir: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(
+      new java.io.File(dir).getAbsolutePath)}%08x"
+
   private def loadOrBuild(s: SparkSession, dir: String, table: String,
       fp: Long, key: String)(build: => DataFrame): DataFrame = {
-    val name = s"${table}_${key}_${java.lang.Long.toHexString(fp)}"
+    val scope = s"${table}_${key}_${dirTag(dir)}"
+    val name = s"${scope}_${java.lang.Long.toHexString(fp)}"
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(spillRoot)
     val fs = root.getFileSystem(conf)
@@ -114,15 +127,18 @@ object Artifacts {
     val ok = new org.apache.hadoop.fs.Path(dest, "_SUCCESS")
     if (fs.exists(ok)) return s.read.parquet(dest.toString)
     val built = build
-    // drop indexes of superseded generations of this (table, key) —
+    // drop indexes of superseded generations of this (dir, table, key) —
     // matched EXACTLY by stripping the trailing _<hexfp> segment: a
     // startsWith prefix test would let key "ivf_dists" claim (and
     // delete) "ivf_dists_scaled"'s current spill dirs, breaking the
-    // already-loaded scaled frame's parquet-scan lineage on re-scan
+    // already-loaded scaled frame's parquet-scan lineage on re-scan.
+    // (The un-tagged base is the pre-dirtag spill format — clean those
+    // leftovers too while we're here.)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       val cut = n.lastIndexOf('_')
-      if (cut > 0 && n.substring(0, cut) == s"${table}_${key}" && n != name)
+      val base = if (cut > 0) n.substring(0, cut) else n
+      if ((base == scope || base == s"${table}_${key}") && n != name)
         try fs.delete(st.getPath, true) catch { case _: Throwable => () }
     }
     val tmp = new org.apache.hadoop.fs.Path(root,
