@@ -166,4 +166,39 @@ class PlanShapeSpec extends SparkSpec {
       s"stale domainBoundedWindow exceptions (query no longer plans an " +
         s"unpartitioned window): ${stale.toSeq.sorted.mkString(", ")}")
   }
+
+  test("no interior global sort whose ordering is destroyed upstream") {
+    // A global Sort is a range-exchange + per-partition sort — fine as
+    // the FINAL presentation ordering (every oracle query ends with
+    // one), and fine under a limit (top-k). But a global sort whose
+    // output then flows into an aggregate / join / exchange / another
+    // sort paid the full O(N log N) + shuffle for an ordering the
+    // consumer immediately destroys — at 100 TB that's a wasted
+    // full-data range shuffle. Walk from the root tracking whether any
+    // ancestor destroys ordering; flag global sorts in destroyed
+    // territory.
+    import org.apache.spark.sql.execution._
+    def orderPreserving(p: SparkPlan): Boolean = p match {
+      case _: ProjectExec | _: FilterExec | _: CollectLimitExec |
+           _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec |
+           _: WholeStageCodegenExec | _: InputAdapter | _: CoalesceExec |
+           _: ColumnarToRowExec => true
+      case _ => false
+    }
+    def wastedSorts(p: SparkPlan, destroyed: Boolean): Seq[SortExec] = p match {
+      case s: SortExec if s.global =>
+        // anything below a global sort that is itself a global sort is
+        // wasted — the upper sort re-orders everything
+        (if (destroyed) Seq(s) else Nil) ++ s.children.flatMap(wastedSorts(_, true))
+      case other =>
+        val d = destroyed || !orderPreserving(other)
+        other.children.flatMap(wastedSorts(_, d))
+    }
+    val offenders = plans.collect {
+      case (name, p) if wastedSorts(p, destroyed = false).nonEmpty => name
+    }
+    assert(offenders.isEmpty,
+      s"interior global sort (ordering destroyed by an upstream operator) " +
+        s"in: ${offenders.mkString(", ")}")
+  }
 }
