@@ -537,6 +537,96 @@ object SimilarityQueries {
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     QDef(
+      "sim_ivf_recall_audit",
+      (s, dir) => {
+        // self-auditing retrieval quality: recall@3 of the √N-cells IVF
+        // serving path against EXACT brute-force cosine ground truth on
+        // the bounded 20-query hash reservoir (the same deterministic
+        // query set sim_cosine_topk ranks). Truth is 20·N work — scale-
+        // safe because the query set is bounded by construction; the
+        // join is a 60-row broadcast lookup into the IVF result. This
+        // registers the recall/latency tradeoff as a FIRST-CLASS oracled
+        // query instead of a spec-only number (AnnRecallSpec), so a
+        // corpus or index change that silently collapses recall fails
+        // the correctness gate, not just a test. Truth ranks double
+        // cosine, IVF ranks integer-quantized cosine — membership
+        // overlap of the two top-3 sets is the audited quantity.
+        // Expect LOW absolute recall on these isotropic synthetic
+        // vectors (nprobe=2 of √N cells probes a shrinking corpus
+        // fraction; no cluster structure to exploit — the same
+        // documented caveat as sim_ivf_prefix_rerank): the audit's
+        // value is that the number is pinned and oracled, so serving
+        // changes move it VISIBLY. Production tuning scales nprobe
+        // with cells to hold the probed fraction.
+        val truth = Similarity.cosineTopKSampled(
+            tbl(s, dir, "embeddings"), "vec_id", "embedding",
+            nQueries = 20, k = 3)
+          .select(col("q_id"), col("c_id"))
+        val approx = Similarity.ivfTopKFrom(sharedIvfDistsScaled(s, dir), IvfProbe, k = 3)
+          .select(col("q_id").as("aq"), col("c_id").as("ac"))
+        truth
+          .join(approx,
+            col("q_id") === col("aq") && col("c_id") === col("ac"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(col("aq").isNotNull, 1L).otherwise(0L)).as("hits"))
+          .select(col("n_truth"), col("hits"),
+            (col("hits").cast("double") / col("n_truth").cast("double"))
+              .as("recall"))
+      },
+      Some(s"""
+        WITH ${ivfPreludeSqlWith(scaledCellsSql)},
+        probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
+                     SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY d2, cid) AS pr
+                     FROM dists d JOIN av a ON a.vec_id = d.vec_id)
+                   WHERE pr <= $IvfProbe),
+        acand AS (SELECT p.q_id, s.vec_id AS c_id,
+                    ${intDotSql("p.q_ie", "s.ie")} AS idot,
+                    p.q_aa, sa.aa AS c_aa
+                  FROM probes p
+                  JOIN assign s ON s.cell = p.cell AND s.vec_id != p.q_id
+                  JOIN av sa ON sa.vec_id = s.vec_id),
+        ascored AS (SELECT q_id, c_id,
+                      CASE WHEN q_aa = 0 OR c_aa = 0 THEN 0.0
+                           ELSE idot / (sqrt(CAST(q_aa AS DOUBLE))
+                                        * sqrt(CAST(c_aa AS DOUBLE))) END AS cos
+                    FROM acand),
+        approx AS (SELECT q_id, c_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, c_id) AS rank FROM ascored)
+                   WHERE rank <= 3),
+        p AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings),
+        tq AS (SELECT vec_id, emb FROM (
+                 SELECT vec_id, emb,
+                   ${SamplingQueries.hashSql("CAST(vec_id AS VARCHAR)", 1000000000)} AS b
+                 FROM p) s ORDER BY b, vec_id LIMIT 20),
+        tscored AS (
+          SELECT tq.vec_id AS q_id, c.vec_id AS c_id,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(tq.emb, c.emb), z -> z[1] * z[2])),
+              (acc, x) -> acc + x) /
+            (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(tq.emb, tq.emb), z -> z[1] * z[2])),
+               (acc, x) -> acc + x)) *
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(c.emb, c.emb), z -> z[1] * z[2])),
+               (acc, x) -> acc + x))) AS cos
+          FROM tq JOIN p c ON tq.vec_id != c.vec_id),
+        truth AS (SELECT q_id, c_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, c_id) AS rank FROM tscored)
+                  WHERE rank <= 3)
+        SELECT count(*) AS n_truth,
+               CAST(sum(CASE WHEN a.q_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits,
+               CAST(sum(CASE WHEN a.q_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        FROM truth t LEFT JOIN approx a
+          ON a.q_id = t.q_id AND a.c_id = t.c_id""")),
+
+    QDef(
       "sim_ann_lsh_buckets",
       (s, dir) =>
         tbl(s, dir, "embeddings")
