@@ -1573,6 +1573,48 @@ object ExtrasQueries {
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QDef(
+      "agg_cohort_revenue",
+      (s, dir) => {
+        // cohort LTV curves: purchase revenue by (signup cohort week ×
+        // weeks-since-signup), with the running cumulative — the
+        // money-side companion to agg_retention_weekly (same cohort
+        // keying, revenue instead of presence). Revenue sums as exact
+        // cents; the cumulative window partitions by COHORT over the
+        // bounded weeks-offset domain, so the expensive stages are one
+        // user-grain min, one user-keyed equi-join, one cells-grain sum
+        // — keyed all the way at any user count.
+        val ev = tbl(s, dir, "events")
+          .select(col("user_id"),
+            expr("(unix_timestamp(ts) div 86400) div 7").as("wk"),
+            when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long")).otherwise(0L).as("rev_c"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+        val cells = ev.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+          .agg(sum(col("rev_c")).as("rev_c"))
+        val w = Window.partitionBy(col("cohort_wk")).orderBy(col("offset_wk"))
+        cells
+          .withColumn("cum_rev_c", sum(col("rev_c")).over(w))
+          .orderBy("cohort_wk", "offset_wk")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id,
+                      (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS wk,
+                      CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END AS rev_c
+                    FROM events),
+        co AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+        cells AS (SELECT co.cohort_wk, ev.wk - co.cohort_wk AS offset_wk,
+                    CAST(sum(ev.rev_c) AS BIGINT) AS rev_c
+                  FROM ev JOIN co ON co.user_id = ev.user_id
+                  GROUP BY 1, 2)
+        SELECT cohort_wk, offset_wk, rev_c,
+               CAST(sum(rev_c) OVER (PARTITION BY cohort_wk ORDER BY offset_wk)
+                 AS BIGINT) AS cum_rev_c
+        FROM cells ORDER BY cohort_wk, offset_wk""")),
+
+    QDef(
       "tpch_q15_top_supplier",
       (s, dir) => {
         // TPC-H Q15 shape: the revenue view (per-supplier quarter

@@ -162,6 +162,55 @@ object TextQueries {
         FROM toks GROUP BY 1 ORDER BY n DESC, word_id LIMIT 20""")),
 
     QDef(
+      "text_readability",
+      (s, dir) => {
+        // Flesch reading-ease per document on EXACT integer counts, no
+        // per-word explode: words = whitespace tokens; sentences =
+        // terminator characters [.!?]; syllables = vowel groups, counted
+        // corpus-portably as len(each [aeiou]+ group collapsed to one
+        // char) − len(groups removed) — whitespace already breaks
+        // groups, so the whole-text count equals the per-word sum. The
+        // score is the fixed 206.835 − 1.015(w/s) − 84.6(sy/w) double
+        // formula of the three exact integers, identical IEEE ops in
+        // both engines. Pure projection — zero shuffles before the
+        // presentation sort; the readability gate runs at corpus scan
+        // speed at any corpus size.
+        val t = lower(col("text"))
+        val nWords = size(TextFunctions.tokens(col("text"))).cast("long")
+        val nSents = length(regexp_replace(col("text"), "[^.!?]", "")).cast("long")
+        val nSyll = (length(regexp_replace(t, "[aeiou]+", ".")) -
+          length(regexp_replace(t, "[aeiou]+", ""))).cast("long")
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sents"),
+            nSyll.as("n_syll"))
+          .withColumn("flesch",
+            when(col("n_sents") > 0 && col("n_words") > 0,
+              lit(206.835) -
+                lit(1.015) * (col("n_words").cast("double") /
+                  col("n_sents").cast("double")) -
+                lit(84.6) * (col("n_syll").cast("double") /
+                  col("n_words").cast("double"))))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+            CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT)
+              AS n_sents,
+            CAST(length(regexp_replace(lower(text), '[aeiou]+', '.', 'g')) -
+                 length(regexp_replace(lower(text), '[aeiou]+', '', 'g'))
+              AS BIGINT) AS n_syll
+          FROM documents)
+        SELECT doc_id, n_words, n_sents, n_syll,
+               CASE WHEN n_sents > 0 AND n_words > 0 THEN
+                 206.835 - 1.015 * (CAST(n_words AS DOUBLE) /
+                                    CAST(n_sents AS DOUBLE))
+                         - 84.6 * (CAST(n_syll AS DOUBLE) /
+                                   CAST(n_words AS DOUBLE)) END AS flesch
+        FROM c ORDER BY doc_id""")),
+
+    QDef(
       "text_bigram_topk",
       (s, dir) =>
         // corpus bigram frequencies, top 20: the adjacent-pair extraction

@@ -46,6 +46,52 @@ object WindowExtraQueries {
         WHERE rk <= 3 ORDER BY hour_start, rk""")),
 
     QDef(
+      "win_twap_daily",
+      (s, dir) => {
+        // time-weighted average value per day (the TWAP every metrics
+        // pipeline wants when observations arrive unevenly): each
+        // observation is weighted by the seconds until the NEXT
+        // observation that day, so a value that held for an hour counts
+        // 3600× one that held a second. All integer arithmetic —
+        // v_cents·dt_seconds sums as longs, one double division at the
+        // end — and the lead window partitions by DAY (parallel across
+        // the calendar, never a global funnel; event_id breaks ts ties
+        // for a total order).
+        val e = tbl(s, dir, "events").select(
+          unix_timestamp(date_trunc("day", col("ts"))).as("day"),
+          unix_timestamp(col("ts")).as("t"),
+          cents(col("value")).as("v"), col("event_id"))
+        val w = Window.partitionBy(col("day")).orderBy(col("t"), col("event_id"))
+        e.withColumn("dt", lead(col("t"), 1).over(w) - col("t"))
+          .filter(col("dt").isNotNull)
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_obs"),
+            sum(col("v") * col("dt")).as("twap_num"),
+            sum(col("dt")).as("twap_den"))
+          .withColumn("twap_cents",
+            when(col("twap_den") > 0,
+              col("twap_num").cast("double") / col("twap_den").cast("double")))
+          .orderBy("day")
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                 CAST(round(value * 100) AS BIGINT) AS v, event_id
+          FROM events),
+        d AS (SELECT day, v,
+                lead(t) OVER (PARTITION BY day ORDER BY t, event_id) - t AS dt
+              FROM e)
+        SELECT day, count(*) AS n_obs,
+               CAST(sum(v * dt) AS BIGINT) AS twap_num,
+               CAST(sum(dt) AS BIGINT) AS twap_den,
+               CASE WHEN sum(dt) > 0 THEN
+                 CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE) END
+                 AS twap_cents
+        FROM d WHERE dt IS NOT NULL
+        GROUP BY day ORDER BY day""")),
+
+    QDef(
       "win_percentile_bands",
       (s, dir) =>
         // percent_rank + cume_dist per market segment over a TOTAL
