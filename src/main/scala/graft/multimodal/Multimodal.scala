@@ -73,6 +73,13 @@ final case class VideoFramePx(
     height: Long,
     px_crc: Long)
 
+/** One fixed-width window of decoded PCM samples: exact-integer energy
+  * (`sumsq` = Σ s², `peak` = max |s|) so downstream RMS/silence math is
+  * bit-reproducible; `n` < `win` only on the trailing partial window.
+  */
+final case class AudioWindow(
+    doc_id: Long, win_id: Long, n: Int, sumsq: Long, peak: Int)
+
 final case class AudioMeta(
     doc_id: Long,
     n_bytes: Long,
@@ -583,6 +590,72 @@ object Multimodal {
     * [[decodeWavPcm]] gate. Same one-decoder-per-partition
     * mapPartitions batch shape as [[decode]].
     */
+  /** 16-bit PCM sample decode: the interleaved int16 stream behind
+    * [[decodeAudio]]'s metadata, for feature extraction (RMS windows,
+    * silence detection). Same RIFF/WAVE gate and PCM contract; returns
+    * None for non-WAV bytes, non-16-bit formats, or absurd lengths.
+    */
+  def decodeWavPcm16Samples(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    val riffWave = bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+    if (!riffWave) None else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val frames = ais.getFrameLength
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16 || frames <= 0 || frames > MaxDecodeFrames)
+          None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              (if (f.isBigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff))
+               else ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort
+            i += 1
+          }
+          Some((f.getSampleRate.toInt, f.getChannels, out))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batch windowed audio energy: decode 16-bit PCM, split the
+    * interleaved sample stream into `win`-sample windows, and emit one
+    * row per window with exact-integer sum-of-squares and peak — the
+    * feature-extraction pass (RMS loudness, silence trimming) of an
+    * audio training-data pipeline. Per-blob work inside mapPartitions;
+    * at scale the row count is samples/win per blob, never samples.
+    */
+  def decodeAudioWindows(blobs: Dataset[MediaBlob], win: Int): Dataset[AudioWindow] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        decodeWavPcm16Samples(b.content).iterator.flatMap {
+          case (_, _, samples) =>
+            samples.grouped(win).zipWithIndex.map { case (w, wi) =>
+              var sq = 0L
+              var pk = 0
+              var i = 0
+              while (i < w.length) {
+                val s = w(i).toInt
+                sq += s.toLong * s
+                val a = math.abs(s)
+                if (a > pk) pk = a
+                i += 1
+              }
+              AudioWindow(b.doc_id, wi.toLong, w.length, sq, pk)
+            }
+        }
+      }
+    }
+  }
+
   def decodeAudio(blobs: Dataset[MediaBlob]): Dataset[AudioMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
@@ -1113,6 +1186,12 @@ object Multimodal {
     */
   def fixtureWavSamples(which: Int): (Int, Int, Array[Short]) = which match {
     case 0 => (8000, 1, Array.tabulate(64)(i => (i * 997 - 31000).toShort))
+    case 2 =>
+      // leading all-zero window then a quiet tone: exercises the silence
+      // flag of the windowed-RMS query (window 32 -> win 0 silent,
+      // wins 1-2 quiet but above threshold)
+      (8000, 1, Array.tabulate(96)(i =>
+        if (i < 32) 0.toShort else (((i * 211) % 4000) - 2000).toShort))
     case _ => (16000, 2, Array.tabulate(96)(i => ((i * 571) % 60000 - 30000).toShort))
   }
 
@@ -1122,6 +1201,19 @@ object Multimodal {
   def fixtureWavBlobs(spark: SparkSession): Dataset[MediaBlob] = {
     import spark.implicits._
     (0 until 2).map { i =>
+      val (rate, ch, samples) = fixtureWavSamples(i)
+      MediaBlob(-21L - i, "audio", makeWav(rate, ch, samples))
+    }.toDS()
+  }
+
+  /** All three WAV fixtures (doc_id -21 mono, -22 stereo, -23 the
+    * silence-flag fixture) — the windowed-RMS query's input set;
+    * [[fixtureWavBlobs]] keeps the original pair for the metadata query
+    * whose oracle hardcodes two rows.
+    */
+  def fixtureWavBlobsRms(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    (0 until 3).map { i =>
       val (rate, ch, samples) = fixtureWavSamples(i)
       MediaBlob(-21L - i, "audio", makeWav(rate, ch, samples))
     }.toDS()

@@ -135,6 +135,26 @@ object Similarity {
   def intEmbedding(embCol: Column): Column =
     transform(embCol, x => floor(x.cast("double") * 1000).cast("long"))
 
+  /** Johnson–Lindenstrauss-style random projection of the integer
+    * embedding onto `outDims` fixed pseudo-random integer hyperplanes —
+    * the dimensionality-reduction pass before cheap distance serving
+    * (store 16 int64s instead of 64 floats; inner products on the
+    * projected vectors approximate scaled originals). Weights come from
+    * the same `(k*37 + d*17) % 7 - 3` family as [[planeWeights]]
+    * (mean 0, bounded), so every output coordinate is an EXACT int64
+    * dot the DuckDB oracle reproduces bit-for-bit. Pure projection —
+    * no shuffle; each coordinate is a codegen'd integer dot, and
+    * linearity (P(x+y) = Px + Py) holds exactly in integer arithmetic.
+    */
+  def randomProjection(
+      emb: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dims: Int): DataFrame =
+    emb.select(col(idCol), intEmbedding(col(vecCol)).as("__ie"))
+      .select(col(idCol),
+        array(planeWeights(outDims, dims).map(w =>
+          graft.functions.VectorExpressions.dotLong(col("__ie"), typedLit(w))): _*)
+          .as("proj"))
+
   /** Random-hyperplane LSH bucket id: bit k = [intdot(emb, plane_k) >= 0].
     * Bucketing is a narrow map — no shuffle; the subsequent candidate
     * join shuffles on the bucket id only.
@@ -264,7 +284,20 @@ object Similarity {
     * the setup/query split: the distance frame IS the IVF index, built
     * once per corpus and probed by every retrieval query.
     */
-  def ivfTopKFrom(dists: DataFrame, nprobe: Int, k: Int): DataFrame = {
+  def ivfTopKFrom(dists: DataFrame, nprobe: Int, k: Int): DataFrame =
+    ivfCandidatesFrom(dists, nprobe)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+
+  /** The IVF probe's scored candidate frame `(q_id, c_id, cos)` BEFORE
+    * top-k ranking — the reusable middle of the serving path, for
+    * consumers that filter candidates by a predicate top-k can't see
+    * (hard-negative mining filters by label BEFORE ranking; plain
+    * retrieval ranks directly).
+    */
+  def ivfCandidatesFrom(dists: DataFrame, nprobe: Int): DataFrame = {
     val assign = ivfArgmin(dists)
     val probes = dists
       .withColumn("pr", row_number().over(
@@ -272,7 +305,7 @@ object Similarity {
       .filter(col("pr") <= nprobe)
       .select(col("v_id").as("q_id"), col("ie").as("q_ie"),
         col("aa").as("q_aa"), col("cid").as("cell"))
-    val candidates = probes
+    probes
       .join(assign.select(col("v_id").as("c_id"), col("ie").as("c_ie"),
           col("aa").as("c_aa"), col("cell")),
         Seq("cell"))
@@ -284,11 +317,7 @@ object Similarity {
         when(col("q_aa") === 0L || col("c_aa") === 0L, lit(0.0))
           .otherwise(col("idot") /
             (sqrt(col("q_aa").cast("double")) * sqrt(col("c_aa").cast("double")))))
-    candidates
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+      .select(col("q_id"), col("c_id"), col("cos"))
   }
 
   /** Matryoshka-style two-stage serving funnel over the IVF index:

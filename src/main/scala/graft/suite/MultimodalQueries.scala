@@ -98,6 +98,44 @@ object MultimodalQueries {
       }),
 
     QDef(
+      "mm_audio_rms_windows",
+      (s, dir) =>
+        // windowed audio energy — the RMS-loudness / silence-trim pass of
+        // an audio pipeline: REAL AudioSystem 16-bit PCM decode, 32-sample
+        // windows, exact-integer sumsq/peak per window (so the oracle
+        // reproduces them from the fixture arrays alone), one IEEE
+        // sqrt+division for RMS. Fixture -23 has an all-zero first window
+        // so the silence flag fires at least once.
+        Multimodal.decodeAudioWindows(
+          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureWavBlobsRms(s)), win = 32)
+          .toDF()
+          .select(col("doc_id"), col("win_id"),
+            col("n").cast("long").as("n"), col("sumsq"),
+            col("peak").cast("long").as("peak"),
+            sqrt(col("sumsq").cast("double") / col("n")).as("rms"),
+            (col("sumsq") < col("n").cast("long") * 250000L).as("silent"))
+          .orderBy("doc_id", "win_id"),
+      Some {
+        def rows(i: Int): Seq[String] = {
+          val samples = Multimodal.fixtureWavSamples(i)._3
+          samples.grouped(32).zipWithIndex.map { case (w, wi) =>
+            val sq = w.map(s => s.toLong * s).sum
+            val pk = w.map(s => math.abs(s.toInt)).max
+            s"(CAST(${-21 - i} AS BIGINT), CAST($wi AS BIGINT), " +
+              s"CAST(${w.length} AS BIGINT), CAST($sq AS BIGINT), " +
+              s"CAST($pk AS BIGINT))"
+          }.toSeq
+        }
+        s"""SELECT doc_id, win_id, n, sumsq, peak,
+              sqrt(CAST(sumsq AS DOUBLE) / n) AS rms,
+              sumsq < n * 250000 AS silent
+            FROM (VALUES ${(0 until 3).flatMap(rows).mkString(",\n              ")})
+              AS t(doc_id, win_id, n, sumsq, peak)
+            ORDER BY doc_id, win_id"""
+      }),
+
+    QDef(
       "mm_video_meta",
       (s, dir) =>
         // REAL MP4 container metadata (ISO-BMFF box walk — pure byte

@@ -11,6 +11,9 @@ object SimilarityQueries {
   private[suite] val Planes = 4
   private[suite] val Dims = 64
 
+  /** Output dimensionality of the JL random projection. */
+  private val JlDims = 16
+
   /** SQL fragments for the integer-exact LSH (mirrors
     * Similarity.planeWeights / intEmbedding / lshBucket). Shared with
     * DedupQueries' blocked embedding dedup.
@@ -627,6 +630,118 @@ object SimilarityQueries {
           ON a.q_id = t.q_id AND a.c_id = t.c_id""")),
 
     QDef(
+      "sim_ivf_ndcg_audit",
+      (s, dir) => {
+        // graded companion to sim_ivf_recall_audit: nDCG@3 of the
+        // √N-cells IVF serving path judged by exact brute-force cosine
+        // ground truth on the same bounded 20-query reservoir.
+        // Relevance of truth rank r is 4−r (3/2/1); the approx list's
+        // DCG discounts each hit by its SERVING rank, so a correct set
+        // retrieved in the wrong order scores below recall — the metric
+        // ranking changes move that recall can't see. Discounts are
+        // PortableLog fixed-point (gain = rel·2^20 div log2q10(rank+1),
+        // exact integers), the single nDCG division is one IEEE op.
+        // Same scale shape as the recall audit: truth is 20·N bounded
+        // work, everything downstream is 60-row frames.
+        import graft.functions.PortableLog.log2q10
+        val truth = Similarity.cosineTopKSampled(
+            tbl(s, dir, "embeddings"), "vec_id", "embedding",
+            nQueries = 20, k = 3)
+          .select(col("q_id"), col("c_id"),
+            (lit(4L) - col("rank")).as("rel"), col("rank"))
+        val approx = Similarity.ivfTopKFrom(sharedIvfDistsScaled(s, dir), IvfProbe, k = 3)
+          .select(col("q_id").as("aq"), col("c_id").as("ac"),
+            col("rank").as("a_rank"))
+          .join(truth.select(col("q_id")).distinct(),
+            col("aq") === col("q_id"), "left_semi")
+        val dcg = approx
+          .join(truth.select(col("q_id").as("tq"), col("c_id").as("tc"),
+              col("rel")),
+            col("aq") === col("tq") && col("ac") === col("tc"), "left")
+          .select(col("aq"),
+            (coalesce(col("rel"), lit(0L)) * 1048576L).as("g_num"),
+            log2q10(col("a_rank") + 1).as("disc"))
+          .select(col("aq"), expr("g_num div disc").as("g"))
+          .groupBy(col("aq")).agg(sum(col("g")).as("dcg_q20"))
+        val idcg = truth
+          .select(col("q_id"), (col("rel") * 1048576L).as("g_num"),
+            log2q10(col("rank") + 1).as("disc"))
+          .select(col("q_id"), expr("g_num div disc").as("g"))
+          .groupBy(col("q_id")).agg(sum(col("g")).as("idcg_q20"))
+        idcg.join(dcg, col("q_id") === col("aq"), "left")
+          .select(col("q_id"),
+            coalesce(col("dcg_q20"), lit(0L)).as("dcg_q20"),
+            col("idcg_q20"),
+            (coalesce(col("dcg_q20"), lit(0L)).cast("double") /
+              col("idcg_q20").cast("double")).as("ndcg"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        ${ivfPreludeSqlWith(scaledCellsSql)},
+        probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
+                     SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY d2, cid) AS pr
+                     FROM dists d JOIN av a ON a.vec_id = d.vec_id)
+                   WHERE pr <= $IvfProbe),
+        acand AS (SELECT p.q_id, s.vec_id AS c_id,
+                    ${intDotSql("p.q_ie", "s.ie")} AS idot,
+                    p.q_aa, sa.aa AS c_aa
+                  FROM probes p
+                  JOIN assign s ON s.cell = p.cell AND s.vec_id != p.q_id
+                  JOIN av sa ON sa.vec_id = s.vec_id),
+        ascored AS (SELECT q_id, c_id,
+                      CASE WHEN q_aa = 0 OR c_aa = 0 THEN 0.0
+                           ELSE idot / (sqrt(CAST(q_aa AS DOUBLE))
+                                        * sqrt(CAST(c_aa AS DOUBLE))) END AS cos
+                    FROM acand),
+        approx AS (SELECT q_id, c_id, rank FROM (
+                     SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, c_id) AS rank FROM ascored)
+                   WHERE rank <= 3),
+        p AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings),
+        tq AS (SELECT vec_id, emb FROM (
+                 SELECT vec_id, emb,
+                   ${SamplingQueries.hashSql("CAST(vec_id AS VARCHAR)", 1000000000)} AS b
+                 FROM p) s ORDER BY b, vec_id LIMIT 20),
+        tscored AS (
+          SELECT tq.vec_id AS q_id, c.vec_id AS c_id,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(tq.emb, c.emb), z -> z[1] * z[2])),
+              (acc, x) -> acc + x) /
+            (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(tq.emb, tq.emb), z -> z[1] * z[2])),
+               (acc, x) -> acc + x)) *
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(c.emb, c.emb), z -> z[1] * z[2])),
+               (acc, x) -> acc + x))) AS cos
+          FROM tq JOIN p c ON tq.vec_id != c.vec_id),
+        truth AS (SELECT q_id, c_id, 4 - rank AS rel, rank FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, c_id) AS rank FROM tscored)
+                  WHERE rank <= 3),
+        dcg AS (SELECT a.q_id,
+                  CAST(sum((COALESCE(t.rel, 0) * 1048576)
+                    // ${graft.functions.PortableLog.log2q10Sql("a.rank + 1")})
+                    AS BIGINT) AS dcg_q20
+                FROM approx a
+                LEFT JOIN truth t ON t.q_id = a.q_id AND t.c_id = a.c_id, l2t
+                WHERE a.q_id IN (SELECT q_id FROM truth)
+                GROUP BY a.q_id),
+        idcg AS (SELECT q_id,
+                   CAST(sum((rel * 1048576)
+                     // ${graft.functions.PortableLog.log2q10Sql("rank + 1")})
+                     AS BIGINT) AS idcg_q20
+                 FROM truth, l2t GROUP BY q_id)
+        SELECT i.q_id, COALESCE(d.dcg_q20, 0) AS dcg_q20, i.idcg_q20,
+               CAST(COALESCE(d.dcg_q20, 0) AS DOUBLE)
+                 / CAST(i.idcg_q20 AS DOUBLE) AS ndcg
+        FROM idcg i LEFT JOIN dcg d ON d.q_id = i.q_id
+        ORDER BY i.q_id""")),
+
+    QDef(
       "sim_ann_lsh_buckets",
       (s, dir) =>
         tbl(s, dir, "embeddings")
@@ -669,27 +784,125 @@ object SimilarityQueries {
         // storage compression before ANN serving: symmetric per-vector
         // int8, scale = max |x|, q = max(-127, floor(x*127/scale)) —
         // every step a single IEEE double op, so the oracle reproduces
-        // the quantized arrays bit-for-bit. Pure projection, no shuffle.
+        // the quantized arrays bit-for-bit. Pure projection, no shuffle;
+        // the quantized vector stays an ARRAY (one row per vector) — the
+        // earlier posexplode emitted dims×N rows and the terminal sort
+        // paid for all of them (12.9× at 10× rows in the sf1 replay,
+        // write-bound); array output keeps the result row count N.
         Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding")
-          .select(col("vec_id"), col("scale"),
-            posexplode(col("q")).as(Seq("pos", "q")))
-          .orderBy("vec_id", "pos"),
+          .select(col("vec_id"), col("scale"), col("q"))
+          .orderBy("vec_id"),
       Some("""
-        WITH quant AS (
-          SELECT vec_id, scale,
-                 CASE WHEN scale = 0 THEN list_transform(vec, v -> 0)
-                      ELSE list_transform(vec, v -> CAST(
-                        greatest(-127.0, floor(CAST(v AS DOUBLE) * 127.0 / scale))
-                        AS INT)) END AS q
-          FROM (SELECT vec_id, embedding AS vec,
-                  list_max(list_transform(embedding,
-                    v -> abs(CAST(v AS DOUBLE)))) AS scale
-                FROM embeddings)),
-        idx AS (SELECT vec_id, scale, q,
-                       unnest(generate_series(1, len(q))) AS i
-                FROM quant)
-        SELECT vec_id, scale, CAST(i - 1 AS INT) AS pos, q[i] AS q
-        FROM idx ORDER BY vec_id, pos""")),
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0 THEN list_transform(vec, v -> 0)
+                    ELSE list_transform(vec, v -> CAST(
+                      greatest(-127.0, floor(CAST(v AS DOUBLE) * 127.0 / scale))
+                      AS INT)) END AS q
+        FROM (SELECT vec_id, embedding AS vec,
+                list_max(list_transform(embedding,
+                  v -> abs(CAST(v AS DOUBLE)))) AS scale
+              FROM embeddings)
+        ORDER BY vec_id""")),
+
+    QDef(
+      "sim_jl_projection",
+      (s, dir) =>
+        // dimensionality reduction for storage/serving: project the
+        // 64-dim embedding onto 16 fixed pseudo-random integer
+        // hyperplanes (JL-style; same deterministic weight family as the
+        // LSH planes, so the oracle reproduces every coordinate as an
+        // exact int64 dot). One row per vector, array output — pure
+        // projection, no shuffle.
+        Similarity.randomProjection(
+            tbl(s, dir, "embeddings"), "vec_id", "embedding",
+            outDims = JlDims, dims = Dims)
+          .orderBy("vec_id"),
+      Some(s"""
+        SELECT vec_id,
+               [${(0 until JlDims).map(planeDotSql).mkString(",\n                ")}] AS proj
+        FROM (SELECT vec_id, $intEmbSql AS ie FROM embeddings)
+        ORDER BY vec_id""")),
+
+    QDef(
+      "sim_hard_negatives",
+      (s, dir) => {
+        // hard-negative mining for contrastive/retrieval training: per
+        // query vector, the 2 most-similar IVF-probed candidates whose
+        // LABEL differs — semantically close but known-different, the
+        // pairs a contrastive loss learns most from. The label filter
+        // runs BEFORE ranking (top-k can't see it), so this serves off
+        // the candidate frame, not ivfTopKFrom; same √N-cells index and
+        // per-cell candidate bound as every scaled ANN consumer.
+        import org.apache.spark.sql.expressions.Window
+        val lab = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("lab"))
+        Similarity.ivfCandidatesFrom(sharedIvfDistsScaled(s, dir), IvfProbe)
+          .join(lab.select(col("vec_id").as("q_id"), col("lab").as("q_lab")), "q_id")
+          .join(lab.select(col("vec_id").as("c_id"), col("lab").as("neg_lab")), "c_id")
+          .filter(col("q_lab") =!= col("neg_lab"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))))
+          .filter(col("rank") <= 2)
+          .select(col("q_id"), col("q_lab"), col("c_id").as("neg_id"),
+            col("neg_lab"), col("cos"), col("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        WITH ${ivfPreludeSqlWith(scaledCellsSql)},
+        probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
+                     SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY d2, cid) AS pr
+                     FROM dists d JOIN av a ON a.vec_id = d.vec_id)
+                   WHERE pr <= $IvfProbe),
+        cand AS (SELECT p.q_id, s.vec_id AS c_id,
+                   ${intDotSql("p.q_ie", "s.ie")} AS idot,
+                   p.q_aa, sa.aa AS c_aa
+                 FROM probes p
+                 JOIN assign s ON s.cell = p.cell AND s.vec_id != p.q_id
+                 JOIN av sa ON sa.vec_id = s.vec_id),
+        scored AS (SELECT q_id, c_id,
+                     CASE WHEN q_aa = 0 OR c_aa = 0 THEN 0.0
+                          ELSE idot / (sqrt(CAST(q_aa AS DOUBLE))
+                                       * sqrt(CAST(c_aa AS DOUBLE))) END AS cos
+                   FROM cand),
+        neg AS (SELECT s.q_id, CAST(eq.label AS BIGINT) AS q_lab,
+                  s.c_id, CAST(ec.label AS BIGINT) AS neg_lab, s.cos
+                FROM scored s
+                JOIN embeddings eq ON eq.vec_id = s.q_id
+                JOIN embeddings ec ON ec.vec_id = s.c_id
+                WHERE CAST(eq.label AS BIGINT) != CAST(ec.label AS BIGINT)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, c_id) AS rank FROM neg)
+        SELECT q_id, q_lab, c_id AS neg_id, neg_lab, cos,
+               CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 2 ORDER BY q_id, rank""")),
+
+    QDef(
+      "sim_label_centroids",
+      (s, dir) =>
+        // per-label centroid of the integer embedding (floor-mean per
+        // dimension, the kmeans convention: floor of a double division
+        // on sums < 2^52 is bit-reproducible) — the embedding-drift /
+        // class-prototype monitor a training pipeline runs per batch.
+        // One explode + one map-side-combined groupBy on (label, dim);
+        // output is |labels|·dims rows, independent of corpus size.
+        tbl(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            posexplode(Similarity.intEmbedding(col("embedding")))
+              .as(Seq("dim", "v")))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+          .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+            floor(col("sv").cast("double") / col("n")).cast("long").as("c"))
+          .orderBy("label", "dim"),
+      Some(s"""
+        WITH iv AS (SELECT CAST(label AS BIGINT) AS label, $intEmbSql AS ie
+                    FROM embeddings),
+        x AS (SELECT label, dd.d, ie[dd.d] AS v
+              FROM iv, (SELECT unnest(generate_series(1, $Dims)) AS d) dd)
+        SELECT label, CAST(d - 1 AS BIGINT) AS dim, count(*) AS n,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        FROM x GROUP BY label, d ORDER BY label, dim""")),
 
     QDef(
       "dedup_semantic",

@@ -258,6 +258,53 @@ object TextQueries {
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
     QDef(
+      "text_bm25_topk",
+      (s, dir) =>
+        // BM25 ranked retrieval against a corpus-derived 5-term query
+        // (top total-frequency terms with df < N/2), exact-integer
+        // fixed-point scoring (k1=1.2, b=0.75, PortableLog idf) so the
+        // ranking is bit-reproducible — see Corpus.bm25TopDocs for the
+        // scale shape (broadcast 5-term build side, TakeOrdered top-k).
+        graft.text.Corpus.bm25TopDocs(tbl(s, dir, "documents"),
+          "doc_id", "text", nTerms = 5, k = 20),
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        toks AS (SELECT doc_id,
+               ${DedupQueries.wordHashSql("word")} AS word_id
+               FROM (SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS word
+                     FROM documents)),
+        tf AS (SELECT doc_id, word_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        dfreq AS (SELECT word_id, count(*) AS df,
+                    CAST(sum(tf) AS BIGINT) AS ttf
+                  FROM tf GROUP BY 1),
+        nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        ll AS (SELECT count(*) AS toks_total FROM toks),
+        qt AS (SELECT word_id, df FROM dfreq, nn WHERE df * 2 < n_docs
+               ORDER BY ttf DESC, word_id LIMIT 5),
+        sc AS (SELECT tf.doc_id,
+                 ((dl.dl * 1024 * n_docs) // toks_total) AS nl_q10,
+                 (${graft.functions.PortableLog.log2q10Sql("n_docs*2 - qt.df*2 + 1")}
+                  - ${graft.functions.PortableLog.log2q10Sql("qt.df*2 + 1")}) AS idf_q10,
+                 tf.tf
+               FROM tf
+               JOIN qt USING (word_id)
+               JOIN dl ON dl.doc_id = tf.doc_id, nn, ll, l2t),
+        sq AS (SELECT doc_id,
+                 ((idf_q10 * tf * 45056) // (20480 * tf + 6144 + 18 * nl_q10))
+                   AS score_q
+               FROM sc),
+        d AS (SELECT doc_id, count(*) AS n_terms,
+                CAST(sum(score_q) AS BIGINT) AS bm25_q
+              FROM sq GROUP BY 1),
+        top AS (SELECT * FROM d ORDER BY bm25_q DESC, doc_id LIMIT 20)
+        SELECT doc_id, n_terms, bm25_q,
+               CAST(row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS INT)
+                 AS rank
+        FROM top ORDER BY rank""")),
+
+    QDef(
       "pipeline_decontaminate",
       (s, dir) => {
         // train/eval contamination sweep: src0 is the held-out eval set;

@@ -51,6 +51,68 @@ object Corpus {
         col("score"), col("rank"))
   }
 
+  /** BM25 ranked retrieval: score every document against a
+    * corpus-derived query (the `nTerms` highest-total-frequency terms
+    * whose df < N/2 — frequent enough to match broadly, rare enough to
+    * carry strictly positive idf weight) and return the top `k` docs.
+    *
+    * All arithmetic is exact-integer fixed point so the ranking is
+    * bit-reproducible across engines (the tfidf lesson: a libm `ln`
+    * flips ranks between near-equal scores):
+    *   - idf_q10 = L(2(N−df)+1) − L(2df+1), the Robertson
+    *     (N−df+0.5)/(df+0.5) idf with numerator/denominator doubled to
+    *     stay integral, in 1/1024-bit units via [[PortableLog]];
+    *   - length norm nl_q10 = (dl·1024·N) div L ≈ 1024·dl/avgdl — a
+    *     per-doc integer, overflow-safe at any corpus size (dl·1024·N
+    *     < 2^63 for dl ≤ 10^5 docs of N ≤ 10^10);
+    *   - k1 = 1.2, b = 0.75 as exact rationals: the saturation
+    *     tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), multiplied through by
+    *     20·1024, is (idf_q10·tf·45056) div (20480·tf + 6144 + 18·nl_q10).
+    *
+    * Shape at 100 TB: token explode + two map-side-combined groupBys;
+    * the query-term set is a TakeOrderedAndProject over the term
+    * dictionary, broadcast into the tf frame (5-row build side); the
+    * final top-k is TakeOrderedAndProject, never a global sort.
+    */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+      nTerms: Int, k: Int): DataFrame = {
+    import graft.functions.PortableLog.log2q10
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .select(col("doc_id"), Dedup.wordId(col("word")).as("word_id"))
+    val tf = toks.groupBy(col("doc_id"), col("word_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("word_id"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+    val n = org.apache.spark.sql.graft.ColumnBridge.scalar(
+      docs.select(countDistinct(col(idCol)).as("n_docs")))
+    val l = org.apache.spark.sql.graft.ColumnBridge.scalar(
+      docs.select(sum(TextFunctions.tokenCount(col(textCol))).as("toks_total")))
+    // strict: df = N/2 would make the Robertson idf exactly zero and the
+    // term a no-op in every score
+    val qterms = dfreq.withColumn("n_docs", n)
+      .filter(col("df") * 2 < col("n_docs"))
+      .orderBy(col("ttf").desc, col("word_id"))
+      .limit(nTerms)
+      .select(col("word_id"), col("df"))
+    val scored = tf.join(broadcast(qterms), Seq("word_id"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("n_docs", n).withColumn("toks_total", l)
+      .withColumn("nl_q10", expr("(dl * 1024 * n_docs) div toks_total"))
+      .withColumn("idf_q10",
+        log2q10(col("n_docs") * 2 - col("df") * 2 + 1) -
+          log2q10(col("df") * 2 + 1))
+      .withColumn("score_q",
+        expr("(idf_q10 * tf * 45056) div (20480 * tf + 6144 + 18 * nl_q10)"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_q")).as("bm25_q"))
+    perDoc.orderBy(col("bm25_q").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25_q").desc, col("doc_id"))))
+      .select(col("doc_id"), col("n_terms"), col("bm25_q"), col("rank"))
+  }
+
   /** Train/eval contamination: training documents sharing at least
     * `minShared` 3-word shingles with ANY eval document. Returns one row
     * per contaminated training doc: (doc_id, n_eval_hits, max_shared).

@@ -217,6 +217,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4FrameTimes(untimed) === None)
   }
 
+  test("windowed audio energy: decode path reproduces raw-array window stats") {
+    import spark.implicits._
+    val (rate, ch, samples) = Multimodal.fixtureWavSamples(2)
+    val blob = MediaBlob(-23L, "audio", Multimodal.makeWav(rate, ch, samples))
+    val got = Multimodal.decodeAudioWindows(Seq(blob).toDS(), win = 32)
+      .orderBy("win_id").collect()
+    val want = samples.grouped(32).zipWithIndex.map { case (w, i) =>
+      (i.toLong, w.length, w.map(s => s.toLong * s).sum,
+        w.map(s => math.abs(s.toInt)).max)
+    }.toSeq
+    assert(got.map(a => (a.win_id, a.n, a.sumsq, a.peak)).toSeq === want)
+    // fixture 2's design: first window exactly silent, later ones not
+    assert(got.head.sumsq === 0L && got.head.peak === 0)
+    assert(got.tail.forall(_.sumsq > 0L))
+  }
+
+  test("windowed audio energy: non-WAV bytes and partial windows") {
+    import spark.implicits._
+    val text = MediaBlob(1L, "text", "not audio at all".getBytes)
+    assert(Multimodal.decodeAudioWindows(Seq(text).toDS(), 32).count() === 0L)
+    // 40 mono samples at win=32 -> windows of 32 and 8
+    val s40 = Array.tabulate(40)(i => (i * 100).toShort)
+    val b = MediaBlob(-9L, "audio", Multimodal.makeWav(8000, 1, s40))
+    val ns = Multimodal.decodeAudioWindows(Seq(b).toDS(), 32)
+      .orderBy("win_id").collect().map(_.n).toSeq
+    assert(ns === Seq(32, 8))
+  }
+
   private def be32WithTarget(a: Array[Byte], off: Int, v: Int): Unit = {
     a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
     a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte

@@ -90,4 +90,34 @@ class CorpusSpec extends SparkSpec {
     }
     assert(joined.length === 17)
   }
+
+  test("bm25: only docs containing a query term score; saturation favors higher tf") {
+    // exactly one eligible query term: 'q' has df=2 < N/2 (N=5); the c*
+    // terms appear in every doc (df=5) so the query-term selector skips
+    // them. Only docs 1 and 2 match; doc 1 (tf=3) must outrank doc 2
+    // (tf=1) despite its longer length at these BM25 constants.
+    val corpus = Seq(
+      (1L, "q q q c1 c2 c3"),
+      (2L, "q c1 c2 c3"),
+      (3L, "c1 c2 c3"),
+      (4L, "c1 c2 c3"),
+      (5L, "c1 c2 c3")
+    ).toDF("doc_id", "text")
+    val got = Corpus.bm25TopDocs(corpus, "doc_id", "text", nTerms = 5, k = 10)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(got.map(_.getInt(3)).toSeq === Seq(1, 2))
+    assert(got.forall(_.getLong(1) === 1L), "each matched exactly one query term")
+    val scores = got.map(_.getLong(2))
+    assert(scores(0) > scores(1) && scores(1) > 0L)
+  }
+
+  test("bm25: ranks are dense and scores non-increasing on the fixture corpus") {
+    val got = Corpus.bm25TopDocs(docs, "doc_id", "text", nTerms = 2, k = 10)
+      .orderBy("rank").collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getInt(3)).toSeq === (1 to got.length))
+    val s = got.map(_.getLong(2))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+  }
 }
