@@ -462,6 +462,58 @@ object GraphQueries {
         ORDER BY ra_score_m DESC, p1, p2 LIMIT 20""")),
 
     QDef(
+      "graph_adamic_adar",
+      (s, dir) => {
+        // Adamic–Adar link prediction (the log-damped sibling of
+        // graph_resource_allocation): score a non-adjacent pair by
+        // sum(1/log2(deg z)) over common neighbors z — RA's 1/deg
+        // punishes hubs linearly, AA logarithmically, the classic
+        // middle ground. Same wedge equi-join; the center weight is the
+        // exact fixed-point 2^30 div log2q10(deg) ≈ 2^20/log2(deg)
+        // (PortableLog — no libm, so the sum is order-independent and
+        // engine-identical). A common neighbor is adjacent to both
+        // endpoints, so deg(z) >= 2 and the divisor is >= 1024 — no
+        // log-of-one pole by construction.
+        import graft.functions.PortableLog.log2q10
+        val e = sharedSupportEdges(s, dir)
+        val adj = e.select(col("src").as("z"), col("dst").as("w"))
+          .unionAll(e.select(col("dst").as("z"), col("src").as("w")))
+        val degW = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+          // a deg-1 center can't close a wedge, and log2(1) = 0 would
+          // pole the weight — drop them before the division runs
+          .filter(col("deg") >= 2)
+          .select(col("z"),
+            call_function("div", lit(1073741824L), log2q10(col("deg"))).as("c"))
+        val adjW = adj.join(degW, Seq("z"))
+        adjW.as("a").join(adjW.as("b"),
+            col("a.z") === col("b.z") && col("a.w") < col("b.w"))
+          .select(col("a.w").as("p1"), col("b.w").as("p2"), col("a.c").as("c"))
+          .groupBy("p1", "p2").agg(sum(col("c")).as("aa_score_q"))
+          .join(e.select(col("src").as("p1"), col("dst").as("p2")),
+            Seq("p1", "p2"), "left_anti")
+          .orderBy(col("aa_score_q").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        $edgeSql,
+        e2 AS (SELECT src, dst FROM ew WHERE support >= 2),
+        adj AS (SELECT src AS z, dst AS w FROM e2
+                UNION ALL SELECT dst AS z, src AS w FROM e2),
+        dg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z HAVING count(*) >= 2),
+        dw AS (SELECT z,
+                 1073741824 // ${graft.functions.PortableLog.log2q10Sql("deg")} AS c
+               FROM dg, l2t),
+        aw AS (SELECT a.z, a.w, d.c FROM adj a JOIN dw d ON d.z = a.z),
+        aa AS (SELECT a.w AS p1, b.w AS p2, CAST(sum(a.c) AS BIGINT) AS aa_score_q
+               FROM aw a JOIN aw b ON a.z = b.z AND a.w < b.w
+               GROUP BY 1, 2)
+        SELECT p1, p2, aa_score_q FROM aa
+        WHERE NOT EXISTS (SELECT 1 FROM e2
+                          WHERE e2.src = aa.p1 AND e2.dst = aa.p2)
+        ORDER BY aa_score_q DESC, p1, p2 LIMIT 20""")),
+
+    QDef(
       "graph_bfs_distance",
       (s, dir) => {
         // multi-source BFS: hop distance from the seed set (every 97th

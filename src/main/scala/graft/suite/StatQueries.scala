@@ -3,6 +3,7 @@ package graft.suite
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Sampling
 import graft.text.TextFunctions
 import Registry.tbl
 
@@ -821,6 +822,97 @@ object StatQueries {
         SELECT l_orderkey, c, n_keys, n_rows,
                (1000000 * c * n_keys) // n_rows AS skew_x1e6
         FROM k, t ORDER BY c DESC, l_orderkey LIMIT 10""")),
+
+    QDef(
+      "stat_bootstrap_ci",
+      (s, dir) => {
+        // Poisson-bootstrap confidence interval for the mean order value
+        // — THE distributed bootstrap (exact multinomial resampling needs
+        // a global draw; giving each row an independent Poisson(1)
+        // multiplicity per resample doesn't, which is why Chamandy et
+        // al.'s Poisson bootstrap is what map-reduce fleets actually
+        // run). Deterministic here: the multiplicity is a CASE over the
+        // portable lattice hash of (order, resample) against the exact
+        // per-mille Poisson(1) pmf thresholds (3679/3679/1839/613/153/37,
+        // tail folded into 5), so both engines draw the identical
+        // resamples. Shape at 100 TB: one fact scan exploded x32 with a
+        // map-side-combined groupBy(b) — 32 resample rows out, never a
+        // materialized resample; the 32 means collapse to one CI row via
+        // a bounded collect_list (ci = 2nd / 31st order statistic, the
+        // ~5%/95% band at B=32). Means are one IEEE division of exact
+        // integer sums each, so sort order is engine-identical.
+        val c = tbl(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val fs = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          c.agg(sum(col("cents"))))
+        val fn = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          c.agg(count(lit(1))))
+        val h = Sampling.hashBucket(
+          concat(col("k").cast("string"), lit("|"), col("b").cast("string")),
+          10000)
+        c.select(col("k"), col("cents"),
+            explode(sequence(lit(0), lit(31))).as("b"))
+          .select(col("b"), col("cents"),
+            when(h < 3679, 0L).when(h < 7358, 1L).when(h < 9197, 2L)
+              .when(h < 9810, 3L).when(h < 9963, 4L).otherwise(5L).as("m"))
+          .filter(col("m") > 0)
+          .groupBy(col("b"))
+          .agg(sum(col("m")).as("n"), sum(col("m") * col("cents")).as("sc"))
+          .select((col("sc").cast("double") / col("n")).as("mean"))
+          .agg(count(lit(1)).as("n_resamples"),
+            sort_array(collect_list(col("mean"))).as("ms"))
+          .select(col("n_resamples"),
+            element_at(col("ms"), 2).as("ci_lo_mean"),
+            element_at(col("ms"), 31).as("ci_hi_mean"),
+            (fs.cast("double") / fn.cast("double")).as("full_mean_cents"))
+      },
+      Some(s"""
+        WITH c AS (SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders),
+        bb AS (SELECT unnest(generate_series(0, 31)) AS b),
+        hx AS (SELECT b, cents,
+                 ${SamplingQueries.hashSql(
+                   "CAST(k AS VARCHAR) || '|' || CAST(b AS VARCHAR)", 10000)} AS h
+               FROM c, bb),
+        mx AS (SELECT b, cents,
+                 CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+                      WHEN h < 9197 THEN 2 WHEN h < 9810 THEN 3
+                      WHEN h < 9963 THEN 4 ELSE 5 END AS m
+               FROM hx),
+        r AS (SELECT b, CAST(sum(m) AS BIGINT) AS n,
+                CAST(sum(m * cents) AS BIGINT) AS sc
+              FROM mx WHERE m > 0 GROUP BY b),
+        means AS (SELECT CAST(sc AS DOUBLE) / n AS mean FROM r),
+        f AS (SELECT CAST(sum(cents) AS BIGINT) AS fs, count(*) AS fn FROM c)
+        SELECT count(*) AS n_resamples,
+               (list_sort(list(mean)))[2] AS ci_lo_mean,
+               (list_sort(list(mean)))[31] AS ci_hi_mean,
+               CAST(any_value(fs) AS DOUBLE) / any_value(fn) AS full_mean_cents
+        FROM means, f""")),
+
+    QDef(
+      "dq_k_anonymity",
+      (s, dir) => {
+        // k-anonymity audit over the quasi-identifier pair
+        // (nation, market segment) — the privacy gate a training-data
+        // release runs before shipping user-derived rows: any QI group
+        // smaller than k re-identifies its members by intersection.
+        // One map-side-combined groupBy; output is the QI domain
+        // (|nations|x|segments| rows), independent of corpus size.
+        val k = 5
+        tbl(s, dir, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+            (col("n") < k).as("at_risk"))
+          .orderBy("c_nationkey", "c_mktsegment")
+      },
+      Some("""
+        SELECT c_nationkey, c_mktsegment, count(*) AS n,
+               count(*) < 5 AS at_risk
+        FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QDef(
       "dq_referential_integrity",

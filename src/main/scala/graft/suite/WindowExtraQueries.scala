@@ -556,6 +556,86 @@ object WindowExtraQueries {
         FROM t ORDER BY event_id""")),
 
     QDef(
+      "win_interpolate_linear",
+      (s, dir) => {
+        // linear interpolation of a sparse hourly gauge: regularize the
+        // per-type hourly revenue reading onto the dense hour spine
+        // (generated distributedly per group, as in agg_gap_fill_hourly)
+        // and fill interior gaps by interpolating between the nearest
+        // observed hours — what a metrics backend does for sampled
+        // gauges, where zero-fill would fabricate a reading. Two
+        // partitioned window passes (last/first ignoreNulls over
+        // one-sided frames) — one shuffle on event_type, no self-join.
+        // Exactness: observations are integer cents, hours integer
+        // epochs, so the interpolation numerator pv·(nh−h)+nv·(h−ph)
+        // and denominator nh−ph are exact int64; v_interp is one IEEE
+        // division of those. Leading/trailing gaps stay null (an edge
+        // has one neighbor — interpolation would be extrapolation).
+        val hourly = tbl(s, dir, "events")
+          .select(col("event_type"),
+            unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "h").agg(sum(col("cents")).as("v"))
+        val spine = hourly.groupBy("event_type")
+          .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        val prevF = w.rowsBetween(Window.unboundedPreceding, -1)
+        val nextF = w.rowsBetween(1, Window.unboundedFollowing)
+        spine.join(hourly, Seq("event_type", "h"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(prevF))
+          .withColumn("ph",
+            last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(prevF))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(nextF))
+          .withColumn("nh",
+            first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(nextF))
+          .select(col("event_type"), col("h").as("bucket_start"),
+            col("v").as("v_obs"),
+            (col("v").isNull && col("pv").isNotNull && col("nv").isNotNull)
+              .as("filled"),
+            when(col("v").isNotNull, col("v").cast("double"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                (col("pv") * (col("nh") - col("h")) +
+                  col("nv") * (col("h") - col("ph"))).cast("double") /
+                  (col("nh") - col("ph")))
+              .as("v_interp"))
+          .orderBy("event_type", "bucket_start")
+      },
+      Some("""
+        WITH hourly AS (SELECT event_type,
+                          CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+                          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+        spine AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS h FROM b),
+        j AS (SELECT s.event_type, s.h, hourly.v
+              FROM spine s LEFT JOIN hourly
+                ON hourly.event_type = s.event_type AND hourly.h = s.h),
+        f AS (SELECT event_type, h, v,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+                first_value(v IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+              FROM j)
+        SELECT event_type, h AS bucket_start, v AS v_obs,
+               (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS filled,
+               CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN CAST(pv * (nh - h) + nv * (h - ph) AS DOUBLE)
+                         / (nh - ph)
+               END AS v_interp
+        FROM f ORDER BY event_type, bucket_start""")),
+
+    QDef(
       "win_ewma",
       (s, dir) => {
         // truncated exponentially-weighted moving average (decay 1/2,

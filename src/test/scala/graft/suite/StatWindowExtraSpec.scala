@@ -1,0 +1,96 @@
+package graft.suite
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Invariants of the round-8 stats/window/graph additions — the oracle
+  * proves engine agreement; these prove the numbers mean what they
+  * claim (resampling calibration, privacy-flag consistency, exact
+  * interpolation algebra, link-prediction bounds).
+  */
+class StatWindowExtraSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("bootstrap CI: 32 resamples, ordered band, near the full mean") {
+    val r = run("stat_bootstrap_ci").head
+    assert(r.getAs[Long]("n_resamples") == 32)
+    val (lo, hi, full) = (r.getAs[Double]("ci_lo_mean"),
+      r.getAs[Double]("ci_hi_mean"), r.getAs[Double]("full_mean_cents"))
+    assert(lo <= hi)
+    // a 90%-ish band at B=32 should sit within a few percent of the
+    // point estimate on thousands of draws — this catches a broken
+    // multiplicity hash (all-zero or all-max collapses the band or
+    // shifts it far off)
+    assert(math.abs(lo - full) / full < 0.2, s"lo=$lo vs full=$full")
+    assert(math.abs(hi - full) / full < 0.2, s"hi=$hi vs full=$full")
+  }
+
+  test("bootstrap multiplicity hash is Poisson(1)-calibrated: mean ~ 1") {
+    import graft.operators.Sampling
+    val h = Sampling.hashBucket(
+      concat(col("o_orderkey").cast("string"), lit("|"),
+        col("b").cast("string")), 10000)
+    val m = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(explode(sequence(lit(0), lit(31))).as("b"), col("o_orderkey"))
+      .select(when(h < 3679, 0L).when(h < 7358, 1L).when(h < 9197, 2L)
+        .when(h < 9810, 3L).when(h < 9963, 4L).otherwise(5L).as("m"))
+      .agg(avg(col("m"))).head.getDouble(0)
+    // E[m] = 0.9995 under the per-mille pmf with the tail folded at 5
+    assert(math.abs(m - 1.0) < 0.05, s"mean multiplicity $m")
+  }
+
+  test("k-anonymity: group sizes partition the table, flag == (n < k)") {
+    val rows = run("dq_k_anonymity").collect()
+    val total = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("at_risk") == (r.getAs[Long]("n") < 5))
+    }
+  }
+
+  test("linear interpolation: dense spine, identity on observed rows, " +
+    "exact convex fill recomputable from the output alone") {
+    val out = run("win_interpolate_linear").collect()
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    assert(byType.nonEmpty)
+    var filledChecked = 0
+    byType.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("bucket_start"))
+      val hs = sorted.map(_.getAs[Long]("bucket_start"))
+      assert(hs.last - hs.head == 3600L * (hs.length - 1), "spine not dense")
+      sorted.foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("v_obs")))
+          assert(r.getAs[Double]("v_interp") == r.getAs[Long]("v_obs").toDouble)
+      }
+      // recompute each filled value from the nearest observed neighbors
+      val obs = sorted.zipWithIndex.filterNot(_._1.isNullAt(2)).map {
+        case (r, i) => (i, r.getAs[Long]("bucket_start"), r.getAs[Long]("v_obs"))
+      }
+      sorted.zipWithIndex.filter(_._1.getAs[Boolean]("filled")).foreach {
+        case (r, i) =>
+          val h = r.getAs[Long]("bucket_start")
+          val (_, ph, pv) = obs.filter(_._1 < i).last
+          val (_, nh, nv) = obs.find(_._1 > i).get
+          val expected = (pv * (nh - h) + nv * (h - ph)).toDouble / (nh - ph)
+          assert(r.getAs[Double]("v_interp") == expected,
+            s"fill at $h: ${r.getAs[Double]("v_interp")} != $expected")
+          filledChecked += 1
+      }
+    }
+    assert(filledChecked > 0, "no interior gap exercised the fill path")
+  }
+
+  test("Adamic-Adar: oriented non-self pairs, positive descending scores") {
+    val rows = run("graph_adamic_adar").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p1") < r.getAs[Long]("p2"))
+      assert(r.getAs[Long]("aa_score_q") > 0)
+    }
+    val scores = rows.map(_.getAs[Long]("aa_score_q"))
+    assert(scores.sameElements(scores.sortBy(-_)), "not score-descending")
+  }
+}
