@@ -848,15 +848,26 @@ object StatQueries {
           c.agg(sum(col("cents"))))
         val fn = org.apache.spark.sql.graft.ColumnBridge.scalar(
           c.agg(count(lit(1))))
-        val h = Sampling.hashBucket(
-          concat(col("k").cast("string"), lit("|"), col("b").cast("string")),
-          10000)
+        // materialize the raw hash, then the bucket, in their own
+        // projections: the scramble reads the hash twice and the CASE
+        // reads the bucket 5 times, and CollapseProject won't re-inline
+        // a non-cheap expression into multiple uses — so the string
+        // hash runs once per (row, resample), not 10 times (an earlier
+        // form also had a filter(m > 0) that pushdown re-expanded into
+        // the full hash-per-CASE-arm; m = 0 contributes zero to both
+        // sums, so no filter is needed at all)
+        val ph = graft.functions.Scalars.polyHash(
+          concat(col("k").cast("string"), lit("|"), col("b").cast("string")))
+        val hb = (((col("ph") % Sampling.MixQ1) * Sampling.MixA +
+          col("ph") % Sampling.MixQ2) % Sampling.MixQ1) % 10000
         c.select(col("k"), col("cents"),
             explode(sequence(lit(0), lit(31))).as("b"))
+          .select(col("b"), col("cents"), ph.as("ph"))
+          .select(col("b"), col("cents"), hb.as("hb"))
           .select(col("b"), col("cents"),
-            when(h < 3679, 0L).when(h < 7358, 1L).when(h < 9197, 2L)
-              .when(h < 9810, 3L).when(h < 9963, 4L).otherwise(5L).as("m"))
-          .filter(col("m") > 0)
+            when(col("hb") < 3679, 0L).when(col("hb") < 7358, 1L)
+              .when(col("hb") < 9197, 2L).when(col("hb") < 9810, 3L)
+              .when(col("hb") < 9963, 4L).otherwise(5L).as("m"))
           .groupBy(col("b"))
           .agg(sum(col("m")).as("n"), sum(col("m") * col("cents")).as("sc"))
           .select((col("sc").cast("double") / col("n")).as("mean"))
@@ -883,7 +894,7 @@ object StatQueries {
                FROM hx),
         r AS (SELECT b, CAST(sum(m) AS BIGINT) AS n,
                 CAST(sum(m * cents) AS BIGINT) AS sc
-              FROM mx WHERE m > 0 GROUP BY b),
+              FROM mx GROUP BY b),
         means AS (SELECT CAST(sc AS DOUBLE) / n AS mean FROM r),
         f AS (SELECT CAST(sum(cents) AS BIGINT) AS fs, count(*) AS fn FROM c)
         SELECT count(*) AS n_resamples,

@@ -14,9 +14,11 @@ object TimeQuery {
     val laps = if (args.length > 2) args(2).toInt else 3
     val spark = GraftSession.build("graft-timequery")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val doExplain = args.length > 3 && args(3) == "explain"
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
+      if (doExplain) fn(spark, sfDir).explain("formatted")
       val times = (0 to laps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
