@@ -275,12 +275,12 @@ object TextQueries {
                        unnest(string_split_regex(text, '\\s+')) AS word
                      FROM documents)),
         tf AS (SELECT doc_id, word_id, count(*) AS tf FROM toks GROUP BY 1, 2),
-        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
         dfreq AS (SELECT word_id, count(*) AS df,
                     CAST(sum(tf) AS BIGINT) AS ttf
                   FROM tf GROUP BY 1),
         nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        ll AS (SELECT count(*) AS toks_total FROM toks),
+        ll AS (SELECT CAST(sum(tf) AS BIGINT) AS toks_total FROM tf),
         qt AS (SELECT word_id, df FROM dfreq, nn WHERE df * 2 < n_docs
                ORDER BY ttf DESC, word_id LIMIT 5),
         sc AS (SELECT tf.doc_id,

@@ -80,15 +80,24 @@ object Corpus {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("word"))
       .select(col("doc_id"), Dedup.wordId(col("word")).as("word_id"))
+    // tf fans out to three consumers (scoring probe, dfreq, dl); cut
+    // the lineage so the tokenize+explode runs ONCE — plain reuse
+    // re-derives it per consumer (join pushdown injects per-branch
+    // filters that defeat exchange-reuse canonicalization; the measured
+    // cost was three full Generate passes, 11 s -> 4 s at 10x sf0.1)
     val tf = toks.groupBy(col("doc_id"), col("word_id"))
       .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    // dl = Σ tf per doc — never a second pass over toks
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("word_id"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
     val n = org.apache.spark.sql.graft.ColumnBridge.scalar(
       docs.select(countDistinct(col(idCol)).as("n_docs")))
+    // Σ tf == Σ tokenCount(text), but reads the checkpointed tf frame
+    // instead of regex-tokenizing the whole corpus a second time
     val l = org.apache.spark.sql.graft.ColumnBridge.scalar(
-      docs.select(sum(TextFunctions.tokenCount(col(textCol))).as("toks_total")))
+      tf.agg(sum(col("tf")).as("toks_total")))
     // strict: df = N/2 would make the Robertson idf exactly zero and the
     // term a no-op in every score
     val qterms = dfreq.withColumn("n_docs", n)
