@@ -80,6 +80,21 @@ final case class VideoFramePx(
 final case class AudioWindow(
     doc_id: Long, win_id: Long, n: Int, sumsq: Long, peak: Int)
 
+/** Result of 2:1 PCM decimation: per-channel pair floor-averages (exact
+  * integer arithmetic — floorDiv, so the value is engine-reproducible),
+  * one odd trailing frame dropped. `pcm_crc_out` fingerprints the
+  * downsampled little-endian stream in the same CRC space as
+  * [[AudioMeta]]'s input fingerprint.
+  */
+final case class AudioDownsampled(
+    doc_id: Long,
+    rate_in: Int,
+    rate_out: Int,
+    channels: Int,
+    n_frames_in: Long,
+    n_frames_out: Long,
+    pcm_crc_out: Long)
+
 final case class AudioMeta(
     doc_id: Long,
     n_bytes: Long,
@@ -651,6 +666,41 @@ object Multimodal {
               }
               AudioWindow(b.doc_id, wi.toLong, w.length, sq, pk)
             }
+        }
+      }
+    }
+  }
+
+  /** Batch 2:1 audio decimation — the sample-rate normalization pass of
+    * an audio training pipeline (fleet-standard rates like 16 kHz from
+    * 32 kHz sources). Frame t of channel c becomes
+    * floorDiv(s[2t,c] + s[2t+1,c], 2) — a box anti-alias average in
+    * exact integer arithmetic, so the output stream (and its CRC) is
+    * bit-stable on any engine. Per-blob work inside mapPartitions; the
+    * output is one row per blob regardless of audio length.
+    */
+  def downsampleAudio2x(blobs: Dataset[MediaBlob]): Dataset[AudioDownsampled] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        decodeWavPcm16Samples(b.content).iterator.map { case (rate, ch, s) =>
+          val framesIn = s.length / ch
+          val framesOut = framesIn / 2
+          val crc = new java.util.zip.CRC32
+          var t = 0
+          while (t < framesOut) {
+            var c = 0
+            while (c < ch) {
+              val v = java.lang.Math.floorDiv(
+                s(2 * t * ch + c) + s((2 * t + 1) * ch + c), 2)
+              crc.update(v & 0xff)
+              crc.update((v >> 8) & 0xff)
+              c += 1
+            }
+            t += 1
+          }
+          AudioDownsampled(b.doc_id, rate, rate / 2, ch,
+            framesIn.toLong, framesOut.toLong, crc.getValue)
         }
       }
     }

@@ -813,6 +813,95 @@ object DedupQueries {
         FROM r GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
 
     QDef(
+      "pipeline_cut_spans",
+      (s, dir) => {
+        // APPLY the Lee et al. span dedup: rebuild each document with
+        // duplicated 5-gram spans cut, keeping the globally-first
+        // occurrence of each duplicated gram (owner = min (doc, pos),
+        // encoded as one integer key so both engines pick it with a
+        // plain min). Cut coverage is the union of non-owner gram
+        // extents (an owner occurrence can still lose words to a
+        // DIFFERENT overlapping duplicated gram — the guarantee is
+        // per-gram, not per-word). Shape: the same positional-gram
+        // frame as dedup_substring_spans (8-byte hashes shuffle, never
+        // text), a x5 bounded explode for coverage, one anti-join, and
+        // a per-doc ordered rebuild — text moves exactly twice (scan,
+        // rebuild).
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val words = tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(graft.text.TextFunctions.tokens(col("text")))
+              .as(Seq("pos", "word")))
+        val g = words
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            Dedup.wordId(col("word")).as("word_id"))
+          .withColumn("w1", lead(col("word_id"), 1).over(wd))
+          .withColumn("w2", lead(col("word_id"), 2).over(wd))
+          .withColumn("w3", lead(col("word_id"), 3).over(wd))
+          .withColumn("w4", lead(col("word_id"), 4).over(wd))
+          .where(col("w4").isNotNull)
+          .select(col("doc_id"), col("pos"),
+            (((((col("word_id") * B + col("w1")) % P * B + col("w2")) % P
+              * B + col("w3")) % P * B + col("w4")) % P).as("gid"))
+        // positions stay < 2^20 per doc, so (doc, pos) packs losslessly
+        val own = g.groupBy(col("gid"))
+          .agg(countDistinct(col("doc_id")).as("nd"),
+            min(col("doc_id") * 1048576L + col("pos")).as("owner_key"))
+          .where(col("nd") >= 2).select("gid", "owner_key")
+        val cut = g.join(own, "gid")
+          .where(col("doc_id") * 1048576L + col("pos") =!= col("owner_key"))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + lit(4L))).as("cpos"))
+          .distinct()
+        val base = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+        val nCut = cut.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cut"))
+        val kept = words.as("w")
+          .join(cut.as("c"), col("w.doc_id") === col("c.doc_id") &&
+            col("w.pos").cast("long") === col("c.cpos"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+              x => x.getField("word"))).as("text_clean"))
+        base.join(nCut, Seq("doc_id"), "left").join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"),
+            coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+            coalesce(col("text_clean"), lit("")).as("text_clean"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $vocabSql,
+        g AS (SELECT doc_id, pos,
+                ((((w0 * $B + w1) % $P * $B + w2) % $P * $B + w3) % $P
+                  * $B + w4) % $P AS gid
+              FROM (SELECT doc_id, pos, word_id AS w0,
+                      lead(word_id, 1) OVER wd AS w1,
+                      lead(word_id, 2) OVER wd AS w2,
+                      lead(word_id, 3) OVER wd AS w3,
+                      lead(word_id, 4) OVER wd AS w4
+                    FROM ids
+                    WINDOW wd AS (PARTITION BY doc_id ORDER BY pos))
+              WHERE w4 IS NOT NULL),
+        own AS (SELECT gid, min(doc_id * 1048576 + pos) AS owner_key
+                FROM g GROUP BY gid HAVING count(DISTINCT doc_id) >= 2),
+        cut AS (SELECT DISTINCT doc_id, cpos FROM (
+                  SELECT g.doc_id, unnest(generate_series(pos, pos + 4)) AS cpos
+                  FROM g JOIN own USING (gid)
+                  WHERE g.doc_id * 1048576 + g.pos != own.owner_key)),
+        w AS (SELECT doc_id, pos, ts[pos] AS word FROM toks),
+        base AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY 1),
+        nc AS (SELECT doc_id, count(*) AS n_cut FROM cut GROUP BY 1),
+        kept AS (SELECT w.doc_id,
+                   string_agg(w.word, ' ' ORDER BY w.pos) AS text_clean
+                 FROM w ANTI JOIN cut
+                   ON cut.doc_id = w.doc_id AND cut.cpos = w.pos
+                 GROUP BY 1)
+        SELECT b.doc_id, b.n_words, coalesce(nc.n_cut, 0) AS n_cut,
+               coalesce(k.text_clean, '') AS text_clean
+        FROM base b LEFT JOIN nc ON nc.doc_id = b.doc_id
+        LEFT JOIN kept k ON k.doc_id = b.doc_id
+        ORDER BY b.doc_id""")),
+
+    QDef(
       "dedup_lsh_recall_audit",
       (s, dir) => {
         // sketch calibration: measure the banded-MinHash candidate

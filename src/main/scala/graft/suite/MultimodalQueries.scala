@@ -136,6 +136,43 @@ object MultimodalQueries {
       }),
 
     QDef(
+      "mm_audio_downsample",
+      (s, dir) =>
+        // 2:1 sample-rate normalization — REAL AudioSystem PCM decode,
+        // per-channel pair floor-averages in exact integers (see
+        // Multimodal.downsampleAudio2x); the oracle recomputes every
+        // row (counts AND the output-stream CRC) from the fixture
+        // sample arrays alone, an independent path from
+        // makeWav -> AudioSystem -> decimate.
+        Multimodal.downsampleAudio2x(
+          Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureWavBlobsRms(s)))
+          .toDF()
+          .orderBy("doc_id"),
+      Some {
+        def row(i: Int): String = {
+          val (rate, ch, smp) = Multimodal.fixtureWavSamples(i)
+          val framesOut = smp.length / ch / 2
+          val crc = new java.util.zip.CRC32
+          (0 until framesOut).foreach { t =>
+            (0 until ch).foreach { c =>
+              val v = java.lang.Math.floorDiv(
+                smp(2 * t * ch + c) + smp((2 * t + 1) * ch + c), 2)
+              crc.update(v & 0xff)
+              crc.update((v >> 8) & 0xff)
+            }
+          }
+          s"(CAST(${-21 - i} AS BIGINT), $rate, ${rate / 2}, $ch, " +
+            s"CAST(${smp.length / ch} AS BIGINT), CAST($framesOut AS BIGINT), " +
+            s"CAST(${crc.getValue} AS BIGINT))"
+        }
+        s"""SELECT * FROM (VALUES ${(0 until 3).map(row).mkString(",\n              ")})
+              AS t(doc_id, rate_in, rate_out, channels,
+                   n_frames_in, n_frames_out, pcm_crc_out)
+            ORDER BY doc_id"""
+      }),
+
+    QDef(
       "mm_video_meta",
       (s, dir) =>
         // REAL MP4 container metadata (ISO-BMFF box walk — pure byte

@@ -824,6 +824,39 @@ object StatQueries {
         FROM k, t ORDER BY c DESC, l_orderkey LIMIT 10""")),
 
     QDef(
+      "agg_log_histogram",
+      (s, dir) => {
+        // exponential (log2-bucketed) value histogram — the HdrHistogram
+        // shape for long-tailed metrics (latencies, money, token
+        // counts): constant relative precision, |buckets| = log2(max),
+        // where a fixed-width histogram wastes all its bins on the
+        // head. Bucket = floor(log2(cents)) via PortableLog — exact
+        // integers, no libm — so the histogram is mergeable AND
+        // engine-identical; one map-side-combined groupBy onto a
+        // ~40-row domain.
+        import graft.functions.PortableLog.log2q10
+        tbl(s, dir, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .where(col("cents") >= 1)
+          .select(call_function("div", log2q10(col("cents")), lit(Q10))
+            .as("bucket"), col("cents"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+            max(col("cents")).as("hi"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+              WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
+        b AS (SELECT ${graft.functions.PortableLog.log2q10Sql("cents")} // $Q10
+                AS bucket, cents
+              FROM c, l2t)
+        SELECT bucket, count(*) AS n, min(cents) AS lo, max(cents) AS hi
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    QDef(
       "stat_bootstrap_ci",
       (s, dir) => {
         // Poisson-bootstrap confidence interval for the mean order value

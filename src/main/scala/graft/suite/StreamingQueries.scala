@@ -19,6 +19,63 @@ object StreamingQueries {
   def all: Seq[QDef] = Seq(
 
     QDef(
+      "stream_lateness_profile",
+      (s, dir) => {
+        // watermark sizing from data: how late do events actually
+        // arrive? An event's lateness is the running max event-time
+        // seen so far in ARRIVAL order minus its own event-time; the
+        // hourly-bucket histogram per type (plus the per-type max) is
+        // exactly the evidence that picks withWatermark's delay — too
+        // small drops the tail, too large holds state. The driver data
+        // arrives time-sorted (every lateness would be 0), so arrival
+        // order is a deterministic hash shuffle of the ingest key — the
+        // same simulated-transport convention as stream_dedup_events'
+        // redelivery. One partitioned window + one map-side-combined
+        // groupBy; the per-type max frame is |types| rows, broadcast
+        // back onto the histogram.
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Sampling
+        val arrival = Sampling.hashBucket(col("event_id"), 1000000000)
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("arr"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val late = tbl(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            unix_timestamp(col("ts")).as("tsec"))
+          .withColumn("arr", arrival)
+          .withColumn("late_sec", max(col("tsec")).over(w) - col("tsec"))
+        val hist = late.groupBy(col("event_type"),
+            call_function("div", col("late_sec"), lit(3600L)).as("late_bucket"))
+          .agg(count(lit(1)).as("n"))
+        val mx = late.groupBy(col("event_type"))
+          .agg(max(col("late_sec")).as("max_late_sec"))
+        hist.join(broadcast(mx), Seq("event_type"))
+          .select(col("event_type"), col("late_bucket"), col("n"),
+            col("max_late_sec"))
+          .orderBy("event_type", "late_bucket")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                     ${SamplingQueries.hashSql(
+                       "CAST(event_id AS VARCHAR)", 1000000000)} AS arr
+                   FROM events),
+        l AS (SELECT event_type,
+                max(tsec) OVER (PARTITION BY event_type
+                  ORDER BY arr, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - tsec AS late_sec
+              FROM e),
+        h AS (SELECT event_type, late_sec // 3600 AS late_bucket,
+                count(*) AS n
+              FROM l GROUP BY 1, 2),
+        m AS (SELECT event_type, max(late_sec) AS max_late_sec
+              FROM l GROUP BY 1)
+        SELECT h.event_type, h.late_bucket, h.n, m.max_late_sec
+        FROM h JOIN m ON m.event_type = h.event_type
+        ORDER BY h.event_type, h.late_bucket""")),
+
+    QDef(
       "stream_dedup_events",
       (s, dir) => {
         // exactly-once ingestion from an at-least-once transport: the

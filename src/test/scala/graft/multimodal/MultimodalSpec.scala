@@ -233,6 +233,40 @@ class MultimodalSpec extends SparkSpec {
     assert(got.tail.forall(_.sumsq > 0L))
   }
 
+  test("2:1 audio decimation: per-channel pairing, exact floor averages, " +
+    "odd trailing frame dropped") {
+    import spark.implicits._
+    val (rate, ch, samples) = Multimodal.fixtureWavSamples(1) // stereo
+    val blob = MediaBlob(-22L, "audio", Multimodal.makeWav(rate, ch, samples))
+    val got = Multimodal.downsampleAudio2x(Seq(blob).toDS()).head()
+    assert(got.rate_in === rate && got.rate_out === rate / 2)
+    assert(got.channels === ch)
+    assert(got.n_frames_in === samples.length / ch)
+    assert(got.n_frames_out === samples.length / ch / 2)
+    // independent path: raw arrays -> per-channel floorDiv pairs -> CRC
+    val crc = new java.util.zip.CRC32
+    (0 until (samples.length / ch / 2)).foreach { t =>
+      (0 until ch).foreach { c =>
+        val v = java.lang.Math.floorDiv(
+          samples(2 * t * ch + c) + samples((2 * t + 1) * ch + c), 2)
+        crc.update(v & 0xff); crc.update((v >> 8) & 0xff)
+      }
+    }
+    assert(got.pcm_crc_out === crc.getValue)
+    // 41 mono frames decimate to 20 (trailing frame dropped), and a
+    // negative odd sum floors (not truncates): (-3 + -2) / 2 = -3
+    val odd = Array[Short](-3, -2) ++ Array.tabulate(39)(i => (i - 5).toShort)
+    val b2 = MediaBlob(-8L, "audio", Multimodal.makeWav(8000, 1, odd))
+    val g2 = Multimodal.downsampleAudio2x(Seq(b2).toDS()).head()
+    assert(g2.n_frames_out === 20)
+    val crc2 = new java.util.zip.CRC32
+    odd.take(40).grouped(2).foreach { p =>
+      val v = java.lang.Math.floorDiv(p(0) + p(1), 2)
+      crc2.update(v & 0xff); crc2.update((v >> 8) & 0xff)
+    }
+    assert(g2.pcm_crc_out === crc2.getValue)
+  }
+
   test("windowed audio energy: non-WAV bytes and partial windows") {
     import spark.implicits._
     val text = MediaBlob(1L, "text", "not audio at all".getBytes)

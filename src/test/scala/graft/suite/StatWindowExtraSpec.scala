@@ -83,6 +83,73 @@ class StatWindowExtraSpec extends SparkSpec {
     assert(filledChecked > 0, "no interior gap exercised the fill path")
   }
 
+  test("log histogram: buckets partition the rows and bound their cells " +
+    "by consecutive powers of two") {
+    val rows = run("agg_log_histogram").collect()
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nOrders)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (lo, hi) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b cells [$lo,$hi] outside [2^$b, 2^${b + 1})")
+      assert(lo <= hi)
+    }
+  }
+
+  test("lateness profile: histogram masses sum to the event count per type") {
+    val rows = run("stream_lateness_profile").collect()
+    val perType = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum == perType(t))
+      val mx = rs.map(_.getAs[Long]("max_late_sec")).distinct
+      assert(mx.length == 1 && mx.head >= 0)
+      // the max must land in the last occupied bucket
+      assert(mx.head / 3600 == rs.map(_.getAs[Long]("late_bucket")).max)
+    }
+  }
+
+  test("cut spans: token accounting closes, uncut docs round-trip, and " +
+    "cutting strictly reduces cross-doc duplicated grams") {
+    import graft.text.TextFunctions
+    val out = run("pipeline_cut_spans")
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cut") <= r.getAs[Long]("n_words"))
+    }
+    // rebuilt text re-tokenizes to exactly n_words - n_cut tokens
+    val bad = out
+      .withColumn("n_tok",
+        coalesce(size(TextFunctions.tokens(col("text_clean"))), lit(0)))
+      .filter(when(col("text_clean") === "", lit(0L))
+        .otherwise(col("n_tok").cast("long"))
+        =!= col("n_words") - col("n_cut"))
+      .count()
+    assert(bad == 0, s"$bad docs with token accounting open")
+    def dupGrams(docs: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val (b, p) = (graft.dedup.Dedup.ShingleBase, graft.dedup.Dedup.MinhashP)
+      graft.dedup.Dedup.docWordIds(docs, "doc_id", "text")
+        .withColumn("w1", lead(col("word_id"), 1).over(wd))
+        .withColumn("w2", lead(col("word_id"), 2).over(wd))
+        .withColumn("w3", lead(col("word_id"), 3).over(wd))
+        .withColumn("w4", lead(col("word_id"), 4).over(wd))
+        .where(col("w4").isNotNull)
+        .select(col("doc_id"),
+          (((((col("word_id") * b + col("w1")) % p * b + col("w2")) % p
+            * b + col("w3")) % p * b + col("w4")) % p).as("gid"))
+        .groupBy("gid").agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2).count()
+    }
+    val before = dupGrams(spark.read.parquet(s"$sfDir/documents.parquet"))
+    val after = dupGrams(out.select(col("doc_id"), col("text_clean").as("text")))
+    val anyCuts = rows.exists(_.getAs[Long]("n_cut") > 0)
+    if (anyCuts) assert(after < before, s"dup grams $before -> $after")
+  }
+
   test("Adamic-Adar: oriented non-self pairs, positive descending scores") {
     val rows = run("graph_adamic_adar").collect()
     assert(rows.nonEmpty && rows.length <= 20)
