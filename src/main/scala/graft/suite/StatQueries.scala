@@ -830,29 +830,30 @@ object StatQueries {
         // shape for long-tailed metrics (latencies, money, token
         // counts): constant relative precision, |buckets| = log2(max),
         // where a fixed-width histogram wastes all its bins on the
-        // head. Bucket = floor(log2(cents)) via PortableLog — exact
-        // integers, no libm — so the histogram is mergeable AND
-        // engine-identical; one map-side-combined groupBy onto a
+        // head. For an INTEGER floor-log2 no log table is needed at
+        // all: bucket = bit length − 1 (PortableLog's own exponent
+        // term) — a codegen'd string-length op, exact and identical in
+        // both engines. (The first cut ran log2q10's 1024-entry
+        // boundary filter per fact row: 29 s at sf0.1 vs 0.3 s this
+        // way — the q10 fraction is for POST-aggregate frames, never
+        // the fact grain.) One map-side-combined groupBy onto a
         // ~40-row domain.
-        import graft.functions.PortableLog.log2q10
         tbl(s, dir, "orders")
           .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
           .where(col("cents") >= 1)
-          .select(call_function("div", log2q10(col("cents")), lit(Q10))
-            .as("bucket"), col("cents"))
+          .select((length(bin(col("cents"))) - 1).cast("long").as("bucket"),
+            col("cents"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
             max(col("cents")).as("hi"))
           .orderBy("bucket")
       },
-      Some(s"""
-        WITH ${graft.functions.PortableLog.l2tCte},
-        c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-              FROM orders
-              WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
-        b AS (SELECT ${graft.functions.PortableLog.log2q10Sql("cents")} // $Q10
-                AS bucket, cents
-              FROM c, l2t)
+      Some("""
+        WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders
+                   WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
+        b AS (SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket, cents
+              FROM c)
         SELECT bucket, count(*) AS n, min(cents) AS lo, max(cents) AS hi
         FROM b GROUP BY bucket ORDER BY bucket""")),
 
