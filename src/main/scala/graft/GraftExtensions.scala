@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // edit-distance-join recognition: `levenshtein(a, b) <= k` (k ∈ {0,1})
     // join conditions plan as FastSS deletion-neighborhood equi-joins
     ext.injectOptimizerRule(s => new graft.plans.EditDistJoinRewrite(s))
+    // point-in-interval join recognition: `lo <= p AND p <= hi` cross-side
+    // join conditions plan as bucketed equi-joins; active only when the
+    // bin size conf spark.graft.rangeJoinRewrite.bucket is set
+    ext.injectOptimizerRule(s => new graft.plans.RangeJoinRewrite(s))
   }
 }

@@ -27,6 +27,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the range-join rewrite's bin size (epoch-second axes: 15 min —
+      // near the session/interval lengths this corpus carries). A bin
+      // hint is the standard contract for range-join optimizers; unset
+      // it (or set spark.graft.rangeJoinRewrite.enabled=false) to keep
+      // naive interval theta-joins as written
+      .config("spark.graft.rangeJoinRewrite.bucket", "900")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

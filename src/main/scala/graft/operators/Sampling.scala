@@ -101,6 +101,26 @@ object Sampling {
       .drop("__h", "__rn")
   }
 
+  /** Balance strata to the minority class: keep exactly
+    * min-over-strata(count) rows per stratum, chosen deterministically
+    * by scrambled-hash rank — the balanced-eval-set / class-rebalance
+    * unit. The minority size rides in as a scalar subquery (one
+    * |strata|-row aggregate); the per-stratum rank is a partitioned
+    * window, so the only data-grain shuffle is on the stratum key.
+    */
+  def balanceToMinority(
+      df: DataFrame, stratumCol: String, keyCol: String): DataFrame = {
+    val minN = org.apache.spark.sql.graft.ColumnBridge.scalar(
+      df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+        .agg(min(col("n"))))
+    val h = hashBucket(col(keyCol), 1000000000)
+    df.withColumn("__h", h)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("__h"), col(keyCol))))
+      .filter(col("__rn").cast("long") <= minN)
+      .drop("__h", "__rn")
+  }
+
   /** Deterministic corpus-wide shuffle: a total order by
     * (hash(key), key). The declarative orderBy is Spark's scalable
     * global sort — range sampling + a range-partitioned exchange, never

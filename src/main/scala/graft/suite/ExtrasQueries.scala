@@ -288,6 +288,51 @@ object ExtrasQueries {
         ORDER BY s.user_id, s.session_start""")),
 
     QDef(
+      "join_range_auto",
+      (s, dir) => {
+        // the SAME point-in-interval join written naively — raw
+        // `user_id = AND sec >= start AND sec < end` as the join
+        // condition. RangeJoinRewrite (installed via GraftExtensions,
+        // bin size from the session conf) recognizes the cross-side
+        // bound pair and plans the bucketed equi-join automatically,
+        // keeping user_id as a real join key; RangeJoinRuleSpec asserts
+        // no nested loop survives. Results are bit-exact with the theta
+        // join (the original predicates are the residual).
+        val ev = tbl(s, dir, "events")
+        val points = ev.select(col("user_id").as("p_uid"),
+          unix_timestamp(col("ts")).as("sec"))
+        val sessions = graft.streaming.Sessions.sessionize(ev, "15 minutes")
+        points.join(sessions,
+            col("p_uid") === col("user_id") &&
+              col("sec") >= col("session_start") &&
+              col("sec") < col("session_end"))
+          .groupBy(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"))
+          .agg(count(lit(1)).as("n_in_range"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        b AS (SELECT user_id, us,
+          CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 900000000
+               THEN 1 ELSE 0 END AS brk FROM e),
+        g AS (SELECT user_id, us,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b),
+        sess AS (SELECT user_id,
+                   min(us) // 1000000 AS session_start,
+                   (max(us) + 900000000) // 1000000 AS session_end,
+                   count(*) AS n_events
+                 FROM g GROUP BY user_id, sid),
+        p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        SELECT s.user_id, s.session_start, s.session_end, s.n_events,
+               count(*) AS n_in_range
+        FROM p JOIN sess s ON p.user_id = s.user_id
+          AND p.sec >= s.session_start AND p.sec < s.session_end
+        GROUP BY 1, 2, 3, 4
+        ORDER BY s.user_id, s.session_start""")),
+
+    QDef(
       "join_asof",
       (s, dir) => {
         // per event: the user's latest order with orderdate <= event time

@@ -71,6 +71,29 @@ object SamplingQueries {
         WHERE rn <= 5 ORDER BY source, doc_id""")),
 
     QDef(
+      "sample_class_balance",
+      (s, dir) =>
+        // balanced eval/training subset: every label downsampled to the
+        // minority label's count, membership a deterministic per-label
+        // hash rank (Sampling.balanceToMinority) — the class-rebalance
+        // step before training a classifier on skewed labels
+        Sampling.balanceToMinority(
+            tbl(s, dir, "embeddings")
+              .select(col("vec_id"), col("label").cast("long").as("label")),
+            "label", "vec_id")
+          .orderBy("label", "vec_id"),
+      Some(s"""
+        WITH n AS (SELECT min(cnt) AS mn FROM (
+                     SELECT count(*) AS cnt FROM embeddings GROUP BY label)),
+        r AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                row_number() OVER (PARTITION BY label
+                  ORDER BY ${hashSql("CAST(vec_id AS VARCHAR)", 1000000000)},
+                    vec_id) AS rn
+              FROM embeddings)
+        SELECT vec_id, label FROM r, n WHERE rn <= mn
+        ORDER BY label, vec_id""")),
+
+    QDef(
       "sample_weighted_quality",
       (s, dir) =>
         // curriculum-style quality-weighted sampling: acceptance rate

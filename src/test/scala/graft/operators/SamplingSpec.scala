@@ -112,6 +112,23 @@ class SamplingSpec extends SparkSpec {
     assert(re === got)
   }
 
+  test("balanceToMinority equalizes every stratum to the smallest one") {
+    // skewed strata: src_k carries 100*(k+1) rows, k = 0..6
+    val skewed = (0 until 7).flatMap { k =>
+      (1 to 100 * (k + 1)).map(j => (k * 10000L + j, s"src$k"))
+    }.toDF("doc_id", "source")
+    val minN = skewed.groupBy("source").count()
+      .agg(min("count")).collect()(0).getLong(0)
+    val bal = Sampling.balanceToMinority(skewed, "source", "doc_id")
+    val counts = bal.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.length === 7)
+    assert(counts.forall(_ === minN), s"unbalanced: ${counts.toSeq}, min=$minN")
+    assert(bal.exceptAll(skewed).isEmpty)          // a subset of the input
+    // deterministic and partitioning-independent
+    val re = Sampling.balanceToMinority(skewed.repartition(13), "source", "doc_id")
+    assert(bal.exceptAll(re).isEmpty && re.exceptAll(bal).isEmpty)
+  }
+
   test("shuffleOrder is a deterministic, partitioning-independent permutation") {
     val a = Sampling.shuffleOrder(docs, "doc_id")
     val ids = a.select("doc_id").collect().map(_.getLong(0)).toSeq
