@@ -438,6 +438,60 @@ object DedupQueries {
             GROUP BY d.source ORDER BY d.source""")),
 
     QDef(
+      "pipeline_dedup_quality_tiebreak",
+      (s, dir) => {
+        // survivor selection by QUALITY, not by min-id: production dedup
+        // keeps the best copy of each duplicate cluster (the min-id
+        // convention is an arbitrary member). Off the SHARED component
+        // labels: one skinny label join to attach each member's quality
+        // score (the text_quality_score expression — a fixed IEEE
+        // formula over exact integers, so the argmax is engine-
+        // identical; doc_id breaks ties), one partitioned rank window.
+        // `changed` marks clusters where quality disagrees with min-id —
+        // the rows a convention switch would rewrite.
+        import org.apache.spark.sql.expressions.Window
+        val members = sharedLabels(s, dir)
+          .select(col("node").as("doc_id"), col("label"))
+          .join(tbl(s, dir, "documents").select(col("doc_id"),
+            graft.text.TextFunctions.qualityScore(col("text")).as("q")),
+            Seq("doc_id"))
+        val best = members
+          .withColumn("rn", row_number().over(Window.partitionBy(col("label"))
+            .orderBy(col("q").desc, col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("label"), col("doc_id").as("best_doc"),
+            col("q").as("best_q"))
+        members.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+          .join(best, Seq("label"))
+          .select(col("label"), col("n_members"), col("best_doc"),
+            col("best_q"), (col("best_doc") =!= col("label")).as("changed"))
+          .orderBy("label")
+      },
+      Some(s"""WITH RECURSIVE $nearPairsCteSql,
+            e AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b AS u, a AS v FROM pairs),
+            reach(u, m) AS (
+              SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.u, e.v AS m FROM reach r JOIN e ON r.m = e.u),
+            comp AS (SELECT u AS doc_id, min(m) AS label
+                     FROM reach GROUP BY u),
+            dq AS (SELECT doc_id, text,
+                     string_split_regex(text, '\\s+') AS toks
+                   FROM documents),
+            members AS (SELECT c.label, c.doc_id,
+                          ${TextQueries.qualitySql("d.text", "d.toks")} AS q
+                        FROM comp c JOIN dq d USING (doc_id)),
+            r AS (SELECT label, doc_id, q, row_number() OVER (
+                    PARTITION BY label ORDER BY q DESC, doc_id) AS rn
+                  FROM members),
+            nm AS (SELECT label, count(*) AS n_members FROM members GROUP BY 1)
+            SELECT nm.label, nm.n_members, r.doc_id AS best_doc,
+                   r.q AS best_q, r.doc_id <> nm.label AS changed
+            FROM nm JOIN r ON r.label = nm.label AND r.rn = 1
+            ORDER BY nm.label""")),
+
+    QDef(
       "dedup_incremental_labels",
       (s, dir) => {
         // incremental survivor maintenance: persisted labels (CC over the

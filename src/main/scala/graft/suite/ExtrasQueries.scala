@@ -2225,6 +2225,38 @@ object ExtrasQueries {
         FROM documents GROUP BY source ORDER BY source""")),
 
     QDef(
+      "scan_fixed_width",
+      (s, dir) => {
+        // fixed-width (COBOL/mainframe layout) ingest: the enterprise
+        // interchange format Spark has no reader for — lines are
+        // positional, schema is offsets+widths, nothing is delimited.
+        // Round-trip: export customers at fixed offsets
+        // (12/6/14/12-char fields, space-padded), re-scan as text, and
+        // parse by substring+trim+cast — never inferSchema, never a
+        // regex. The parsed frame must reproduce the source exactly;
+        // the oracle reads the original table.
+        val out = sys.props("java.io.tmpdir") + "/graft_scan_fixed_width"
+        tbl(s, dir, "customer")
+          .select(format_string("%-12d%-6d%-14d%-12s",
+            col("c_custkey"), col("c_nationkey"),
+            round(col("c_acctbal") * 100).cast("long"),
+            col("c_mktsegment")).as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(
+            trim(substring(col("value"), 1, 12)).cast("long").as("c_custkey"),
+            trim(substring(col("value"), 13, 6)).cast("long").as("c_nationkey"),
+            trim(substring(col("value"), 19, 14)).cast("long").as("acctbal_cents"),
+            trim(substring(col("value"), 33, 12)).as("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+               c_mktsegment
+        FROM customer ORDER BY c_custkey""")),
+
+    QDef(
       "agg_event_transitions",
       (s, dir) =>
         // behavioral transition matrix: count (event_type -> next
