@@ -960,6 +960,46 @@ object StatQueries {
         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QDef(
+      "dq_column_profile",
+      (s, dir) => {
+        // one-pass column census — the data-profiling report every
+        // onboarding pipeline runs first: per column, row count, null
+        // count, exact distinct count, lexicographic min/max of the
+        // string rendering. Unpivot (stack) turns "one aggregate per
+        // column" into ONE shuffle over (col_name, value) instead of a
+        // scan per column; restricted to integer/string columns whose
+        // string rendering is engine-identical (doubles and timestamps
+        // format differently across engines).
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_returnflag", "l_linestatus")
+        val stackArgs = cols.map(c => s"'$c', cast($c as string)").mkString(", ")
+        tbl(s, dir, "lineitem")
+          .select(expr(s"stack(${cols.length}, $stackArgs) as (col_name, val)"))
+          .groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("val")).as("n_distinct"),
+            min(col("val")).as("min_v"), max(col("val")).as("max_v"))
+          .orderBy("col_name")
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_returnflag", "l_linestatus")
+        val unions = cols.map(c =>
+          s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val FROM lineitem")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH u AS (
+          $unions)
+        SELECT col_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               count(DISTINCT val) AS n_distinct,
+               min(val) AS min_v, max(val) AS max_v
+        FROM u GROUP BY col_name ORDER BY col_name"""
+      }),
+
+    QDef(
       "dq_referential_integrity",
       (s, dir) => {
         // whole-schema referential-integrity audit in one result: for

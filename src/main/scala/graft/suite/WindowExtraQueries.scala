@@ -556,6 +556,65 @@ object WindowExtraQueries {
         FROM t ORDER BY event_id""")),
 
     QDef(
+      "win_best_run",
+      (s, dir) => {
+        // best contiguous run (maximum-subarray / Kadane) per event
+        // type: the window of consecutive events whose summed deviation
+        // from the type's own mean is largest — "when was this stream
+        // hottest, contiguously?". Distributed Kadane: prefix sums of
+        // the deviation signal, then best_t = prefix_t − min(0, min of
+        // prefixes before t) — two partitioned windows, no loop, no
+        // self-join. The baseline is the exact integer mean (sum div n,
+        // a broadcast |types|-row frame), so every signal, prefix, and
+        // best value is an exact int64.
+        import org.apache.spark.sql.expressions.Window
+        val e = tbl(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val base = e.groupBy(col("event_type"))
+          .agg(expr("sum(cents) div count(*)").as("avg_c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        val pre = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val before = w.rowsBetween(Window.unboundedPreceding, -1)
+        e.join(broadcast(base), Seq("event_type"))
+          .withColumn("prefix",
+            sum(col("cents") - col("avg_c")).over(pre))
+          .withColumn("best",
+            col("prefix") -
+              least(lit(0L), coalesce(min(col("prefix")).over(before), lit(0L))))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("best").desc, col("event_id"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("best").as("best_sum"),
+            col("event_id").as("end_event_id"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        b AS (SELECT event_type,
+                CAST(sum(cents) AS BIGINT) // count(*) AS avg_c
+              FROM e GROUP BY 1),
+        p AS (SELECT e.event_type, e.event_id,
+                CAST(sum(e.cents - b.avg_c) OVER (PARTITION BY e.event_type
+                  ORDER BY e.event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS prefix
+              FROM e JOIN b USING (event_type)),
+        k AS (SELECT event_type, event_id,
+                prefix - least(CAST(0 AS BIGINT),
+                  coalesce(min(prefix) OVER (PARTITION BY event_type
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    CAST(0 AS BIGINT))) AS best
+              FROM p),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY best DESC, event_id) AS rn FROM k)
+        SELECT event_type, best AS best_sum, event_id AS end_event_id
+        FROM r WHERE rn = 1 ORDER BY event_type""")),
+
+    QDef(
       "win_interpolate_linear",
       (s, dir) => {
         // linear interpolation of a sparse hourly gauge: regularize the

@@ -150,6 +150,46 @@ class StatWindowExtraSpec extends SparkSpec {
     if (anyCuts) assert(after < before, s"dup grams $before -> $after")
   }
 
+  test("best run equals the O(n^2) brute-force maximum subarray per type") {
+    val out = run("win_best_run").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("best_sum"), r.getAs[Long]("end_event_id"))).toMap
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type", "event_id",
+        "cast(round(value * 100) as long) as cents")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (t, rs) =>
+      val xs = rs.sortBy(_._2)
+      val avg = xs.map(_._3).sum / xs.length
+      val sig = xs.map(_._3 - avg)
+      var best = Long.MinValue
+      var bestEnd = 0L
+      for (i <- sig.indices; j <- i until sig.length) {
+        val s = sig.slice(i, j + 1).sum
+        // mirror the query's tie-break: best desc, then smallest end id
+        if (s > best || (s == best && xs(j)._2 < bestEnd)) {
+          best = s; bestEnd = xs(j)._2
+        }
+      }
+      assert(out(t) == ((best, bestEnd)), s"type $t: ${out(t)} != ($best, $bestEnd)")
+    }
+  }
+
+  test("column profile: census is internally consistent") {
+    val rows = run("dq_column_profile").collect()
+    assert(rows.length == 6)
+    val n = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      val nn = r.getAs[Long]("n_null")
+      val nd = r.getAs[Long]("n_distinct")
+      assert(nd >= 1 && nd <= n - nn)
+      assert(r.getAs[String]("min_v") <= r.getAs[String]("max_v"))
+    }
+  }
+
   test("Adamic-Adar: oriented non-self pairs, positive descending scores") {
     val rows = run("graph_adamic_adar").collect()
     assert(rows.nonEmpty && rows.length <= 20)
