@@ -358,6 +358,112 @@ object ExtrasQueries {
         WHERE rn = 1 ORDER BY event_id""")),
 
     QDef(
+      "join_asof_tolerance",
+      (s, dir) => {
+        // feature-store as-of with a staleness bound: each view event
+        // gets the user's latest prior purchase ONLY if it is at most
+        // 48 h old — older features are worse than missing
+        // (training-serving skew), so a stale match degrades to null
+        // rather than attaching. Same union-and-window as-of plan (one
+        // shuffle, no nested loop); the tolerance is a post-match
+        // projection. Both branches fire on this corpus (≈60/40
+        // fresh/stale at the test scales).
+        val tolSec = 2L * 86400
+        val ev = tbl(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("f_ts"),
+            col("event_id").as("f_id"),
+            round(col("value") * 100).cast("long").as("f_cents"))
+        AsofJoin.asofBackward(views, purchases, Seq("user_id"), "ts", "f_ts",
+            valueCols = Seq("f_cents", "f_ts", "f_id"),
+            tieBreak = Seq("f_id"))
+          .select(col("event_id"), col("user_id"), col("f_cents"),
+            (unix_timestamp(col("ts")) - unix_timestamp(col("f_ts")))
+              .as("age_sec"))
+          .select(col("event_id"), col("user_id"),
+            when(col("age_sec") <= tolSec, col("f_cents"))
+              .as("fresh_cents"),
+            when(col("age_sec") <= tolSec, col("age_sec")).as("age_sec"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CASE WHEN age_sec <= 172800 THEN f_cents END AS fresh_cents,
+               CASE WHEN age_sec <= 172800 THEN age_sec END AS age_sec
+        FROM (
+          SELECT v.event_id, v.user_id, p.f_cents,
+            CAST(floor(epoch(v.ts)) AS BIGINT)
+              - CAST(floor(epoch(p.f_ts)) AS BIGINT) AS age_sec,
+            row_number() OVER (PARTITION BY v.event_id
+              ORDER BY p.f_ts DESC NULLS LAST, p.f_id DESC NULLS LAST) AS rn
+          FROM (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'view') v
+          LEFT JOIN (SELECT user_id, ts AS f_ts, event_id AS f_id,
+                       CAST(round(value * 100) AS BIGINT) AS f_cents
+                     FROM events WHERE event_type = 'purchase') p
+            ON p.user_id = v.user_id
+           AND CAST(floor(epoch(p.f_ts)) AS BIGINT)
+               <= CAST(floor(epoch(v.ts)) AS BIGINT)) t
+        WHERE rn = 1 ORDER BY event_id""")),
+
+    QDef(
+      "agg_markov_stationary",
+      (s, dir) => {
+        // stationary distribution of the behavior Markov chain: the
+        // long-run share of time a user spends in each event type,
+        // from 4 unrolled power-iteration rounds x' = xP in scaled
+        // integers (probabilities and masses in millionths; the only
+        // division is an integer div at each round's sum, so every
+        // round is order-independent and engine-identical). The
+        // transition matrix is |types|² rows — after the one fact-grain
+        // lag pass, all arithmetic runs on broadcast-size frames.
+        import org.apache.spark.sql.expressions.Window
+        val wu = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val pairs = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type").as("cur"))
+          .withColumn("nxt", lead(col("cur"), 1).over(wu))
+          .where(col("nxt").isNotNull)
+        val p = pairs.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("c"))
+          .withColumn("row_n", sum(col("c")).over(
+            Window.partitionBy(col("cur"))))
+          .select(col("cur"), col("nxt"),
+            expr("(1000000 * c) div row_n").as("p_q6"))
+        val x0 = p.select(col("cur")).distinct()
+          .select(col("cur").as("st"), lit(200000L).as("m"))
+        def step(x: org.apache.spark.sql.DataFrame) =
+          x.join(p, col("st") === col("cur"))
+            .groupBy(col("nxt"))
+            .agg(expr("sum(m * p_q6) div 1000000").as("m"))
+            .select(col("nxt").as("st"), col("m"))
+        val x4 = step(step(step(step(x0))))
+        x4.select(col("st").as("event_type"), col("m").as("mass_q6"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, event_type AS cur FROM events),
+        s AS (SELECT user_id, cur,
+                lead(cur) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+              FROM e),
+        c AS (SELECT cur, nxt, count(*) AS c FROM s
+              WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        p AS (SELECT cur, nxt,
+                (1000000 * c) // CAST(sum(c) OVER (PARTITION BY cur) AS BIGINT)
+                  AS p_q6
+              FROM c),
+        x0 AS (SELECT DISTINCT cur AS st, CAST(200000 AS BIGINT) AS m FROM p),
+        x1 AS (SELECT p.nxt AS st, CAST(sum(x.m * p.p_q6) AS BIGINT) // 1000000 AS m
+               FROM x0 x JOIN p ON p.cur = x.st GROUP BY p.nxt),
+        x2 AS (SELECT p.nxt AS st, CAST(sum(x.m * p.p_q6) AS BIGINT) // 1000000 AS m
+               FROM x1 x JOIN p ON p.cur = x.st GROUP BY p.nxt),
+        x3 AS (SELECT p.nxt AS st, CAST(sum(x.m * p.p_q6) AS BIGINT) // 1000000 AS m
+               FROM x2 x JOIN p ON p.cur = x.st GROUP BY p.nxt),
+        x4 AS (SELECT p.nxt AS st, CAST(sum(x.m * p.p_q6) AS BIGINT) // 1000000 AS m
+               FROM x3 x JOIN p ON p.cur = x.st GROUP BY p.nxt)
+        SELECT st AS event_type, m AS mass_q6 FROM x4 ORDER BY st""")),
+
+    QDef(
       "join_asof_forward",
       (s, dir) => {
         // per event: the user's NEXT order on/after the event time —

@@ -190,6 +190,36 @@ class StatWindowExtraSpec extends SparkSpec {
     }
   }
 
+  test("Markov stationary: masses stay near the 1e6 budget after 4 rounds") {
+    val rows = run("agg_markov_stationary").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("mass_q6")).sum
+    // each round loses < |types|^2 millionths to the floor div and the
+    // row-normalization floor loses < |types| per row; 4 rounds over a
+    // handful of states stays within ~3% of the exact unit mass
+    assert(total <= 1000000L && total > 970000L, s"total mass $total")
+    rows.foreach(r => assert(r.getAs[Long]("mass_q6") >= 0))
+  }
+
+  test("as-of tolerance: attached features are fresh, stale ones are null") {
+    val rows = run("join_asof_tolerance").collect()
+    val tol = 2L * 86400
+    rows.foreach { r =>
+      val kIdx = r.fieldIndex("fresh_cents")
+      val aIdx = r.fieldIndex("age_sec")
+      assert(r.isNullAt(kIdx) == r.isNullAt(aIdx),
+        "feature and age must be attached or withheld together")
+      if (!r.isNullAt(aIdx)) {
+        val age = r.getAs[Long]("age_sec")
+        assert(age >= 0 && age <= tol, s"stale/negative age $age attached")
+      }
+    }
+    assert(rows.exists(!_.isNullAt(rows.head.fieldIndex("fresh_cents"))),
+      "no fresh match anywhere — degenerate fixture")
+    assert(rows.exists(_.isNullAt(rows.head.fieldIndex("fresh_cents"))),
+      "no stale/missing match anywhere — tolerance unexercised")
+  }
+
   test("Adamic-Adar: oriented non-self pairs, positive descending scores") {
     val rows = run("graph_adamic_adar").collect()
     assert(rows.nonEmpty && rows.length <= 20)
