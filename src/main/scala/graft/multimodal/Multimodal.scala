@@ -1658,6 +1658,28 @@ object Multimodal {
     }
   }
 
+  /** Scene-structured AVI fixture: frame pattern ids A,A,A,B,B,A,C,C —
+    * three repeated-frame scenes plus a REVISIT of pattern A (a cut
+    * detector keyed on change, not identity, must open a new scene for
+    * it). Used by mm_video_scene_cuts; doc_id -54.
+    */
+  val fixtureAviScenePatterns: Seq[Int] = Seq(0, 0, 0, 1, 1, 0, 2, 2)
+
+  def fixtureAviSceneFrames: (Int, Int, Int, Seq[Array[Int]]) = {
+    def frame(w: Int, h: Int, img: Int): Array[Int] =
+      Array.tabulate(w * h) { i =>
+        val g = patternGray(img, (i % w) % PatternSize, (i / w) % PatternSize)
+        (g << 16) | (g << 8) | g
+      }
+    (16, 12, 50000, fixtureAviScenePatterns.map(frame(16, 12, _)))
+  }
+
+  def fixtureAviSceneBlob(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    val (w, h, us, frames) = fixtureAviSceneFrames
+    Seq(MediaBlob(-54L, "video", makeAviDib(w, h, us, frames))).toDS()
+  }
+
   /** The fixture AVIs as blobs (doc_ids -51..-53). */
   def fixtureAviBlobs(spark: SparkSession): Dataset[MediaBlob] = {
     import spark.implicits._

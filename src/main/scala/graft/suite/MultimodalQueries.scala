@@ -231,6 +231,51 @@ object MultimodalQueries {
       }),
 
     QDef(
+      "mm_video_scene_cuts",
+      (s, dir) => {
+        // scene segmentation — the shot-boundary pass a video training
+        // pipeline runs before captioning/sampling: a cut is any frame
+        // whose REAL decoded pixel fingerprint differs from its
+        // predecessor's (frame 0 always opens scene 1). One lag window
+        // per video over the frame fingerprints; output is one row per
+        // scene start, so result size tracks scenes, not frames. The
+        // scene fixture's pattern sequence A,A,A,B,B,A,C,C pins the
+        // change-not-identity semantics (the pattern-A revisit at frame
+        // 5 must open a NEW scene).
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        Multimodal.decodeVideoFrames(
+            Multimodal.blobsFromDocuments(s, tbl(s, dir, "documents"))
+              .unionByName(Multimodal.fixtureAviBlobs(s))
+              .unionByName(Multimodal.fixtureAviSceneBlob(s)))
+          .toDF()
+          .withColumn("prev", lag(col("px_crc"), 1).over(w))
+          .filter(col("prev").isNull || col("px_crc") =!= col("prev"))
+          .withColumn("scene_id", row_number().over(w))
+          .select(col("doc_id"), col("scene_id"),
+            col("frame_idx").as("start_frame"), col("px_crc"))
+          .orderBy("doc_id", "scene_id")
+      },
+      Some {
+        val vids =
+          (0 until 3).map(i => (-51L - i, Multimodal.fixtureAviFrames(i)._4)) :+
+            (-54L, Multimodal.fixtureAviSceneFrames._4)
+        val rows = vids.flatMap { case (id, frames) =>
+          val crcs = frames.map(Multimodal.pixelCrcInts)
+          val cuts = crcs.zipWithIndex.filter { case (c, f) =>
+            f == 0 || c != crcs(f - 1)
+          }
+          cuts.zipWithIndex.map { case ((c, f), sc) =>
+            s"(CAST($id AS BIGINT), ${sc + 1}, CAST($f AS BIGINT), " +
+              s"CAST($c AS BIGINT))"
+          }
+        }
+        s"""SELECT * FROM (VALUES ${rows.mkString(",\n          ")})
+            AS t(doc_id, scene_id, start_frame, px_crc)
+            ORDER BY doc_id, scene_id"""
+      }),
+
+    QDef(
       "mm_video_mjpeg_frames",
       (s, dir) =>
         // REAL Motion-JPEG frame decode: '00dc' chunks of an 'MJPG' AVI

@@ -960,6 +960,38 @@ object StatQueries {
         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QDef(
+      "dq_freshness",
+      (s, dir) => {
+        // ingest-freshness audit — the lag report that pages the
+        // on-call: per event type, last-seen time, lag behind the
+        // freshest stream, and a staleness flag at 24 h. Reference
+        // point is the corpus's own max timestamp (never wall-clock —
+        // a query must be deterministic and replayable). One
+        // map-side-combined aggregate + a |types|-row scalar; zeros in
+        // the flag column are the visible proof the rule RAN (the
+        // pipeline_dq_audit convention).
+        val e = tbl(s, dir, "events")
+          .select(col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+        val globalMax = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          e.agg(max(col("tsec"))))
+        e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), max(col("tsec")).as("last_sec"))
+          .select(col("event_type"), col("n_events"), col("last_sec"),
+            (globalMax - col("last_sec")).as("lag_sec"),
+            (globalMax - col("last_sec") > 86400L).as("stale_24h"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+                   FROM events),
+        g AS (SELECT max(tsec) AS gmax FROM e)
+        SELECT event_type, count(*) AS n_events, max(tsec) AS last_sec,
+               any_value(gmax) - max(tsec) AS lag_sec,
+               any_value(gmax) - max(tsec) > 86400 AS stale_24h
+        FROM e, g GROUP BY event_type ORDER BY event_type""")),
+
+    QDef(
       "dq_column_profile",
       (s, dir) => {
         // one-pass column census — the data-profiling report every

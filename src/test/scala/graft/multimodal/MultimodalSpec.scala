@@ -267,6 +267,22 @@ class MultimodalSpec extends SparkSpec {
     assert(g2.pcm_crc_out === crc2.getValue)
   }
 
+  test("scene fixture: pattern revisit opens a new scene (cuts at 0,3,5,6)") {
+    import spark.implicits._
+    val frames = Multimodal.decodeVideoFrames(
+      Multimodal.fixtureAviSceneBlob(spark)).orderBy("frame_idx").collect()
+    assert(frames.length === Multimodal.fixtureAviScenePatterns.length)
+    val crcs = frames.map(_.px_crc)
+    // frames with equal patterns decode to equal fingerprints, and the
+    // frame-5 revisit of pattern A reproduces frame 0's fingerprint
+    assert(crcs(0) === crcs(1) && crcs(1) === crcs(2))
+    assert(crcs(3) === crcs(4) && crcs(6) === crcs(7))
+    assert(crcs(5) === crcs(0))
+    val cuts = crcs.zipWithIndex
+      .filter { case (c, f) => f == 0 || c != crcs(f - 1) }.map(_._2)
+    assert(cuts.toSeq === Seq(0, 3, 5, 6))
+  }
+
   test("windowed audio energy: non-WAV bytes and partial windows") {
     import spark.implicits._
     val text = MediaBlob(1L, "text", "not audio at all".getBytes)
