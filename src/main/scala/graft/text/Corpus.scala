@@ -83,8 +83,10 @@ object Corpus {
     // tf fans out to three consumers (scoring probe, dfreq, dl); cut
     // the lineage so the tokenize+explode runs ONCE — plain reuse
     // re-derives it per consumer (join pushdown injects per-branch
-    // filters that defeat exchange-reuse canonicalization; the measured
-    // cost was three full Generate passes, 11 s -> 4 s at 10x sf0.1)
+    // filters that defeat exchange-reuse canonicalization; measured:
+    // three full Generate passes before, one after — ~3x less CPU,
+    // ~8% wall at 10x sf0.1, where the parallel duplicate passes had
+    // been hiding on idle cores)
     val tf = toks.groupBy(col("doc_id"), col("word_id"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
