@@ -67,6 +67,7 @@ object Bench {
     setupStep("ivf_index")(suite.SimilarityQueries.prebuildArtifacts(spark, sfDir))
     setupStep("bucketed_tables")(suite.ExtrasQueries.prebuildBucketed(spark, sfDir))
     setupStep("graph_edges")(suite.GraphQueries.prebuildArtifacts(spark, sfDir))
+    setupStep("text_index")(suite.TextQueries.prebuildArtifacts(spark, sfDir))
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
@@ -86,9 +87,17 @@ object Bench {
         name -> (if (ok) secs(t0) else -1.0)
       }
 
-    // drop per-query cache accumulation, keep the shared indexes warm
+    // drop per-query cache accumulation, keep the shared indexes warm.
+    // clearCache() only reaches SQL-cached relations; localCheckpoint
+    // RDDs (BPE/CC/PCA iteration pins, any library-default checkpoint)
+    // live in the raw persistent-RDD registry and silently accumulated
+    // across laps — the sf1 replay measured the SECOND warm lap up to
+    // 37x slower from that memory pressure. Unpersist them all, then
+    // re-pin the shared artifacts.
     def resetCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(r =>
+        try r.unpersist(blocking = false) catch { case _: Throwable => () })
       suite.Artifacts.rewarmAll(spark)
     }
 

@@ -2508,6 +2508,33 @@ object ExtrasQueries {
       }),
 
     QDef(
+      "sink_orc_roundtrip",
+      (s, dir) => {
+        // second columnar lake format: ORC write + explicit-schema
+        // re-scan (Spark ships the ORC reader natively — columnar,
+        // predicate pushdown, column pruning, same as parquet). The
+        // re-scan runs a pushed-down filter + 2-column projection and
+        // must reproduce the source aggregation exactly; OrcScanSpec
+        // pins that the filter reaches the ORC scan.
+        val out = sys.props("java.io.tmpdir") + "/graft_sink_orc_roundtrip"
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        li.write.mode("overwrite").orc(out)
+        s.read.schema(li.schema).orc(out)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                 AS qty_c
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY 1 ORDER BY 1""")),
+
+    QDef(
       "sink_parquet_compacted",
       (s, dir) => {
         // the small-file problem and its OPTIMIZE: a fragmented write

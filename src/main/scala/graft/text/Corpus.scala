@@ -74,22 +74,32 @@ object Corpus {
     * dictionary, broadcast into the tf frame (5-row build side); the
     * final top-k is TakeOrderedAndProject, never a global sort.
     */
-  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
-      nTerms: Int, k: Int): DataFrame = {
-    import graft.functions.PortableLog.log2q10
-    val toks = docs.select(col(idCol).as("doc_id"),
+  /** The (doc_id, word_id, tf) term-frequency frame BM25 scores against
+    * — the reusable retrieval index half; the suite pins it as a shared
+    * fingerprinted artifact so the tokenize+explode runs once per
+    * corpus, not once per query execution.
+    */
+  def bm25Tf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("word"))
       .select(col("doc_id"), Dedup.wordId(col("word")).as("word_id"))
-    // tf fans out to three consumers (scoring probe, dfreq, dl); cut
-    // the lineage so the tokenize+explode runs ONCE — plain reuse
-    // re-derives it per consumer (join pushdown injects per-branch
-    // filters that defeat exchange-reuse canonicalization; measured:
-    // three full Generate passes before, one after — ~3x less CPU,
-    // ~8% wall at 10x sf0.1, where the parallel duplicate passes had
-    // been hiding on idle cores)
-    val tf = toks.groupBy(col("doc_id"), col("word_id"))
+      .groupBy(col("doc_id"), col("word_id"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+      nTerms: Int, k: Int, tfOverride: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.PortableLog.log2q10
+    // tf fans out to three consumers (scoring probe, dfreq, dl); pin it
+    // so the tokenize+explode runs ONCE — plain reuse re-derives it per
+    // consumer (join pushdown injects per-branch filters that defeat
+    // exchange-reuse canonicalization; measured: three full Generate
+    // passes otherwise). Callers with an artifact cache pass the shared
+    // frame via tfOverride; standalone use cuts lineage with a
+    // localCheckpoint (NOTE it stays pinned until the session clears
+    // caches — a bench lap leaked these until Bench.resetCaches learned
+    // to unpersist raw RDDs).
+    val tf = tfOverride.getOrElse(
+      bm25Tf(docs, idCol, textCol).localCheckpoint(true))
     // dl = Σ tf per doc — never a second pass over toks
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("word_id"))
