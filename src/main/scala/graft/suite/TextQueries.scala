@@ -3,6 +3,7 @@ package graft.suite
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.text.TextFunctions
 import graft.functions.Scalars
 import Registry.tbl
@@ -272,6 +273,42 @@ object TextQueries {
         SELECT doc_id, word_id, tf, df, CAST(score AS BIGINT) AS score,
                CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    QDef(
+      "text_hapax_ratio",
+      (s, dir) =>
+        // vocabulary-richness audit: per source, type count, hapax
+        // count (words used exactly once in that source), and the
+        // hapax share in exact millionths — the low-richness signal
+        // that flags templated/generated feeds (natural text keeps a
+        // large hapax mass, boilerplate doesn't). Two map-side-combined
+        // groupBys, shuffle keys are (source, 8-byte word hash).
+        tbl(s, dir, "documents")
+          .select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("word"))
+          .select(col("source"), Dedup.wordId(col("word")).as("word_id"))
+          .groupBy(col("source"), col("word_id"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("source"), col("n_types"), col("n_hapax"),
+            expr("(1000000 * n_hapax) div n_types").as("hapax_x1e6"))
+          .orderBy("source"),
+      Some(s"""
+        WITH toks AS (SELECT source,
+                        ${DedupQueries.wordHashSql("word")} AS word_id
+                      FROM (SELECT source,
+                              unnest(string_split_regex(text, '\\s+')) AS word
+                            FROM documents)),
+        c AS (SELECT source, word_id, count(*) AS c FROM toks GROUP BY 1, 2),
+        r AS (SELECT source, count(*) AS n_types,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax
+              FROM c GROUP BY 1)
+        SELECT source, n_types, n_hapax,
+               (1000000 * n_hapax) // n_types AS hapax_x1e6
+        FROM r ORDER BY source""")),
 
     QDef(
       "text_bm25_topk",
