@@ -960,6 +960,40 @@ object StatQueries {
         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QDef(
+      "agg_distinct_growth",
+      (s, dir) => {
+        // cumulative-uniques curve (total distinct users through each
+        // day) — the audience-growth metric. Naive cumulative
+        // count-distinct re-scans the history per day; the exact
+        // one-pass form is the FIRST-SEEN trick: a user contributes on
+        // their first day only, so the curve is the running sum of
+        // first-seen counts — one aggregate to the user grain, one to
+        // the day domain, then the distributed global prefix sum
+        // (operators/Windows.globalCumSum — range partition + offset
+        // map, never a single-partition window).
+        val e = tbl(s, dir, "events")
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("day", col("ts"))).as("d"))
+        val firstDay = e.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+        val daily = firstDay.groupBy(col("d0")).agg(count(lit(1)).as("n_new"))
+        graft.operators.Windows.globalCumSum(daily, "d0", Seq("n_new"))
+          .select(col("d0").as("day_start"), col("n_new"),
+            col("cum_n_new").as("n_total_users"))
+          .orderBy("day_start")
+      },
+      Some("""
+        WITH f AS (SELECT user_id,
+                     min(CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT))
+                       AS d0
+                   FROM events GROUP BY 1),
+        d AS (SELECT d0, count(*) AS n_new FROM f GROUP BY 1)
+        SELECT d0 AS day_start, n_new,
+               CAST(sum(n_new) OVER (ORDER BY d0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS n_total_users
+        FROM d ORDER BY day_start""")),
+
+    QDef(
       "dq_freshness",
       (s, dir) => {
         // ingest-freshness audit — the lag report that pages the
