@@ -28,6 +28,23 @@ import org.apache.spark.sql.SparkSession
   *    (default 1500 s) — the suite sheds precision, never the run.
   */
 object Bench {
+  /** Between-lap cache reset: drop per-query cache accumulation, keep
+    * the shared indexes warm. clearCache() only reaches SQL-cached
+    * relations; localCheckpoint RDDs (BPE/CC/PCA iteration pins, the
+    * prefix-sum phase pin, any library-default checkpoint) live in the
+    * raw persistent-RDD registry and silently accumulated across laps —
+    * the r8 sf1 replay measured the SECOND warm lap up to 37x slower
+    * from that memory pressure. Unpersist them all, then re-pin the
+    * shared artifacts. BenchLapLeakSpec pins that a lap's checkpoint
+    * pins do not survive this reset.
+    */
+  def resetCaches(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(r =>
+      try r.unpersist(blocking = false) catch { case _: Throwable => () })
+    suite.Artifacts.rewarmAll(spark)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmLapsMax =
@@ -87,20 +104,6 @@ object Bench {
         name -> (if (ok) secs(t0) else -1.0)
       }
 
-    // drop per-query cache accumulation, keep the shared indexes warm.
-    // clearCache() only reaches SQL-cached relations; localCheckpoint
-    // RDDs (BPE/CC/PCA iteration pins, any library-default checkpoint)
-    // live in the raw persistent-RDD registry and silently accumulated
-    // across laps — the sf1 replay measured the SECOND warm lap up to
-    // 37x slower from that memory pressure. Unpersist them all, then
-    // re-pin the shared artifacts.
-    def resetCaches(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(r =>
-        try r.unpersist(blocking = false) catch { case _: Throwable => () })
-      suite.Artifacts.rewarmAll(spark)
-    }
-
     val setupAndColdT0 = System.nanoTime()
     val cold = lap()
     // fit the warm phase to the remaining wall budget: a warm lap costs
@@ -117,7 +120,7 @@ object Bench {
       System.err.println(s"[bench] budget: ${WarmLaps} warm laps (of " +
         s"$warmLapsMax) fit in ${benchBudgetSec}s after ${spentSec.toInt}s " +
         s"setup+cold with ${coldLapSec.toInt}s cold lap")
-    val warmLaps = (1 to WarmLaps).map { _ => resetCaches(); lap() }
+    val warmLaps = (1 to WarmLaps).map { _ => resetCaches(spark); lap() }
 
     def stat(pick: Seq[Double] => Double): Map[String, Double] =
       cold.keys.map { name =>

@@ -41,9 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // edit-distance-join recognition: `levenshtein(a, b) <= k` (k ∈ {0,1})
     // join conditions plan as FastSS deletion-neighborhood equi-joins
     ext.injectOptimizerRule(s => new graft.plans.EditDistJoinRewrite(s))
-    // point-in-interval join recognition: `lo <= p AND p <= hi` cross-side
-    // join conditions plan as bucketed equi-joins; active only when the
-    // bin size conf spark.graft.rangeJoinRewrite.bucket is set
+    // 1-D range-join recognition: point-in-interval (`lo <= p AND
+    // p <= hi`) and interval-overlap (`aLo <= bHi AND bLo <= aHi`)
+    // cross-side join conditions plan as bucketed equi-joins (with a
+    // fan-out-guarded fallback branch); active only when the bin size
+    // conf spark.graft.rangeJoinRewrite.bucket is set — scoped
+    // per-query via Registry.withRangeBucket, never session-wide
     ext.injectOptimizerRule(s => new graft.plans.RangeJoinRewrite(s))
   }
 }

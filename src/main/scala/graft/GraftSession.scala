@@ -27,12 +27,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the range-join rewrite's bin size (epoch-second axes: 15 min —
-      // near the session/interval lengths this corpus carries). A bin
-      // hint is the standard contract for range-join optimizers; unset
-      // it (or set spark.graft.rangeJoinRewrite.enabled=false) to keep
-      // naive interval theta-joins as written
-      .config("spark.graft.rangeJoinRewrite.bucket", "900")
+      // spark.graft.rangeJoinRewrite.bucket is deliberately NOT set
+      // here: a bin size is only meaningful on a known axis (a 15-min
+      // bin fits epoch-second sessions but is arbitrary on a price or
+      // score column), so a session-wide default would fire the rewrite
+      // on every numeric cross-side bound pair. Queries that want it
+      // scope the conf around plan construction and force optimization
+      // while it is set — see Registry.withRangeBucket
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3,42 +3,78 @@ package graft.plans
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{col, explode, floor, lit, sequence}
+import org.apache.spark.sql.functions.{col, explode, floor, greatest, lit, sequence}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types.{BooleanType, DataType, NumericType}
 
-/** Automatic point-in-interval join recognition — the 1-D sibling of
-  * [[EpsJoinRewrite]]: an inner join whose condition contains BOTH
-  * `p >= lo` (or `>`) AND `p <= hi` (or `<`) for the SAME point
-  * expression `p` from one side and interval bounds `lo`, `hi` from the
-  * other is rewritten from the nested-loop theta-join Spark would plan
-  * into [[graft.operators.RangeJoin]]'s bucketed equi-join: the point
-  * keeps its home bucket, the interval explodes to every bucket it
-  * overlaps, the join keys on the bucket, and the ORIGINAL condition is
-  * re-applied above as the exact residual — so the rewrite is bit-exact.
+/** Automatic 1-D range-join recognition — the time-axis sibling of
+  * [[EpsJoinRewrite]]. Two patterns are recognized on inner joins:
   *
-  * Exactly-once: `lo <= p <= hi` implies
+  *  - '''point-in-interval''': the condition contains BOTH `p >= lo`
+  *    (or `>`) AND `p <= hi` (or `<`) for the SAME point expression `p`
+  *    from one side and interval bounds `lo`, `hi` from the other.
+  *  - '''interval overlap''': the condition contains `aLo <= bHi` AND
+  *    `bLo <= aHi` (any `<`/`<=` mix) with `aLo`,`aHi` from one side and
+  *    `bLo`,`bHi` from the other — the canonical "intervals intersect"
+  *    conjunct pair.
+  *
+  * Either would plan as a nested-loop theta-join; both are rewritten to
+  * [[graft.operators.RangeJoin]]'s bucketed equi-join: each side buckets
+  * the value axis at the configured width (a point keeps its home
+  * bucket; an interval explodes to every bucket it overlaps), the join
+  * keys on the bucket (plus any cross-side equality conjuncts, which
+  * stay real join keys), and the ORIGINAL condition is re-applied above
+  * as the exact residual — so the rewrite is bit-exact.
+  *
+  * Exactly-once, point case: `lo <= p <= hi` implies
   * `floor(lo/w) <= floor(p/w) <= floor(hi/w)` (division by a positive
   * constant is monotone even in IEEE arithmetic, floor preserves it), so
   * the point's single home bucket appears exactly once among the
-  * interval's buckets — no duplicates, no misses. Degenerate `hi < lo`
-  * intervals are dropped pre-fan-out (they contain nothing, and Spark's
-  * descending auto-step sequence would otherwise explode them).
+  * interval's buckets. Overlap case: two valid intersecting intervals
+  * share every bucket of `[max(aLo,bLo), min(aHi,bHi)]`; keeping only
+  * the FIRST shared bucket — the one containing `max(aLo,bLo)` — emits
+  * each pair exactly once with no `distinct` (which would shuffle the
+  * full candidate set).
+  *
+  * '''Fan-out guard''' (`spark.graft.rangeJoinRewrite.maxFanout`,
+  * default 4096): an interval spanning `(hi-lo)/width` buckets explodes
+  * to that many rows, and past 2^31 buckets `sequence()` throws at
+  * runtime — a data property no rewrite-time check can see. Rows whose
+  * fan-out would exceed the cap (and, in the overlap case, malformed
+  * `lo > hi` intervals, which the theta join CAN match but the bucket
+  * argument assumes away) are split into a union'd fallback branch that
+  * joins them with the ORIGINAL condition — normally empty, so its
+  * nested-loop is a no-op scan, but pathological data degrades to the
+  * pre-rewrite plan for exactly the offending rows instead of OOM-ing.
+  * Each qualifying pair lands in exactly one branch (the split is a
+  * partition of the input rows), so the union stays bit-exact. Rows
+  * with a NULL bound are dropped outright: every recognized conjunct
+  * null-rejects, so they can match nothing. The fallback costs one
+  * extra scan of each input when it IS empty (map-side only; the
+  * shuffle exchanges feeding both branches are reused) — the price of
+  * not failing at 100 TB on data the optimizer never saw.
   *
   * The bucket width cannot be inferred from a literal (it is a data
   * property — the typical interval length), so it comes from the session
   * conf `spark.graft.rangeJoinRewrite.bucket` — the same contract as the
   * bin-size hint production range-join optimizers require. Unset or
-  * non-positive ⇒ the rule stays inactive.
+  * non-positive ⇒ the rule stays inactive (the default: a session-wide
+  * bin is only meaningful on a known axis, so queries opt in by scoping
+  * the conf around plan construction — see `join_range_auto`).
   *
   * Self-termination: filter-pushdown can fold the residual back into the
   * rewritten join's condition on a later optimizer pass; the rule skips
-  * any join whose condition already references a `__graft_rb` bucket
-  * attribute, so the rewrite never stacks.
+  * any join whose condition references a `__graft_rb`-prefixed attribute
+  * — the bucket keys of the equi branch and the [[GuardMarker]] columns
+  * of the fallback branches (non-foldable by construction, so constant
+  * propagation cannot erase them). Joins carrying an explicit user hint
+  * are left untouched — a hint is the user picking the strategy.
   */
 class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   import RangeJoinRewrite._
@@ -67,6 +103,18 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** `x <= y` / `x < y` oriented as (smaller, larger, isStrict). */
+  private def asLE(c: Expression): Option[(Expression, Expression, Boolean)] = c match {
+    case LessThanOrEqual(x, y) => Some((x, y, false))
+    case LessThan(x, y) => Some((x, y, true))
+    case GreaterThanOrEqual(y, x) => Some((x, y, false))
+    case GreaterThan(y, x) => Some((x, y, true))
+    case _ => None
+  }
+
+  private def numeric(es: Expression*): Boolean =
+    es.forall(_.dataType.isInstanceOf[NumericType])
+
   /** Find (point, lo, hi) with point refs in one child and BOTH bound
     * expressions' refs nonempty and in the other child, orientation
     * returned as pointIsLeft.
@@ -81,9 +129,7 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       if p1.canonicalized == p2.canonicalized
     } yield (p1, lo, hi)
     pairs.iterator.flatMap { case (p, lo, hi) =>
-      if (!p.dataType.isInstanceOf[NumericType] ||
-        !lo.dataType.isInstanceOf[NumericType] ||
-        !hi.dataType.isInstanceOf[NumericType]) None
+      if (!numeric(p, lo, hi)) None
       else {
         val pR = p.references
         val bR = AttributeSet(lo.references ++ hi.references)
@@ -97,6 +143,53 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }.nextOption()
   }
 
+  /** Find the overlap conjunct pair: `aLo <= bHi` and `bLo <= aHi` with
+    * the `a` bounds' refs in the left child and the `b` bounds' in the
+    * right. Returns (aLo, aHi, bLo, bHi). When several cross-side `<`/
+    * `<=` conjuncts exist (e.g. a `a.id < b.id` self-join dedup next to
+    * the real bound pair), prefer the pairing with the most NON-STRICT
+    * comparisons: canonical interval-overlap predicates are `<=` on
+    * both sides, while key-ordering tricks are canonically strict. A
+    * wrong pick stays bit-exact (the residual re-applies everything) —
+    * the fan-out guard just routes the mismatched axis to the fallback
+    * — but the right pick is what makes the rewrite pay.
+    */
+  private def matchOverlap(cs: Seq[Expression], left: LogicalPlan, right: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Expression)] = {
+    val les = cs.flatMap(asLE).filter { case (x, y, _) =>
+      x.references.nonEmpty && y.references.nonEmpty && numeric(x, y)
+    }
+    val fromL = les.filter { case (x, y, _) =>
+      x.references.subsetOf(left.outputSet) && y.references.subsetOf(right.outputSet)
+    }
+    val fromR = les.filter { case (x, y, _) =>
+      x.references.subsetOf(right.outputSet) && y.references.subsetOf(left.outputSet)
+    }
+    val candidates = for {
+      (aLo, bHi, s1) <- fromL
+      (bLo, aHi, s2) <- fromR
+    } yield ((aLo, aHi, bLo, bHi), Seq(s1, s2).count(!_))
+    candidates.sortBy(-_._2).headOption.map(_._1)
+  }
+
+  private def bkt(e: Expression, w: Double) =
+    floor(ColumnBridge.column(e).cast("double") / w).cast("long")
+
+  /** Marker columns + always-true cross-side conjunct that (a) tags the
+    * fallback join so later optimizer passes skip it and (b) cannot be
+    * constant-folded away (GuardMarker is non-foldable). The Or
+    * references both sides, so predicate pushdown keeps it in the join
+    * condition rather than pushing it below one child.
+    */
+  private def fallbackJoin(
+      l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame,
+      residual: Expression): org.apache.spark.sql.DataFrame =
+    l.withColumn(MarkerL, ColumnBridge.column(GuardMarker()))
+      .join(r.withColumn(MarkerR, ColumnBridge.column(GuardMarker())),
+        ColumnBridge.column(residual) && (col(MarkerL) || col(MarkerR)),
+        "inner")
+
   private def rewrite(
       join: Join,
       p: Expression,
@@ -104,17 +197,22 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       hi: Expression,
       pointIsLeft: Boolean,
       width: Double,
+      maxFanout: Long,
       allConjuncts: Seq[Expression]): LogicalPlan = {
-    def bkt(e: Expression) =
-      floor(ColumnBridge.column(e).cast("double") / width).cast("long")
     val pDf = ColumnBridge.ofRows(session,
       if (pointIsLeft) join.left else join.right)
     val iDf = ColumnBridge.ofRows(session,
       if (pointIsLeft) join.right else join.left)
-    val pC = pDf.withColumn(PointBucket, bkt(p))
-    val iC = iDf
-      .filter(ColumnBridge.column(lo) <= ColumnBridge.column(hi))
-      .withColumn(IntervalBucket, explode(sequence(bkt(lo), bkt(hi))))
+    // a malformed hi < lo interval can never contain a point (the bound
+    // pair implies lo <= p <= hi), and Spark's descending auto-step
+    // sequence would otherwise explode it — drop pre-fan-out. NULL
+    // bounds null-reject the original conjuncts, so they match nothing
+    // and the valid/wide filters dropping them is exact.
+    val span = bkt(hi, width) - bkt(lo, width)
+    val valid = ColumnBridge.column(lo) <= ColumnBridge.column(hi)
+    val pC = pDf.withColumn(PointBucket, bkt(p, width))
+    val iC = iDf.filter(valid && span < lit(maxFanout))
+      .withColumn(IntervalBucket, explode(sequence(bkt(lo, width), bkt(hi, width))))
     val (lC, rC) = if (pointIsLeft) (pC, iC) else (iC, pC)
     // cross-side equality conjuncts (the join's real keys — user_id,
     // tenant, …) must STAY in the join condition next to the bucket, or
@@ -133,20 +231,74 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       (c, e) => c && ColumnBridge.column(e)
     }
     val residual = allConjuncts.reduce[Expression](And)
-    val out = lC.join(rC, joinCond, "inner")
+    val outCols = join.output.map(ColumnBridge.column)
+    val main = lC.join(rC, joinCond, "inner")
       .filter(ColumnBridge.column(residual))
-      .select(join.output.map(ColumnBridge.column): _*)
-    reapplyHint(out.queryExecution.analyzed, join.hint)
+      .select(outCols: _*)
+    // fan-out guard: intervals wider than the cap take the original
+    // theta join (marker-tagged); normally zero rows
+    val wide = iDf.filter(valid && span >= lit(maxFanout))
+    val (fL, fR) = if (pointIsLeft) (pDf, wide) else (wide, pDf)
+    val fb = fallbackJoin(fL, fR, residual).select(outCols: _*)
+    main.union(fb).queryExecution.analyzed
   }
 
-  private def reapplyHint(plan: LogicalPlan, hint: JoinHint): LogicalPlan =
-    if (hint == JoinHint.NONE) plan
-    else plan match {
-      case j: Join => j.copy(hint = hint)
-      case u if u.children.size == 1 =>
-        u.withNewChildren(Seq(reapplyHint(u.children.head, hint)))
-      case other => other
+  private def rewriteOverlap(
+      join: Join,
+      aLo: Expression,
+      aHi: Expression,
+      bLo: Expression,
+      bHi: Expression,
+      width: Double,
+      maxFanout: Long,
+      allConjuncts: Seq[Expression]): LogicalPlan = {
+    val aDf = ColumnBridge.ofRows(session, join.left)
+    val bDf = ColumnBridge.ofRows(session, join.right)
+    def lohi(lo: Expression, hi: Expression) = {
+      val span = bkt(hi, width) - bkt(lo, width)
+      val valid = ColumnBridge.column(lo) <= ColumnBridge.column(hi)
+      (valid && span < lit(maxFanout), // good: bucketable
+        // bad: malformed (the theta join CAN match hi < lo "intervals",
+        // e.g. a=[10,5] against b=[0,20]) or too wide to explode. NULL
+        // bounds fall in neither branch — they null-reject the original
+        // conjuncts, so they can match nothing.
+        (ColumnBridge.column(lo) > ColumnBridge.column(hi)) ||
+          (valid && span >= lit(maxFanout)))
     }
+    val (goodA, badA) = lohi(aLo, aHi)
+    val (goodB, badB) = lohi(bLo, bHi)
+    val aC = aDf.filter(goodA).withColumn(PointBucket,
+      explode(sequence(bkt(aLo, width), bkt(aHi, width))))
+    val bC = bDf.filter(goodB).withColumn(IntervalBucket,
+      explode(sequence(bkt(bLo, width), bkt(bHi, width))))
+    val equi = allConjuncts.filter {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(join.left.outputSet) &&
+          b.references.subsetOf(join.right.outputSet)) ||
+          (a.references.subsetOf(join.right.outputSet) &&
+            b.references.subsetOf(join.left.outputSet))
+      case _ => false
+    }
+    val joinCond = equi.foldLeft(col(PointBucket) === col(IntervalBucket)) {
+      (c, e) => c && ColumnBridge.column(e)
+    }
+    val residual = allConjuncts.reduce[Expression](And)
+    val outCols = join.output.map(ColumnBridge.column)
+    // exactly-once: keep only the first shared bucket — the one holding
+    // the intersection start max(aLo, bLo)
+    val firstShared = col(PointBucket) ===
+      floor(greatest(ColumnBridge.column(aLo).cast("double"),
+        ColumnBridge.column(bLo).cast("double")) / width).cast("long")
+    val main = aC.join(bC, joinCond, "inner")
+      .filter(ColumnBridge.column(residual) && firstShared)
+      .select(outCols: _*)
+    // partition of pairs: (good,good) → main; (bad,*) → fb1;
+    // (good,bad) → fb2 — each qualifying pair in exactly one branch
+    val fb1 = fallbackJoin(aDf.filter(badA), bDf, residual).select(outCols: _*)
+    val fb2 = fallbackJoin(aDf.filter(goodA), bDf.filter(badB), residual)
+      .select(outCols: _*)
+    main.union(fb1).union(fb2).queryExecution.analyzed
+  }
 
   private def enabled: Boolean =
     org.apache.spark.sql.internal.SQLConf.get
@@ -158,33 +310,64 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       .getConfString("spark.graft.rangeJoinRewrite.bucket", "")
       .toDouble).toOption.filter(_ > 0)
 
+  /** Max exploded rows per interval before the fallback branch takes
+    * over (guards both OOM fan-out and sequence()'s 2^31 limit).
+    */
+  private def maxFanout: Long =
+    scala.util.Try(org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.rangeJoinRewrite.maxFanout", "4096")
+      .toLong).toOption.filter(_ > 0).getOrElse(4096L)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else bucketWidth match {
       case None => plan
       case Some(w) =>
+        val cap = maxFanout
         plan.transformUp {
-          case j @ Join(left, right, jt, Some(cond), _)
-              if (jt == Inner || jt == Cross) &&
-                !cond.references.exists(_.name.startsWith(PointBucket)) &&
-                !cond.references.exists(_.name.startsWith(IntervalBucket)) =>
+          case j @ Join(left, right, jt, Some(cond), hint)
+              if (jt == Inner || jt == Cross) && hint == JoinHint.NONE &&
+                !cond.references.exists(_.name.startsWith(BucketPrefix)) =>
             val cs = conjuncts(cond)
-            matchRange(cs, left, right) match {
+            try matchRange(cs, left, right) match {
               case Some((p, lo, hi, pointIsLeft)) =>
-                try rewrite(j, p, lo, hi, pointIsLeft, w, cs)
-                catch {
-                  case NonFatal(e) =>
-                    logWarning(
-                      s"range-join rewrite failed, keeping nested-loop join: $e")
-                    j
+                rewrite(j, p, lo, hi, pointIsLeft, w, cap, cs)
+              case None =>
+                matchOverlap(cs, left, right) match {
+                  case Some((aLo, aHi, bLo, bHi)) =>
+                    rewriteOverlap(j, aLo, aHi, bLo, bHi, w, cap, cs)
+                  case None => j
                 }
-              case None => j
+            } catch {
+              case NonFatal(e) =>
+                logWarning(
+                  s"range-join rewrite failed, keeping nested-loop join: $e")
+                j
             }
         }
     }
 }
 
 object RangeJoinRewrite {
+  /** Shared prefix of every attribute the rewrite introduces — the
+    * self-termination skip checks it.
+    */
+  private[plans] val BucketPrefix = "__graft_rb"
   private[plans] val PointBucket = "__graft_rb_p"
   private[plans] val IntervalBucket = "__graft_rb_i"
+  private[plans] val MarkerL = "__graft_rb_ml"
+  private[plans] val MarkerR = "__graft_rb_mr"
+}
+
+/** Always-true boolean that the optimizer cannot constant-fold
+  * (`foldable = false` by construction): tags [[RangeJoinRewrite]]'s
+  * fallback joins so the rule's skip check survives FoldablePropagation
+  * / BooleanSimplification. Evaluated only on the (normally empty)
+  * outlier branches, so CodegenFallback costs nothing.
+  */
+case class GuardMarker() extends LeafExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = true
+  override def prettyName: String = "graft_guard_marker"
 }

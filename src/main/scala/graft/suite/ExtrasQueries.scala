@@ -292,24 +292,28 @@ object ExtrasQueries {
       (s, dir) => {
         // the SAME point-in-interval join written naively — raw
         // `user_id = AND sec >= start AND sec < end` as the join
-        // condition. RangeJoinRewrite (installed via GraftExtensions,
-        // bin size from the session conf) recognizes the cross-side
-        // bound pair and plans the bucketed equi-join automatically,
-        // keeping user_id as a real join key; RangeJoinRuleSpec asserts
-        // no nested loop survives. Results are bit-exact with the theta
-        // join (the original predicates are the residual).
-        val ev = tbl(s, dir, "events")
-        val points = ev.select(col("user_id").as("p_uid"),
-          unix_timestamp(col("ts")).as("sec"))
-        val sessions = graft.streaming.Sessions.sessionize(ev, "15 minutes")
-        points.join(sessions,
-            col("p_uid") === col("user_id") &&
-              col("sec") >= col("session_start") &&
-              col("sec") < col("session_end"))
-          .groupBy(col("user_id"), col("session_start"), col("session_end"),
-            col("n_events"))
-          .agg(count(lit(1)).as("n_in_range"))
-          .orderBy("user_id", "session_start")
+        // condition. RangeJoinRewrite (installed via GraftExtensions)
+        // recognizes the cross-side bound pair and plans the bucketed
+        // equi-join automatically, keeping user_id as a real join key;
+        // RangeJoinRuleSpec asserts no nested loop survives. Results
+        // are bit-exact with the theta join (the original predicates
+        // are the residual). The 900 s bin — a data property of this
+        // axis (15-min sessions) — is scoped to this plan's
+        // construction, not session-wide.
+        Registry.withRangeBucket(s, 900L) {
+          val ev = tbl(s, dir, "events")
+          val points = ev.select(col("user_id").as("p_uid"),
+            unix_timestamp(col("ts")).as("sec"))
+          val sessions = graft.streaming.Sessions.sessionize(ev, "15 minutes")
+          points.join(sessions,
+              col("p_uid") === col("user_id") &&
+                col("sec") >= col("session_start") &&
+                col("sec") < col("session_end"))
+            .groupBy(col("user_id"), col("session_start"), col("session_end"),
+              col("n_events"))
+            .agg(count(lit(1)).as("n_in_range"))
+            .orderBy("user_id", "session_start")
+        }
       },
       Some("""
         WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -2280,31 +2284,47 @@ object ExtrasQueries {
 
     QDef(
       "agg_hll_distinct_merge",
-      // no SQL oracle: the estimate is Spark's Datasketches HLL value,
-      // which DuckDB's own HLL cannot reproduce — the driver records the
-      // rows-only check; SketchSpec pins the error envelope of both the
-      // merged and direct estimates instead (Datasketches HLL merge is
-      // not bit-lossless, so the envelope IS the contract).
-      // exact_distinct rides along so the result is self-auditing.
+      // Spark's Datasketches HLL estimate is a value DuckDB's own HLL
+      // cannot reproduce, so the RAW estimate can never hash-match an
+      // oracle. The oracle-checkable columns are therefore the
+      // contract: the exact per-source distinct count plus the sketch's
+      // error-envelope verdict (est within 5% of exact — the same
+      // envelope SketchSpec pins). The HLL estimate is still computed
+      // (the verdict derives from it, including the per-shard
+      // sketches-MERGE-without-re-touching-rows step that matters at
+      // 100 TB); only its raw value stays out of the hashed surface.
       (s, dir) => {
         val perSource = tbl(s, dir, "documents")
           .groupBy(col("source"))
           .agg(hll_sketch_agg(col("doc_id")).as("sk"),
             countDistinct(col("doc_id")).as("exact_distinct"))
-        val bySource = perSource.select(col("source"),
+        def audited(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("source"), col("exact_distinct"),
+            (abs(col("est_distinct") - col("exact_distinct")) <=
+              col("exact_distinct") * 0.05).as("est_within_5pct"))
+        val bySource = audited(perSource.select(col("source"),
           hll_sketch_estimate(col("sk")).as("est_distinct"),
-          col("exact_distinct"))
+          col("exact_distinct")))
         // the sketch property that matters at scale: per-shard sketches
         // MERGE into the corpus-wide answer without re-touching rows
         // (doc_id is unique, so per-source exact counts sum exactly)
-        val merged = perSource.agg(
+        val merged = audited(perSource.agg(
             hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"),
             sum(col("exact_distinct")).as("exact_distinct"))
           .select(lit("__all__").as("source"),
-            col("est_distinct"), col("exact_distinct"))
+            col("est_distinct"), col("exact_distinct")))
         bySource.unionByName(merged).orderBy("source")
       },
-      None),
+      Some("""
+        WITH s AS (SELECT source, count(DISTINCT doc_id) AS exact_distinct
+                   FROM documents GROUP BY source)
+        SELECT source, exact_distinct, TRUE AS est_within_5pct FROM s
+        UNION ALL
+        SELECT '__all__' AS source,
+               CAST(sum(exact_distinct) AS BIGINT) AS exact_distinct,
+               TRUE AS est_within_5pct
+        FROM s
+        ORDER BY source""")),
 
     QDef(
       "sink_jsonl_export",
@@ -2340,8 +2360,16 @@ object ExtrasQueries {
         // (12/6/14/12-char fields, space-padded), re-scan as text, and
         // parse by substring+trim+cast — never inferSchema, never a
         // regex. The parsed frame must reproduce the source exactly;
-        // the oracle reads the original table.
-        val out = sys.props("java.io.tmpdir") + "/graft_scan_fixed_width"
+        // the oracle reads the original table. The output path is
+        // suffixed per sf-dir so concurrent sessions on different
+        // scales don't race on one directory, and every line's total
+        // width is asserted before parsing — format_string silently
+        // WIDENS a field whose value overflows its width, which would
+        // shift all downstream offsets and corrupt the parse rather
+        // than fail; assert_true turns that into a loud error.
+        val out = sys.props("java.io.tmpdir") + "/graft_scan_fixed_width_" +
+          f"${scala.util.hashing.MurmurHash3.stringHash(
+            new java.io.File(dir).getAbsolutePath)}%08x"
         tbl(s, dir, "customer")
           .select(format_string("%-12d%-6d%-14d%-12s",
             col("c_custkey"), col("c_nationkey"),
@@ -2349,6 +2377,9 @@ object ExtrasQueries {
             col("c_mktsegment")).as("value"))
           .write.mode("overwrite").text(out)
         s.read.text(out)
+          .filter(assert_true(length(col("value")) === 44,
+            lit("fixed-width layout violated: a field overflowed its width"))
+            .isNull)
           .select(
             trim(substring(col("value"), 1, 12)).cast("long").as("c_custkey"),
             trim(substring(col("value"), 13, 6)).cast("long").as("c_nationkey"),
@@ -2515,8 +2546,12 @@ object ExtrasQueries {
         // predicate pushdown, column pruning, same as parquet). The
         // re-scan runs a pushed-down filter + 2-column projection and
         // must reproduce the source aggregation exactly; OrcScanSpec
-        // pins that the filter reaches the ORC scan.
-        val out = sys.props("java.io.tmpdir") + "/graft_sink_orc_roundtrip"
+        // pins that the filter reaches the ORC scan. Path is suffixed
+        // per sf-dir (concurrent sessions on different scales must not
+        // overwrite each other's roundtrip files).
+        val out = sys.props("java.io.tmpdir") + "/graft_sink_orc_roundtrip_" +
+          f"${scala.util.hashing.MurmurHash3.stringHash(
+            new java.io.File(dir).getAbsolutePath)}%08x"
         val li = tbl(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
         li.write.mode("overwrite").orc(out)
@@ -2717,6 +2752,57 @@ object ExtrasQueries {
             (least(col("hi"), col("r_hi")) -
               greatest(col("lo"), col("r_lo"))).as("overlap_sec"))
           .orderBy("user_a", "start_a", "user_b", "start_b")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        b AS (SELECT user_id, sec,
+              CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+                   THEN 1 ELSE 0 END AS brk FROM e),
+        g AS (SELECT user_id, sec,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+              FROM b),
+        s AS (SELECT user_id, min(sec) AS lo, max(sec) AS hi
+              FROM g GROUP BY user_id, sid HAVING count(*) >= 2)
+        SELECT a.user_id AS user_a, a.lo AS start_a,
+               b.user_id AS user_b, b.lo AS start_b,
+               least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_sec
+        FROM s a JOIN s b
+          ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+        ORDER BY user_a, start_a, user_b, start_b""")),
+
+    QDef(
+      "join_overlap_auto",
+      (s, dir) => {
+        // the SAME overlap join written naively — the raw
+        // `a.lo <= b.hi AND b.lo <= a.hi` conjunct pair as the join
+        // condition, no operator call. RangeJoinRewrite recognizes the
+        // crossing bound pair and plans the double-exploded bucketed
+        // equi-join with the first-shared-bucket exactly-once filter;
+        // RangeJoinRuleSpec pins no-nested-loop and bit-exact parity
+        // with both the brute theta join and RangeJoin.intervalOverlap.
+        // Bucket width 3600 ≈ max session length (fan-out ≤ 2), scoped
+        // to this plan's construction.
+        Registry.withRangeBucket(s, 3600L) {
+          val sess = graft.operators.Islands.islands(
+              tbl(s, dir, "events")
+                .select(col("user_id"), unix_timestamp(col("ts")).as("sec")),
+              Seq("user_id"), "sec", maxGap = 1800L, minLen = 2L)
+            .select(col("user_id"), col("island_start").as("lo"),
+              col("island_end").as("hi"))
+          val a = sess.select(col("user_id").as("user_a"), col("lo").as("a_lo"),
+            col("hi").as("a_hi"))
+          val b = sess.select(col("user_id").as("user_b"), col("lo").as("b_lo"),
+            col("hi").as("b_hi"))
+          a.join(b,
+              col("user_a") < col("user_b") &&
+                col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+            .select(col("user_a"), col("a_lo").as("start_a"),
+              col("user_b"), col("b_lo").as("start_b"),
+              (least(col("a_hi"), col("b_hi")) -
+                greatest(col("a_lo"), col("b_lo"))).as("overlap_sec"))
+            .orderBy("user_a", "start_a", "user_b", "start_b")
+        }
       },
       Some("""
         WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

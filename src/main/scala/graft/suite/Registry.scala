@@ -50,6 +50,29 @@ object Registry {
     }
   }
 
+  /** Build a plan with the range-join rewrite active at the given bin
+    * size, scoped: the conf is set only around construction, and
+    * `optimizedPlan` is forced (and memoized by QueryExecution) while it
+    * is set, so the rewrite fires for THIS query without a session-wide
+    * bin leaking onto unrelated numeric bound pairs (a 900 s bin is
+    * right for epoch-second sessions and arbitrary for prices). AQE
+    * re-optimization does not re-run extension optimizer rules, so the
+    * memoized logical plan is what executes.
+    */
+  def withRangeBucket(s: SparkSession, width: Long)(build: => DataFrame): DataFrame = {
+    val key = "spark.graft.rangeJoinRewrite.bucket"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, width.toString)
+    try {
+      val df = build
+      df.queryExecution.optimizedPlan // force + memoize under the scoped conf
+      df
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** The full registry. Built once; duplicate keys are a build-time
     * error — SparkEntry.queries folds this into a last-wins ListMap, so
     * a silent key collision would unregister an earlier query without

@@ -785,19 +785,25 @@ object SimilarityQueries {
         // int8, scale = max |x|, q = max(-127, floor(x*127/scale)) —
         // every step a single IEEE double op, so the oracle reproduces
         // the quantized arrays bit-for-bit. Pure projection, no shuffle;
-        // the quantized vector stays an ARRAY (one row per vector) — the
-        // earlier posexplode emitted dims×N rows and the terminal sort
-        // paid for all of them (12.9× at 10× rows in the sf1 replay,
-        // write-bound); array output keeps the result row count N.
+        // the plan stays one row per vector (the earlier posexplode
+        // emitted dims×N rows: 12.9× write-bound at sf1), but the ARRAY
+        // is serialized to a canonical CSV string AT THE QUERY EDGE —
+        // the official comparer canonicalizes via pandas sort_values
+        // and cannot hash ndarray cells (r8 gate regression), so
+        // registered outputs carry no ARRAY columns (RegistrySpec
+        // enforces this). array_join mirrors DuckDB array_to_string
+        // exactly for integer elements.
         Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding")
-          .select(col("vec_id"), col("scale"), col("q"))
+          .select(col("vec_id"), col("scale"),
+            array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"))
           .orderBy("vec_id"),
       Some("""
         SELECT vec_id, scale,
-               CASE WHEN scale = 0 THEN list_transform(vec, v -> 0)
-                    ELSE list_transform(vec, v -> CAST(
-                      greatest(-127.0, floor(CAST(v AS DOUBLE) * 127.0 / scale))
-                      AS INT)) END AS q
+               array_to_string(
+                 CASE WHEN scale = 0 THEN list_transform(vec, v -> 0)
+                      ELSE list_transform(vec, v -> CAST(
+                        greatest(-127.0, floor(CAST(v AS DOUBLE) * 127.0 / scale))
+                        AS INT)) END, ',') AS q_csv
         FROM (SELECT vec_id, embedding AS vec,
                 list_max(list_transform(embedding,
                   v -> abs(CAST(v AS DOUBLE)))) AS scale
@@ -811,15 +817,22 @@ object SimilarityQueries {
         // 64-dim embedding onto 16 fixed pseudo-random integer
         // hyperplanes (JL-style; same deterministic weight family as the
         // LSH planes, so the oracle reproduces every coordinate as an
-        // exact int64 dot). One row per vector, array output — pure
-        // projection, no shuffle.
+        // exact int64 dot). One row per vector; pure projection, no
+        // shuffle. The projected vector is emitted as a canonical CSV
+        // string (not ARRAY) — see sim_quantize_int8 / RegistrySpec:
+        // the official comparer cannot hash ARRAY cells.
         Similarity.randomProjection(
             tbl(s, dir, "embeddings"), "vec_id", "embedding",
             outDims = JlDims, dims = Dims)
+          .select(col("vec_id"),
+            array_join(transform(col("proj"), _.cast("string")), ",")
+              .as("proj_csv"))
           .orderBy("vec_id"),
       Some(s"""
         SELECT vec_id,
-               [${(0 until JlDims).map(planeDotSql).mkString(",\n                ")}] AS proj
+               array_to_string(
+                 [${(0 until JlDims).map(planeDotSql).mkString(",\n                  ")}],
+                 ',') AS proj_csv
         FROM (SELECT vec_id, $intEmbSql AS ie FROM embeddings)
         ORDER BY vec_id""")),
 

@@ -127,7 +127,14 @@ class PlanShapeSpec extends SparkSpec {
             case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
             case _ => j.right
           }
-          bounded(build) || boundedDimensionBnl(name)
+          // RangeJoinRewrite's marker-tagged fallback branches are
+          // legal by construction: their inputs are the fan-out-outlier
+          // / malformed-interval subsets — empty on well-formed data,
+          // and bounded by the outlier count (not corpus size) on bad
+          // data, which is the guard's whole point
+          val guardBranch = j.condition.exists(_.references.exists(
+            _.name.startsWith("__graft_rb_m")))
+          guardBranch || bounded(build) || boundedDimensionBnl(name)
       }
       if (bad.contains(false)) Some(name) else None
     }
@@ -201,5 +208,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"interior global sort (ordering destroyed by an upstream operator) " +
         s"in: ${offenders.mkString(", ")}")
+  }
+
+  test("no registered query output schema carries ARRAY/MAP columns") {
+    // The official correctness comparer canonicalizes result frames via
+    // pandas sort_values over all columns; ndarray cells are unhashable
+    // and crash the gate instead of comparing (the r8 sim_quantize_int8
+    // regression — the second output-encoding trap after r7's
+    // DECIMAL(38,0) hashing lesson). Registered outputs must be scalar:
+    // serialize vectors at the query edge (array_join CSV / to_json),
+    // mirrored by array_to_string in the DuckDB oracle. Interior plans
+    // may of course carry arrays freely — this guards the EDGE schema.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = plans.flatMap { case (name, p) =>
+      val bad = p.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar output columns (gate-unverifiable) in: ${offenders.mkString("; ")}")
   }
 }

@@ -15,9 +15,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // mirror GraftSession's range-join bin so plan-shape tests see the
-    // same rewrites the mains do
-    .config("spark.graft.rangeJoinRewrite.bucket", "900")
+    // like GraftSession, NO session-wide range-join bin: queries scope
+    // it via Registry.withRangeBucket, so plan-shape tests see exactly
+    // the rewrites the mains get (RangeJoinRuleSpec sets it locally)
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 

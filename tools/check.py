@@ -20,12 +20,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # array cells (numpy arrays / lists) are unhashable and unsortable:
-    # canonicalize them to tuples so sort_values and == work on them
+    # canonicalize them to tuples so sort_values and == work on them.
+    # Probe the first NON-NULL cell (a leading None row would otherwise
+    # hide the arrays behind it and crash the sort). NOTE the OFFICIAL
+    # gate has no such canonicalization at all — registered queries must
+    # not emit ARRAY columns (PlanShapeSpec enforces); this local shim
+    # only keeps ad-hoc dumps comparable.
     for c in df.columns:
-        if df[c].dtype == object and len(df) and isinstance(
-                df[c].iloc[0], (np.ndarray, list)):
-            df[c] = df[c].map(lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v)
-                              if v is not None else None)
+        if df[c].dtype == object and len(df):
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], (np.ndarray, list)):
+                df[c] = df[c].map(lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v)
+                                  if v is not None else None)
     if len(df) and len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
