@@ -40,8 +40,21 @@ object Bench {
     */
   def resetCaches(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
+    // BLOCKING unpersist: with blocking=false the block-release backlog
+    // drains DURING the next lap's first queries, which then measure
+    // eviction churn instead of their plans (the sf1 replay's
+    // one-slow-lap pattern on the early-registry dedup/text queries).
+    // The release cost belongs to the reset, not to whichever query
+    // runs next.
     spark.sparkContext.getPersistentRDDs.values.foreach(r =>
-      try r.unpersist(blocking = false) catch { case _: Throwable => () })
+      try r.unpersist(blocking = true) catch { case _: Throwable => () })
+    // drain the ContextCleaner between laps: a lap leaves thousands of
+    // broadcast variables (one per broadcast join) whose cleanup is
+    // weak-reference-triggered — without a forced GC the cleaner bursts
+    // mid-NEXT-lap and whichever query cluster is running then measures
+    // the churn (the sf1 replay's one-slow-lap sim_* spread). The pause
+    // belongs to the reset, not to a query.
+    System.gc()
     suite.Artifacts.rewarmAll(spark)
   }
 
@@ -127,7 +140,15 @@ object Bench {
         val vs = warmLaps.map(_(name))
         name -> (if (vs.contains(-1.0)) -1.0 else pick(vs.sorted))
       }.toMap
-    val med = stat(vs => vs(vs.size / 2))
+    // TRUE median: for an even lap count, the mean of the middle two.
+    // vs(size/2) alone picks the UPPER middle — at the sf1 replay's 2
+    // warm laps that reported every query's WORST lap as its "median"
+    // (dedup_ngram_jaccard: laps 1.19 s / 13.19 s reported as 13.19,
+    // a 22× scale ratio that was pure lap accounting, not the plan)
+    val med = stat { vs =>
+      if (vs.size % 2 == 1) vs(vs.size / 2)
+      else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0
+    }
     val mn = stat(_.head)
     val mx = stat(_.last)
 

@@ -537,6 +537,50 @@ object RelationalQueries {
         FROM documents ORDER BY doc_id""")),
 
     QDef(
+      "f_url_parse",
+      (s, dir) => {
+        // URL canonicalization + per-host rollup — the web-corpus
+        // provenance shape (dedupe/attribute by host, path, tracking
+        // params). URLs are synthesized deterministically per document
+        // (the corpus carries none), then parsed with Spark's NATIVE
+        // parse_url (HOST/PATH/QUERY-param extraction, codegen'd) and
+        // rolled up per host: doc count, distinct canonical paths
+        // (query string stripped — the canonicalization step), and how
+        // many carried the tracking param. One groupBy on host; the
+        // parse is a pure projection.
+        val url = concat(lit("https://"), col("source"), lit(".example.org/c/"),
+          pmod(col("doc_id"), lit(50)), lit("/doc-"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, concat(lit("?utm="), col("lang")))
+            .otherwise(lit("")))
+        tbl(s, dir, "documents")
+          .select(
+            parse_url(url, lit("HOST")).as("host"),
+            parse_url(url, lit("PATH")).as("path"),
+            parse_url(url, lit("QUERY"), lit("utm")).as("utm"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("path")).as("n_paths"),
+            count(col("utm")).as("n_tracked"))
+          .orderBy("host")
+      },
+      Some("""
+        WITH u AS (SELECT
+            'https://' || source || '.example.org/c/' || (doc_id % 50)
+              || '/doc-' || doc_id
+              || CASE WHEN doc_id % 3 = 0 THEN '?utm=' || lang ELSE '' END AS url
+          FROM documents),
+        p AS (SELECT
+            regexp_extract(url, '^https://([^/]+)', 1) AS host,
+            regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+            CASE WHEN url LIKE '%?utm=%'
+                 THEN regexp_extract(url, '[?]utm=(.*)$', 1) END AS utm
+          FROM u)
+        SELECT host, count(*) AS n_docs,
+               count(DISTINCT path) AS n_paths,
+               count(utm) AS n_tracked
+        FROM p GROUP BY host ORDER BY host""")),
+
+    QDef(
       "f_dynamic_name",
       (s, dir) => {
         // param-interpolated output names (py:305-312): column name built

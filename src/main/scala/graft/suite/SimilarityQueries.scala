@@ -811,6 +811,67 @@ object SimilarityQueries {
         ORDER BY vec_id""")),
 
     QDef(
+      "sim_int8_adc_topk",
+      (s, dir) => {
+        // the serving half of sim_quantize_int8: asymmetric distance
+        // computation (ADC) — full-precision queries scored against the
+        // int8-quantized corpus, the standard memory/recall trade in
+        // production ANN (4x smaller corpus residency, integer SIMD
+        // dots). Score = scale_c · Σ qi_d · q8_d: the integer dot is
+        // exact in any engine and the per-vector dequantize is ONE IEEE
+        // multiply, so the oracle reproduces every score bit-for-bit.
+        // Query side is the same bounded 20-vector hash reservoir as
+        // sim_cosine_topk (broadcast past one corpus scan, O(20·N);
+        // PlanShapeSpec proves the broadcast side bounded structurally).
+        import org.apache.spark.sql.expressions.Window
+        val emb = tbl(s, dir, "embeddings")
+        val c8 = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+          .select(col("vec_id").as("c_id"), col("scale"),
+            col("q").cast("array<bigint>").as("q8"))
+        val q = emb.select(col("vec_id").as("q_id"),
+            Similarity.intEmbedding(col("embedding")).as("qi"),
+            graft.operators.Sampling.hashBucket(col("vec_id"), 1000000000)
+              .as("__b"))
+          .orderBy(col("__b"), col("q_id")).limit(20).drop("__b")
+        c8.crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("score", col("scale") *
+            graft.functions.VectorExpressions.dotLong(col("qi"), col("q8")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("score").desc, col("c_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("c_id"), col("score"), col("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        WITH cq AS (
+          SELECT vec_id AS c_id, scale,
+            CASE WHEN scale = 0 THEN list_transform(vec, v -> CAST(0 AS BIGINT))
+                 ELSE list_transform(vec, v -> CAST(
+                   greatest(-127.0, floor(CAST(v AS DOUBLE) * 127.0 / scale))
+                   AS BIGINT)) END AS q8
+          FROM (SELECT vec_id, embedding AS vec,
+                  list_max(list_transform(embedding,
+                    v -> abs(CAST(v AS DOUBLE)))) AS scale
+                FROM embeddings)),
+        q AS (SELECT vec_id AS q_id, qi FROM (
+                SELECT vec_id, $intEmbSql AS qi,
+                  ${SamplingQueries.hashSql("CAST(vec_id AS VARCHAR)", 1000000000)} AS b
+                FROM embeddings) s ORDER BY b, vec_id LIMIT 20),
+        scored AS (
+          SELECT q.q_id, c.c_id,
+            c.scale * list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(list_zip(q.qi, c.q8), z -> z[1] * z[2])),
+              (acc, x) -> acc + x) AS score
+          FROM q JOIN cq c ON q.q_id != c.c_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, c_id) AS rank FROM scored)
+        SELECT q_id, c_id, score, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    QDef(
       "sim_jl_projection",
       (s, dir) =>
         // dimensionality reduction for storage/serving: project the

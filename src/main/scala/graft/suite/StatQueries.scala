@@ -994,6 +994,41 @@ object StatQueries {
         FROM d ORDER BY day_start""")),
 
     QDef(
+      "agg_sliding_distinct",
+      (s, dir) => {
+        // EXACT trailing-7-day distinct users per day — the DAU/WAU
+        // metric whose naive form (one count-distinct per window
+        // position) re-scans the history |days| times. Exact and
+        // one-pass-per-grain instead: collapse to the (user, active
+        // day) grain, explode each active day to the ≤7 window-end
+        // days it serves (bounded calendar fan-out, a map-side
+        // projection), dedup (user, window) — a user active twice in
+        // one window counts once — then count per window. Two
+        // key-partitioned distincts + a calendar-domain aggregate;
+        // no window function touches the fact grain at all.
+        val ud = tbl(s, dir, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+          .distinct()
+        val maxD = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          ud.agg(max(col("d"))))
+        ud.select(col("user_id"),
+            explode(sequence(lit(0), lit(6))).as("i"), col("d"))
+          .select(col("user_id"), date_add(col("d"), col("i")).as("wend"))
+          .filter(col("wend") <= maxD)
+          .distinct()
+          .groupBy(col("wend"))
+          .agg(count(lit(1)).as("n_users_7d"))
+          .orderBy("wend")
+      },
+      Some("""
+        WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        w AS (SELECT DISTINCT user_id, d + CAST(t.i AS INTEGER) AS wend
+              FROM ud, range(0, 7) t(i)
+              WHERE d + CAST(t.i AS INTEGER) <= (SELECT max(d) FROM ud))
+        SELECT wend, count(*) AS n_users_7d
+        FROM w GROUP BY wend ORDER BY wend""")),
+
+    QDef(
       "dq_freshness",
       (s, dir) => {
         // ingest-freshness audit — the lag report that pages the
