@@ -273,6 +273,88 @@ object DedupQueries {
       }),
 
     QDef(
+      "pipeline_dedup_threshold_curve",
+      (s, dir) => {
+        // the LSH TUNING curve: one query sweeps the rows-per-band knob
+        // r ∈ {1,2,4,8} (bands b = 8/r) and reports, per config, how
+        // many candidate pairs banding surfaces and how many survive
+        // signature verification (≥ 6/8 slots agree ≈ Jaccard ≥ 0.75) —
+        // the recall/cost trade a corpus engineer reads before running
+        // the full dedup at scale. ONE plan serves all configs: every
+        // (r, band) key explodes from the same signature frame (a
+        // bounded 15-row-per-doc projection), candidates come from a
+        // single equi-join on (r, band, key) — never all pairs — and
+        // verification joins signatures back onto the candidate set
+        // only. Band keys fold r slots through the same (·B + m) mod P
+        // chain as the shingle hash, reproduced exactly by the oracle.
+        val sig = Dedup.minhashSignature(
+          Dedup.shingles3FromText(tbl(s, dir, "documents"), "doc_id", "text"),
+          NumPerms)
+        val B = Dedup.ShingleBase
+        def keyExpr(slots: Range) =
+          slots.map(k => col(s"mh_$k")).foldLeft(lit(0L): org.apache.spark.sql.Column)(
+            (acc, m) => (acc * B + m) % P)
+        val bandRows = Seq(1, 2, 4, 8).flatMap { r =>
+          (0 until NumPerms / r).map { j =>
+            struct(lit(r).as("r"), lit(j).as("band"),
+              keyExpr(j * r until (j + 1) * r).as("key"))
+          }
+        }
+        val bk = sig.select(col("doc_id"), explode(array(bandRows: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.r").as("r"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+        val cands = bk.as("x").join(bk.as("y"), Seq("r", "band", "key"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("r"), col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        val agree = (0 until NumPerms).map(k =>
+          when(col(s"mh_${k}_a") === col(s"mh_${k}_b"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val sa = sig.toDF(sig.columns.map(c =>
+          if (c == "doc_id") "a" else s"${c}_a"): _*)
+        val sb = sig.toDF(sig.columns.map(c =>
+          if (c == "doc_id") "b" else s"${c}_b"): _*)
+        cands.join(sa, "a").join(sb, "b")
+          .withColumn("n_agree", agree)
+          .groupBy(col("r"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("n_agree") >= 6, 1L).otherwise(0L)).as("n_est_dups"))
+          .select(col("r"), (lit(NumPerms) / col("r")).cast("int").as("n_bands"),
+            col("n_candidates"), col("n_est_dups"))
+          .orderBy("r")
+      },
+      Some {
+        val mins = Dedup.hashCoeffs(NumPerms).zipWithIndex.map { case ((a, b), k) =>
+          s"min((shingle * $a + $b) % $P) AS mh_$k"
+        }.mkString(", ")
+        def keySql(slots: Range): String =
+          slots.foldLeft("CAST(0 AS BIGINT)")((acc, k) =>
+            s"(($acc * ${Dedup.ShingleBase} + mh_$k) % $P)")
+        val bandRows = Seq(1, 2, 4, 8).flatMap { r =>
+          (0 until NumPerms / r).map { j =>
+            s"SELECT doc_id, $r AS r, $j AS band, ${keySql(j * r until (j + 1) * r)} AS key FROM sig"
+          }
+        }.mkString(" UNION ALL ")
+        val agreeSql = (0 until NumPerms).map(k =>
+          s"CASE WHEN sa.mh_$k = sb.mh_$k THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $vocabSql, $shingleSql,
+            sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id),
+            bands AS ($bandRows),
+            cands AS (SELECT DISTINCT x.r, x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y
+                ON x.r = y.r AND x.band = y.band AND x.key = y.key
+                AND x.doc_id < y.doc_id),
+            v AS (SELECT c.r, ($agreeSql) AS n_agree
+              FROM cands c JOIN sig sa ON sa.doc_id = c.a
+                           JOIN sig sb ON sb.doc_id = c.b)
+            SELECT r, CAST($NumPerms / r AS INT) AS n_bands,
+                   count(*) AS n_candidates,
+                   CAST(sum(CASE WHEN n_agree >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_est_dups
+            FROM v GROUP BY r ORDER BY r"""
+      }),
+
+    QDef(
       "dedup_near_pipeline",
       (s, dir) => sharedPairs(s, dir).orderBy("a", "b"),
       Some(s"""WITH $nearPairsCteSql

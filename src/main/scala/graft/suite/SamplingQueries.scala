@@ -114,6 +114,56 @@ object SamplingQueries {
         ORDER BY doc_id""")),
 
     QDef(
+      "sample_weighted_ares",
+      (s, dir) => {
+        // weighted sampling WITHOUT replacement, exactly k per stratum
+        // (Efraimidis–Spirakis A-ES): rank by -log(u)/w and keep the k
+        // smallest — sample_weighted_quality's Bernoulli gate cannot
+        // promise a fixed k. Deterministic and oracle-exact: u is the
+        // doc-id hash uniform, log is PortableLog's integer q10 log2
+        // (log2 vs ln is a positive constant factor — same ordering),
+        // and the /w is ONE IEEE division both engines round
+        // identically. Pure projection + one per-stratum rank window
+        // (shuffle on source only). Weight = document length: longer
+        // docs proportionally likelier, none guaranteed.
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.PortableLog
+        val H = 1000000000L
+        val keyed = tbl(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            greatest(col("n_chars").cast("long"), lit(1L)).as("weight"))
+          .withColumn("__h",
+            Sampling.hashBucket(col("doc_id"), H.toInt) + lit(1L))
+          .withColumn("__key",
+            (PortableLog.log2q10(lit(H)) - PortableLog.log2q10(col("__h")))
+              .cast("double") / col("weight"))
+        keyed
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("__key"), col("doc_id"))).cast("int"))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("rank"), col("doc_id"), col("weight"))
+          .orderBy("source", "rank")
+      },
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        d AS (SELECT source, doc_id,
+                greatest(CAST(n_chars AS BIGINT), 1) AS weight,
+                ${hashSql("CAST(doc_id AS VARCHAR)", 1000000000)} + 1 AS h
+              FROM documents),
+        k AS (SELECT source, doc_id, weight,
+                CAST(${graft.functions.PortableLog.log2q10Sql("1000000000")}
+                   - ${graft.functions.PortableLog.log2q10Sql("h")} AS DOUBLE)
+                  / weight AS key
+              FROM d, l2t),
+        r AS (SELECT source, doc_id, weight,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY key, doc_id) AS rank
+              FROM k)
+        SELECT source, CAST(rank AS INT) AS rank, doc_id, weight
+        FROM r WHERE rank <= 5 ORDER BY source, rank""")),
+
+    QDef(
       "pipeline_mix_domains",
       (s, dir) =>
         // balanced domain mixture over the (skewed) language strata:
