@@ -165,24 +165,26 @@ object SimilarityQueries {
     * centroid — the exact mirror of Similarity.kmeansCodebook.
     */
   private def kmeansCteSql(iters: Int,
-      limitSql: String = IvfCells.toString): String = {
+      limitSql: String = IvfCells.toString, prefix: String = ""): String = {
+    // `prefix` namespaces the CTE chain so several codebooks (the
+    // cells-count tuning curve) can train inside ONE WITH clause
     val init =
-      s"c0 AS (SELECT vec_id AS cid, ie AS ce FROM av ORDER BY vec_id LIMIT $limitSql)"
+      s"${prefix}c0 AS (SELECT vec_id AS cid, ie AS ce FROM av ORDER BY vec_id LIMIT $limitSql)"
     val steps = (1 to iters).map { i =>
-      s"""a$i AS (SELECT vec_id, ie, cid AS cell FROM (
+      s"""${prefix}a$i AS (SELECT vec_id, ie, cid AS cell FROM (
               SELECT v.vec_id, v.ie, c.cid,
                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
                   v.aa - 2 * ${intDotSql("v.ie", "c.ce")}
                     + ${intDotSql("c.ce", "c.ce")}, c.cid) AS rn
-              FROM av v, c${i - 1} c) WHERE rn = 1),
-          m$i AS (SELECT cell, d,
+              FROM av v, ${prefix}c${i - 1} c) WHERE rn = 1),
+          ${prefix}m$i AS (SELECT cell, d,
                 CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mu
               FROM (SELECT a.cell, dd.d, a.ie[dd.d] AS v
-                    FROM a$i a, (SELECT unnest(generate_series(1, $Dims)) AS d) dd)
+                    FROM ${prefix}a$i a, (SELECT unnest(generate_series(1, $Dims)) AS d) dd)
               GROUP BY cell, d),
-          mm$i AS (SELECT cell, list(mu ORDER BY d) AS me FROM m$i GROUP BY cell),
-          c$i AS (SELECT p.cid, coalesce(m.me, p.ce) AS ce
-                  FROM c${i - 1} p LEFT JOIN mm$i m ON m.cell = p.cid)"""
+          ${prefix}mm$i AS (SELECT cell, list(mu ORDER BY d) AS me FROM ${prefix}m$i GROUP BY cell),
+          ${prefix}c$i AS (SELECT p.cid, coalesce(m.me, p.ce) AS ce
+                  FROM ${prefix}c${i - 1} p LEFT JOIN ${prefix}mm$i m ON m.cell = p.cid)"""
     }
     (init +: steps).mkString(",\n")
   }
@@ -870,6 +872,62 @@ object SimilarityQueries {
             ORDER BY score DESC, c_id) AS rank FROM scored)
         SELECT q_id, c_id, score, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    QDef(
+      "sim_ivf_cells_curve",
+      (s, dir) => {
+        // the IVF TUNING curve — the ANN sibling of
+        // pipeline_dedup_threshold_curve: sweep the codebook size
+        // k ∈ {4,16,64} and report inertia (Σ min-d² — reconstruction
+        // quality), non-empty cells, and the largest cell (probe-cost
+        // skew) per k. Read before choosing numCells at a new corpus
+        // scale. Each k trains the same deterministic 2-iteration
+        // k-means as the serving index (seeded, integer distances) and
+        // is consumed by ONE aggregate chain, so each codebook trains
+        // once; centroids ride broadcast, assignment is map-side.
+        def rowFor(k: Int) = {
+          val perVec = Similarity.ivfDists(
+              tbl(s, dir, "embeddings"), "vec_id", "embedding", k)
+            .groupBy(col("v_id"))
+            .agg(min(col("d2")).as("d2min"),
+              min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
+          perVec.groupBy(col("cell"))
+            .agg(sum(col("d2min")).as("ci"), count(lit(1)).as("n"))
+            .agg(sum(col("ci")).as("inertia"),
+              count(lit(1)).as("n_cells_used"),
+              max(col("n")).as("max_cell"))
+            .select(lit(k).as("num_cells"), col("inertia"),
+              col("n_cells_used"), col("max_cell"))
+        }
+        Seq(4, 16, 64).map(rowFor).reduce(_ unionByName _).orderBy("num_cells")
+      },
+      Some {
+        val iters = graft.similarity.Similarity.IvfKmeansIters
+        def block(k: Int) = {
+          val p = s"k${k}_"
+          s"""${kmeansCteSql(iters, k.toString, p)},
+          ${p}d AS (SELECT v.vec_id, c.cid,
+              v.aa - 2 * ${intDotSql("v.ie", "c.ce")}
+                + ${intDotSql("c.ce", "c.ce")} AS d2
+            FROM av v, ${p}c$iters c),
+          ${p}as AS (SELECT vec_id, cid AS cell, d2 AS d2min FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cid) AS rn FROM ${p}d) WHERE rn = 1),
+          ${p}pc AS (SELECT cell, sum(d2min) AS ci, count(*) AS n
+            FROM ${p}as GROUP BY cell),
+          ${p}st AS (SELECT $k AS num_cells,
+              CAST(sum(ci) AS BIGINT) AS inertia,
+              count(*) AS n_cells_used, CAST(max(n) AS BIGINT) AS max_cell
+            FROM ${p}pc)"""
+        }
+        s"""WITH iv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
+            av AS (SELECT vec_id, ie, ${intDotSql("ie", "ie")} AS aa FROM iv),
+            ${Seq(4, 16, 64).map(block).mkString(",\n")}
+            SELECT * FROM k4_st
+            UNION ALL SELECT * FROM k16_st
+            UNION ALL SELECT * FROM k64_st
+            ORDER BY num_cells"""
+      }),
 
     QDef(
       "sim_jl_projection",

@@ -44,7 +44,11 @@ class PlanShapeSpec extends SparkSpec {
     Set("sim_ivf_cells", "sim_ivf_topk", "sim_ivf_topk_scaled",
       "sim_ivf_pq_topk", "sim_ivf_prefix_rerank", "sim_knn_classify",
       "sim_knn_classify_scaled", "sim_ivf_rerank_scaled",
-      "sim_ivf_recall_audit", "sim_ivf_ndcg_audit", "sim_hard_negatives")
+      "sim_ivf_recall_audit", "sim_ivf_ndcg_audit", "sim_hard_negatives",
+      // tuning curve: three limit-seeded codebooks (k <= 64 centroid
+      // rows each), same iterated join/agg-over-limit boundedness as
+      // the serving queries above
+      "sim_ivf_cells_curve")
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Unpartitioned windows over frames bounded by DOMAIN, not data
