@@ -177,4 +177,49 @@ object Quantiles {
         floor(lit(q) * (col("__n") - 1).cast("double")).cast("long"))
       .select(col(groupCol), col(valueCol), col(tiebreakCol))
   }
+
+  /** Per-group exact q-quantile, BUCKETED: [[exactQuantileByGroup]]'s
+    * answer through [[exactQuantile]]'s two-level decomposition. Use
+    * when groups are FEW but individually huge (calendar days, event
+    * types): the plain partitioned form sorts each group's full value
+    * grain in one task — parallelism = |groups| and per-task rows grow
+    * with the corpus — while this form's only full-grain shuffle keys on
+    * (group, bucket) with map-side combine, windows run on the bounded
+    * counts frame, and the final rank touches one bucket's rows per
+    * group (per-task rows = n / (|groups|·|buckets|)). Values must be
+    * non-negative integers (`div` bucketing must stay monotone).
+    * Returns (group, value, n) at the located index, tie-broken by
+    * `tiebreakCol`.
+    */
+  def exactQuantileByGroupBucketed(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tiebreakCol: String,
+      q: Double,
+      bucketWidth: Long): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val rows = df
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"),
+        col(tiebreakCol).as("__k"))
+      .withColumn("__b", expr(s"__v div $bucketWidth"))
+    val counts = rows.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
+    val located = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col("__g"))))
+      .withColumn("__target",
+        floor(lit(q) * (col("__n") - 1).cast("double")).cast("long"))
+      .filter(col("__target") >= col("__off") &&
+        col("__target") < col("__off") + col("__c"))
+      .select(col("__g"), col("__b"), col("__off"), col("__target"), col("__n"))
+    val inBucket = Window.partitionBy(col("__g")).orderBy(col("__v"), col("__k"))
+    rows.join(broadcast(located), Seq("__g", "__b"))
+      .withColumn("__r", row_number().over(inBucket).cast("long") - 1)
+      .filter(col("__off") + col("__r") === col("__target"))
+      .select(col("__g").as(groupCol), col("__v").as(valueCol),
+        col("__n").as("n"))
+  }
 }

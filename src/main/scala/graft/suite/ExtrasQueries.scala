@@ -2394,6 +2394,44 @@ object ExtrasQueries {
         FROM customer ORDER BY c_custkey""")),
 
     QDef(
+      "scan_schema_evolution",
+      (s, dir) => {
+        // schema evolution across lake generations — the ingest reality
+        // every long-lived corpus hits: generation 1 shipped (doc_id,
+        // source), generation 2 added a lang column. One mergeSchema
+        // read reconciles both (gen-1 rows surface lang = NULL) and
+        // partition discovery turns the gen=N directory layout into a
+        // queryable column; the audit proves no rows were lost and the
+        // new column is populated exactly on the new generation.
+        val out = sys.props("java.io.tmpdir") + "/graft_schema_evo_" +
+          f"${scala.util.hashing.MurmurHash3.stringHash(
+            new java.io.File(dir).getAbsolutePath)}%08x"
+        val docs = tbl(s, dir, "documents")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("source"))
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("source"), col("lang"))
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("gen") === 1, 1L).otherwise(0L)).as("n_gen1"),
+            sum(when(col("gen") === 2, 1L).otherwise(0L)).as("n_gen2"),
+            count(col("lang")).as("n_with_lang"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gen1,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gen2,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_with_lang
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    QDef(
       "agg_event_transitions",
       (s, dir) =>
         // behavioral transition matrix: count (event_type -> next

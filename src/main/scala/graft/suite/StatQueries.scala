@@ -1029,6 +1029,56 @@ object StatQueries {
         FROM w GROUP BY wend ORDER BY wend""")),
 
     QDef(
+      "win_rolling_median",
+      (s, dir) => {
+        // EXACT trailing-7-day median event value per day — the robust
+        // rolling central-tendency no built-in window offers (median
+        // isn't an associative aggregate; percentile_approx changes the
+        // answer). Fan-out mirrors agg_sliding_distinct (each event
+        // serves ≤7 window-end days — a map-side calendar projection);
+        // the median itself goes through the TWO-LEVEL bucket selection
+        // (Quantiles.exactQuantileByGroupBucketed): the day domain is
+        // ~30 keys, so a plain per-day rank window would sort the whole
+        // fanned grain in ~30 tasks with per-task rows growing with the
+        // corpus (measured 16.5 s at sf1); bucketed, the full grain only
+        // shuffles on (day, bucket) with map-side combine and the rank
+        // touches one bucket's rows per day (2.1 s at sf1). Discrete
+        // median convention: r0 = floor((n-1)/2), ties by event_id.
+        val e = tbl(s, dir, "events")
+          .select(date_trunc("day", col("ts")).cast("date").as("d"),
+            round(col("value") * 100).cast("long").as("cents"),
+            col("event_id"))
+        val maxD = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          e.agg(max(col("d"))))
+        val fanned = e
+          .select(explode(sequence(lit(0), lit(6))).as("i"),
+            col("d"), col("cents"), col("event_id"))
+          .select(date_add(col("d"), col("i")).as("wend"),
+            col("cents"), col("event_id"))
+          .filter(col("wend") <= maxD)
+        graft.operators.Quantiles.exactQuantileByGroupBucketed(
+            fanned, "wend", "cents", "event_id", q = 0.5, bucketWidth = 500L)
+          .select(col("wend"), col("cents").as("med_cents"),
+            col("n").as("n_in_window"))
+          .orderBy("wend")
+      },
+      Some("""
+        WITH e AS (SELECT CAST(ts AS DATE) AS d,
+                     CAST(round(value * 100) AS BIGINT) AS cents, event_id
+                   FROM events),
+        f AS (SELECT d + CAST(t.i AS INTEGER) AS wend, cents, event_id
+              FROM e, range(0, 7) t(i)
+              WHERE d + CAST(t.i AS INTEGER) <= (SELECT max(d) FROM e)),
+        r AS (SELECT wend, cents, event_id,
+                row_number() OVER (PARTITION BY wend
+                  ORDER BY cents, event_id) - 1 AS r0,
+                count(*) OVER (PARTITION BY wend) AS n
+              FROM f)
+        SELECT wend, cents AS med_cents, n AS n_in_window
+        FROM r WHERE r0 = (n - 1) // 2
+        ORDER BY wend""")),
+
+    QDef(
       "dq_freshness",
       (s, dir) => {
         // ingest-freshness audit — the lag report that pages the
