@@ -69,4 +69,24 @@ class QuantilesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(one == naive)
   }
+
+  test("exactQuantileByGroupBucketed equals the partitioned-window form") {
+    // duplicate values, uneven group sizes, and several bucket widths —
+    // including one bucket per value and one bucket for everything
+    val rows = (1L to 6000L).map { i =>
+      (s"g${i % 7}", (i * 2654435761L) % 4999L, i)
+    }.toDF("g", "v", "k")
+    for (q <- Seq(0.0, 0.5, 0.9); width <- Seq(1L, 50L, 1000000L)) {
+      val expect = Quantiles.exactQuantileByGroup(rows, "g", "v", "k", q)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = Quantiles.exactQuantileByGroupBucketed(
+          rows.repartition(11), "g", "v", "k", q, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"q=$q width=$width")
+      // exactly one row per group, and n is the group size
+      val ns = Quantiles.exactQuantileByGroupBucketed(rows, "g", "v", "k", q, width)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(ns.values.sum == 6000L, s"q=$q width=$width group sizes wrong")
+    }
+  }
 }
