@@ -2861,6 +2861,104 @@ object ExtrasQueries {
         ORDER BY user_a, start_a, user_b, start_b""")),
 
     QDef(
+      "join_band_auto",
+      (s, dir) => {
+        // temporal-proximity band join, written NAIVELY: clicks within
+        // ±5 min of a purchase by the same user, phrased as the raw
+        // `a.sec <= b.sec + 300 AND b.sec <= a.sec + 300` conjunct pair.
+        // RangeJoinRewrite's overlap matcher recognizes this as the
+        // degenerate-interval case ([sec, sec+300] on both sides
+        // intersect ⇔ |a−b| ≤ 300) and plans the bucketed equi-join
+        // with user_id kept as a real key — the attribution-window
+        // join every clickstream pipeline runs, rescued from the
+        // nested loop automatically. Aggregated to per-user pair
+        // counts and the tightest gap.
+        Registry.withRangeBucket(s, 900L) {
+          val e = tbl(s, dir, "events")
+            .select(col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("sec"), col("event_id"))
+          val a = e.filter(col("event_type") === "click")
+            .select(col("user_id").as("u_a"), col("sec").as("sec_a"))
+          val b = e.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("u_b"), col("sec").as("sec_b"))
+          a.join(b,
+              col("u_a") === col("u_b") &&
+                col("sec_a") <= col("sec_b") + 300L &&
+                col("sec_b") <= col("sec_a") + 300L)
+            .groupBy(col("u_a").as("user_id"))
+            .agg(count(lit(1)).as("n_pairs"),
+              min(abs(col("sec_a") - col("sec_b"))).as("min_gap_sec"))
+            .orderBy("user_id")
+        }
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        SELECT a.user_id, count(*) AS n_pairs,
+               min(abs(a.sec - b.sec)) AS min_gap_sec
+        FROM (SELECT user_id, sec FROM e WHERE event_type = 'click') a
+        JOIN (SELECT user_id, sec FROM e WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id
+          AND a.sec <= b.sec + 300 AND b.sec <= a.sec + 300
+        GROUP BY a.user_id ORDER BY a.user_id""")),
+
+    QDef(
+      "dq_value_ranges",
+      (s, dir) => {
+        // declared-bounds contract check — the "is the data sane"
+        // gate before a corpus lands: per rule, the observed min/max
+        // and the violation count against embedded bounds. One
+        // map-side-combined aggregate per table; zeros in n_violations
+        // are the visible proof the rule RAN (the dq convention).
+        val li = tbl(s, dir, "lineitem")
+        val ev = tbl(s, dir, "events")
+        def rule(name: String, c: org.apache.spark.sql.Column,
+            lo: Double, hi: Double,
+            src: org.apache.spark.sql.DataFrame) =
+          src.agg(
+            min(c.cast("double")).as("observed_min"),
+            max(c.cast("double")).as("observed_max"),
+            sum(when(c.cast("double") < lo || c.cast("double") > hi, 1L)
+              .otherwise(0L)).as("n_violations"))
+            .select(lit(name).as("rule"), lit(lo).as("lo"), lit(hi).as("hi"),
+              col("observed_min"), col("observed_max"), col("n_violations"))
+        rule("lineitem.quantity in [1,50]", col("l_quantity"), 1, 50, li)
+          .unionByName(rule("lineitem.discount in [0,0.1]",
+            col("l_discount"), 0, 0.1, li))
+          .unionByName(rule("lineitem.extendedprice > 0",
+            col("l_extendedprice"), 0.01, 1e9, li))
+          .unionByName(rule("events.value >= 0", col("value"), 0, 1e9, ev))
+          .orderBy("rule")
+      },
+      Some("""
+        SELECT 'events.value >= 0' AS rule, 0.0 AS lo, 1000000000.0 AS hi,
+               min(CAST(value AS DOUBLE)) AS observed_min,
+               max(CAST(value AS DOUBLE)) AS observed_max,
+               CAST(sum(CASE WHEN value < 0 OR value > 1e9 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'lineitem.discount in [0,0.1]', 0.0, 0.1,
+               min(CAST(l_discount AS DOUBLE)), max(CAST(l_discount AS DOUBLE)),
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.extendedprice > 0', 0.01, 1000000000.0,
+               min(CAST(l_extendedprice AS DOUBLE)),
+               max(CAST(l_extendedprice AS DOUBLE)),
+               CAST(sum(CASE WHEN l_extendedprice < 0.01
+                 OR l_extendedprice > 1e9 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.quantity in [1,50]', 1.0, 50.0,
+               min(CAST(l_quantity AS DOUBLE)), max(CAST(l_quantity AS DOUBLE)),
+               CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        ORDER BY rule""")),
+
+    QDef(
       "pipeline_scd2_history",
       (s, dir) => {
         // slowly-changing-dimension type-2 history from a change

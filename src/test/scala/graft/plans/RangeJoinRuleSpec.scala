@@ -191,6 +191,11 @@ class RangeJoinRuleSpec extends SparkSpec {
       val ovl = graft.SparkEntry.queries("join_overlap_auto")(spark, sfDir)
       assert(ovl.queryExecution.optimizedPlan.toString.contains("__graft_rb_p"),
         "join_overlap_auto was not rewritten under the scoped conf")
+      // the band join is the overlap matcher's degenerate-interval case
+      // ([sec, sec+300] both sides) — it must bucket, not nested-loop
+      val band = graft.SparkEntry.queries("join_band_auto")(spark, sfDir)
+      assert(band.queryExecution.optimizedPlan.toString.contains("__graft_rb_p"),
+        "join_band_auto was not rewritten under the scoped conf")
     } finally spark.conf.set(BucketKey, "900")
   }
 
