@@ -2903,6 +2903,43 @@ object ExtrasQueries {
         GROUP BY a.user_id ORDER BY a.user_id""")),
 
     QDef(
+      "agg_copurchase_pairs",
+      (s, dir) => {
+        // market-basket co-occurrence: the top-20 part pairs bought in
+        // the same order, support >= 2 — the recommendation-prep /
+        // association-mining shape. The pair join is a WEDGE join on
+        // the order key: per-order fan-out is C(k,2), bounded by the
+        // basket size (TPC-H orders carry ~4 lines), never all part
+        // pairs; support counting is one map-side-combined groupBy and
+        // the top-20 is a TakeOrdered, not a window. A/B note: the
+        // collect_set + map-side array-expansion alternative (one
+        // fewer shuffle) measured SLOWER at sf1 (19.7 s vs 15.5 s) —
+        // nested per-row transform/slice allocation beats a shuffle
+        // only for much larger baskets. Ties deterministic (support
+        // desc, then pair).
+        val items = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+            "l_orderkey")
+          .filter(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+          .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      Some("""
+        WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                count(*) AS n_orders
+              FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2)
+        SELECT p1, p2, n_orders FROM p WHERE n_orders >= 2
+        ORDER BY n_orders DESC, p1, p2 LIMIT 20""")),
+
+    QDef(
       "dq_value_ranges",
       (s, dir) => {
         // declared-bounds contract check — the "is the data sane"
