@@ -449,6 +449,67 @@ object DedupQueries {
             ORDER BY doc_id""")),
 
     QDef(
+      "pipeline_leakage_safe_split",
+      (s, dir) => {
+        // GROUP-aware train/dev/test split: near-duplicate documents
+        // MUST land in the same split or the eval set leaks training
+        // text (the contamination a per-doc hash split cannot prevent).
+        // Split assignment hashes the near-dup CLUSTER label (hash-min
+        // connected components over the verified LSH pairs; singletons
+        // are their own cluster), so cluster membership — not the doc
+        // id — decides the split. Output: per-split doc/cluster counts
+        // plus n_leaky_clusters, the COMPUTED count of clusters
+        // spanning >1 split (0 by construction, proven from data — the
+        // dq convention).
+        val comp = sharedLabels(s, dir)
+        val perDoc = tbl(s, dir, "documents").select(col("doc_id"))
+          .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster"))
+          .withColumn("b",
+            graft.operators.Sampling.hashBucket(col("cluster"), 100))
+          .withColumn("split",
+            when(col("b") < 80, "train").when(col("b") < 90, "dev")
+              .otherwise("test"))
+        val leaky = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          perDoc.groupBy(col("cluster"))
+            .agg(countDistinct(col("split")).as("ns"))
+            .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n")))
+        perDoc.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"))
+          .withColumn("n_leaky_clusters", leaky)
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE $nearPairsCteSql,
+            e AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b AS u, a AS v FROM pairs),
+            reach(u, m) AS (
+              SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.u, e.v AS m FROM reach r JOIN e ON r.m = e.u),
+            comp AS (SELECT u AS doc_id, min(m) AS label
+                     FROM reach GROUP BY u),
+            pd AS (SELECT d.doc_id,
+                     coalesce(c.label, d.doc_id) AS cluster
+                   FROM documents d LEFT JOIN comp c USING (doc_id)),
+            sp AS (SELECT doc_id, cluster,
+                     CASE WHEN ${SamplingQueries.hashSql(
+                       "CAST(cluster AS VARCHAR)", 100)} < 80 THEN 'train'
+                          WHEN ${SamplingQueries.hashSql(
+                       "CAST(cluster AS VARCHAR)", 100)} < 90 THEN 'dev'
+                          ELSE 'test' END AS split
+                   FROM pd),
+            lk AS (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+                     AS BIGINT) AS n_leaky
+                   FROM (SELECT cluster, count(DISTINCT split) AS ns
+                         FROM sp GROUP BY cluster))
+            SELECT split, count(*) AS n_docs,
+                   count(DISTINCT cluster) AS n_clusters,
+                   (SELECT n_leaky FROM lk) AS n_leaky_clusters
+            FROM sp GROUP BY split ORDER BY split""")),
+
+    QDef(
       "pipeline_dedup_corpus",
       (s, dir) => {
         // the dedup family's last mile: survivors applied to the corpus.
