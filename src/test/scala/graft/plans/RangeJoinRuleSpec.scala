@@ -199,6 +199,25 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.conf.set(BucketKey, "900")
   }
 
+  test("rewrite scope: outer joins and user-hinted joins are left untouched") {
+    // outer join semantics differ (unmatched rows must survive) — the
+    // rewrite only claims Inner/Cross
+    val outer = pts(60).join(ivs(20),
+      col("k") === col("k2") && col("p") >= col("lo") && col("p") <= col("hi"),
+      "left")
+    assert(!outer.queryExecution.optimizedPlan.toString.contains("__graft_rb"),
+      "rewrite fired on an outer join")
+    // an explicit join-strategy hint is the user picking the plan —
+    // honor it rather than restructuring around it
+    val hinted = pts(60).join(ivs(20).hint("broadcast"),
+      col("k") === col("k2") && col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(!hinted.queryExecution.optimizedPlan.toString.contains("__graft_rb"),
+      "rewrite fired on a hinted join")
+    // and both still return the right rows
+    assert(outer.count() >= pts(60).count())
+    assert(hinted.collect().toSet == brute(hinted))
+  }
+
   test("strictly-matching results with the hand-written intervalOverlap operator") {
     val a = ivsA(220)
     val b = ivsB(180)
