@@ -175,6 +175,24 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   private def bkt(e: Expression, w: Double) =
     floor(ColumnBridge.column(e).cast("double") / w).cast("long")
 
+  /** NaN bound detection on float/double axes (`lit(false)` elsewhere —
+    * no per-row cost on the common integer epoch axes). Under Spark's
+    * NaN-largest ordering `lo <= hi` is TRUE when `hi` is NaN, and
+    * `cast(floor(NaN / w) as long)` buckets to 0 — so a theta-matchable
+    * row (b = [5, NaN] overlaps a = [1e9, 1e9+10]) would land in the
+    * bucketed branch with a WRONG bucket and silently lose its matches.
+    * NaN-bounded rows are routed to the fallback theta branch instead,
+    * which evaluates the original condition bit-exactly. `isnan(NULL)`
+    * is false, so NULL bounds keep their drop-outright treatment.
+    */
+  private def nanBound(e: Expression): org.apache.spark.sql.Column =
+    e.dataType match {
+      case org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.DoubleType =>
+        org.apache.spark.sql.functions.isnan(ColumnBridge.column(e))
+      case _ => lit(false)
+    }
+
   /** Marker columns + always-true cross-side conjunct that (a) tags the
     * fallback join so later optimizer passes skip it and (b) cannot be
     * constant-folded away (GuardMarker is non-foldable). The Or
@@ -210,8 +228,9 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // and the valid/wide filters dropping them is exact.
     val span = bkt(hi, width) - bkt(lo, width)
     val valid = ColumnBridge.column(lo) <= ColumnBridge.column(hi)
+    val nan = nanBound(lo) || nanBound(hi)
     val pC = pDf.withColumn(PointBucket, bkt(p, width))
-    val iC = iDf.filter(valid && span < lit(maxFanout))
+    val iC = iDf.filter(!nan && valid && span < lit(maxFanout))
       .withColumn(IntervalBucket, explode(sequence(bkt(lo, width), bkt(hi, width))))
     val (lC, rC) = if (pointIsLeft) (pC, iC) else (iC, pC)
     // cross-side equality conjuncts (the join's real keys — user_id,
@@ -235,9 +254,10 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     val main = lC.join(rC, joinCond, "inner")
       .filter(ColumnBridge.column(residual))
       .select(outCols: _*)
-    // fan-out guard: intervals wider than the cap take the original
-    // theta join (marker-tagged); normally zero rows
-    val wide = iDf.filter(valid && span >= lit(maxFanout))
+    // fan-out guard: intervals wider than the cap — or carrying a NaN
+    // bound, whose bucket would be wrong — take the original theta join
+    // (marker-tagged); normally zero rows
+    val wide = iDf.filter(nan || (valid && span >= lit(maxFanout)))
     val (fL, fR) = if (pointIsLeft) (pDf, wide) else (wide, pDf)
     val fb = fallbackJoin(fL, fR, residual).select(outCols: _*)
     main.union(fb).queryExecution.analyzed
@@ -257,12 +277,14 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     def lohi(lo: Expression, hi: Expression) = {
       val span = bkt(hi, width) - bkt(lo, width)
       val valid = ColumnBridge.column(lo) <= ColumnBridge.column(hi)
-      (valid && span < lit(maxFanout), // good: bucketable
+      val nan = nanBound(lo) || nanBound(hi)
+      (!nan && valid && span < lit(maxFanout), // good: bucketable
         // bad: malformed (the theta join CAN match hi < lo "intervals",
-        // e.g. a=[10,5] against b=[0,20]) or too wide to explode. NULL
+        // e.g. a=[10,5] against b=[0,20]), too wide to explode, or
+        // NaN-bounded (wrong bucket under NaN-largest ordering). NULL
         // bounds fall in neither branch — they null-reject the original
         // conjuncts, so they can match nothing.
-        (ColumnBridge.column(lo) > ColumnBridge.column(hi)) ||
+        nan || (ColumnBridge.column(lo) > ColumnBridge.column(hi)) ||
           (valid && span >= lit(maxFanout)))
     }
     val (goodA, badA) = lohi(aLo, aHi)

@@ -51,13 +51,25 @@ object Registry {
   }
 
   /** Build a plan with the range-join rewrite active at the given bin
-    * size, scoped: the conf is set only around construction, and
-    * `optimizedPlan` is forced (and memoized by QueryExecution) while it
-    * is set, so the rewrite fires for THIS query without a session-wide
-    * bin leaking onto unrelated numeric bound pairs (a 900 s bin is
-    * right for epoch-second sessions and arbitrary for prices). AQE
-    * re-optimization does not re-run extension optimizer rules, so the
-    * memoized logical plan is what executes.
+    * size, scoped: the conf is set only around construction, so the
+    * rewrite fires for THIS query without a session-wide bin leaking
+    * onto unrelated numeric bound pairs (a 900 s bin is right for
+    * epoch-second sessions and arbitrary for prices).
+    *
+    * The rewrite must survive EXECUTION, not just inspection: every
+    * terminal action (`df.count()`, `df.write`, `df.collect()`) builds a
+    * NEW QueryExecution over the LOGICAL plan and re-runs the optimizer
+    * — by then the conf is restored and the rule is inactive, so merely
+    * forcing/memoizing `optimizedPlan` here would leave all real
+    * execution paths on the naive nested-loop theta join (round-9
+    * advisor finding). Instead the optimizer is forced under the scoped
+    * conf and the returned Dataset is REBUILT over the optimized plan:
+    * downstream QueryExecutions embed the already-rewritten subtree, and
+    * the rule's self-termination check (`__graft_rb` attributes in the
+    * join condition) plus the unset conf make the re-optimization pass a
+    * no-op for the rewrite. RangeJoinRuleSpec pins that the plan of a
+    * downstream action (count-shaped and write-shaped) still carries the
+    * bucketed join.
     */
   def withRangeBucket(s: SparkSession, width: Long)(build: => DataFrame): DataFrame = {
     val key = "spark.graft.rangeJoinRewrite.bucket"
@@ -65,8 +77,10 @@ object Registry {
     s.conf.set(key, width.toString)
     try {
       val df = build
-      df.queryExecution.optimizedPlan // force + memoize under the scoped conf
-      df
+      // force the optimizer under the scoped conf, then rebase the
+      // Dataset on the rewritten plan so downstream actions execute it
+      org.apache.spark.sql.graft.ColumnBridge.ofRows(
+        s, df.queryExecution.optimizedPlan)
     } finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)

@@ -1,12 +1,54 @@
 package graft.plans
 
 import graft.SparkSpec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.functions._
 
 class RangeJoinRuleSpec extends SparkSpec {
   import spark.implicits._
 
   private val BucketKey = "spark.graft.rangeJoinRewrite.bucket"
+
+  /** Flatten a physical plan including the trees AQE hides behind
+    * leaf-like wrapper nodes — a plain `plan.collect` stops at
+    * AdaptiveSparkPlanExec/QueryStageExec boundaries and sees none of
+    * the joins.
+    */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+    case q: QueryStageExec => nodes(q.plan)
+    case r: ReusedExchangeExec => nodes(r.child)
+    case other => other.children.flatMap(nodes)
+  })
+
+  private def equiJoinKeys(p: SparkPlan): Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] =
+    nodes(p).collect {
+      case j: ShuffledHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: SortMergeJoinExec => j.leftKeys ++ j.rightKeys
+      case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
+    }
+
+  /** The MAIN branch is a real equi-join keyed on the bucket column
+    * (not a nested loop), and every nested loop in the plan is a guard
+    * fallback — its OWN condition references a marker column. A plan-
+    * string `contains` check is vacuous here: the fallback's markers
+    * are always SOMEWHERE in the string once the rewrite fires.
+    */
+  private def assertBucketedShape(p: SparkPlan): Unit = {
+    nodes(p).collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
+      assert(b.condition.exists(_.references.exists(
+          _.name.startsWith("__graft_rb_m"))),
+        s"nested loop whose condition carries no guard marker:\n$b")
+    }
+    assert(!nodes(p).exists(_.isInstanceOf[CartesianProductExec]),
+      s"cartesian survived:\n$p")
+    assert(equiJoinKeys(p).exists(_.exists(_.references.exists(
+        _.name.startsWith("__graft_rb")))),
+      s"no hash/sort-merge join keyed on the bucket:\n$p")
+  }
 
   // the bin is scoped per suite run, mirroring Registry.withRangeBucket's
   // scoped-conf contract (no session-wide bin anywhere)
@@ -42,15 +84,17 @@ class RangeJoinRuleSpec extends SparkSpec {
   }
 
   test("range-join rewrite: bucketed equi-join with the key kept, no nested loop") {
-    val plan = naive.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoinExec") ||
-      plan.contains("__graft_rb_m"),
-      s"nested loop without a guard marker survived:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"cartesian survived:\n$plan")
-    assert(plan.contains("Generate explode"), "interval bucket explode missing")
-    // the key equality must be a JOIN key, not a post-join filter:
-    // the hash join's key list mentions both k and the bucket
-    assert(plan.contains("__graft_rb_p"), "bucket key missing from plan")
+    val exec = naive.queryExecution.executedPlan
+    assertBucketedShape(exec)
+    assert(exec.toString.contains("Generate explode"),
+      "interval bucket explode missing")
+    // the key equality must be a JOIN key, not a post-join filter: the
+    // main equi-join's key list carries both the bucket AND a non-graft
+    // key (k/k2)
+    assert(equiJoinKeys(exec).exists { keys =>
+      keys.exists(_.references.exists(_.name.startsWith("__graft_rb"))) &&
+        keys.exists(_.references.exists(a => !a.name.startsWith("__graft_rb")))
+    }, s"key equality not kept next to the bucket key:\n$exec")
   }
 
   test("range-join rewrite: result identical to the brute-force theta join") {
@@ -197,6 +241,110 @@ class RangeJoinRuleSpec extends SparkSpec {
       assert(band.queryExecution.optimizedPlan.toString.contains("__graft_rb_p"),
         "join_band_auto was not rewritten under the scoped conf")
     } finally spark.conf.set(BucketKey, "900")
+  }
+
+  test("rewrite survives downstream actions' fresh QueryExecutions (bench/verify shapes)") {
+    // Bench executes fn(...).count() and Verify fn(...).coalesce(1)
+    // .write — BOTH build a NEW QueryExecution over the logical plan
+    // and re-run the optimizer AFTER withRangeBucket restored the conf.
+    // Round 9 shipped with the rewrite only in the memoized (never
+    // executed) QueryExecution; this pins the fix: withRangeBucket
+    // rebases the Dataset on the optimized plan, so a downstream
+    // action's plan still carries the bucketed join.
+    spark.conf.unset(BucketKey)
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      for (q <- Seq("join_range_auto", "join_overlap_auto", "join_band_auto")) {
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        // count() shape: Aggregate over the returned plan, fresh QE
+        val countShaped = df.groupBy().count()
+        assert(equiJoinKeys(countShaped.queryExecution.executedPlan).exists(
+            _.exists(_.references.exists(_.name.startsWith("__graft_rb")))),
+          s"$q: rewrite lost on the count() execution path")
+        // write shape: Repartition over the returned plan, fresh QE
+        val writeShaped = df.coalesce(1)
+        assert(equiJoinKeys(writeShaped.queryExecution.executedPlan).exists(
+            _.exists(_.references.exists(_.name.startsWith("__graft_rb")))),
+          s"$q: rewrite lost on the coalesce/write execution path")
+      }
+    } finally spark.conf.set(BucketKey, "900")
+  }
+
+  test("NaN interval bounds on double axes route to the fallback, matches kept") {
+    // Spark orders NaN largest, so the theta join DOES match
+    // hi = NaN intervals (p <= NaN is true for every p) — but
+    // cast(floor(NaN/w) as long) buckets to 0, so the bucketed branch
+    // would pair the interval only with bucket-0 points and silently
+    // drop the rest. NaN bounds must take the exact fallback branch.
+    spark.conf.set(BucketKey, "100")
+    try {
+      val ptsD = Seq((1L, 50.0), (1L, 5000.0)).toDF("k", "p")
+      val ivsD = Seq((1L, 7L, 5.0, Double.NaN), (1L, 8L, 40.0, 60.0))
+        .toDF("k2", "iv_id", "lo", "hi")
+      def q = ptsD.join(ivsD, col("k") === col("k2") &&
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("__graft_rb_p"),
+        "rewrite did not fire on the double axis")
+      val got = q.collect().toSet
+      assert(got == brute(q))
+      // the NaN-bounded interval matched the far point (bucket 50) —
+      // only reachable through the fallback theta branch
+      assert(got.exists(r => r.getLong(3) == 7L && r.getDouble(1) == 5000.0),
+        "NaN-hi interval lost its far-bucket match")
+
+      // overlap path: a_hi = NaN overlaps every b interval with
+      // b_lo <= NaN (all of them) per theta semantics
+      def q2 = Seq((0L, 5.0, Double.NaN)).toDF("a_id", "a_lo", "a_hi")
+        .join(Seq((0L, 900.0, 1000.0)).toDF("b_id", "b_lo", "b_hi"),
+          col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      assert(q2.collect().toSet == brute(q2))
+      assert(q2.count() == 1, "NaN-hi interval lost its overlap match")
+    } finally spark.conf.set(BucketKey, "900")
+  }
+
+  test("property fuzz: random intervals with NULL/malformed/straddling bounds stay exact") {
+    // adversarial inputs for the guard's partition argument: NULL
+    // bounds (match nothing), lo > hi rows (overlap theta CAN match),
+    // spans straddling exactly maxFanout buckets (boundary of the
+    // good/wide split), points on bucket edges. Rewritten == naive,
+    // row for row, across seeded trials.
+    spark.conf.set(BucketKey, "100")
+    spark.conf.set("spark.graft.rangeJoinRewrite.maxFanout", "4")
+    try {
+      val gen = new scala.util.Random(20260815L)
+      for (trial <- 1 to 6) {
+        def mkIv(n: Int, tag: String) = {
+          val rows = (0 until n).map { i =>
+            val lo = gen.nextInt(2000).toLong
+            val span = gen.nextInt(8) match {
+              case 0 => 400L // exactly maxFanout(4) * width(100): wide edge
+              case 1 => 399L // one under the edge
+              case 2 => -gen.nextInt(300).toLong - 1 // malformed lo > hi
+              case k => (k * 60).toLong
+            }
+            val loOpt = if (gen.nextInt(12) == 0) None else Some(lo)
+            val hiOpt = if (gen.nextInt(12) == 0) None else Some(lo + span)
+            (i.toLong, loOpt, hiOpt)
+          }
+          rows.toDF(s"${tag}_id", s"${tag}_lo", s"${tag}_hi")
+        }
+        val a = mkIv(80, "a")
+        val b = mkIv(70, "b")
+        def overlap = a.join(b,
+          col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        assert(overlap.collect().toSet == brute(overlap),
+          s"overlap mismatch on trial $trial")
+        val p = (0 until 120).map(_ =>
+          (0L, (gen.nextInt(25) * 100 - 200).toLong)).toDF("junk", "p")
+        def pin = p.join(b,
+          col("p") >= col("b_lo") && col("p") <= col("b_hi"))
+        assert(pin.collect().toSet == brute(pin),
+          s"point-in-interval mismatch on trial $trial")
+      }
+    } finally {
+      spark.conf.set(BucketKey, "900")
+      spark.conf.unset("spark.graft.rangeJoinRewrite.maxFanout")
+    }
   }
 
   test("rewrite scope: outer joins and user-hinted joins are left untouched") {
