@@ -280,12 +280,42 @@ object Similarity {
     ivfTopKFrom(dists, nprobe, k)
   }
 
+  /** The deterministic `nQueries`-vector query panel over an
+    * [[ivfDists]] frame: the vectors with the smallest
+    * (hash_bucket(id), id) — the same distribution-free hash reservoir
+    * as [[cosineTopKSampled]]'s query side, so it is the SAME panel at
+    * any corpus size on any cluster. Restricting a pinned-cells index
+    * to a fixed panel is what keeps its serving cost linear: a
+    * constant-cells index costs ~nprobe·N/numCells per probe, so
+    * all-N-queries probing is quadratic in N, while a fixed panel pays
+    * panel·nprobe·N/numCells — one bounded multiple of a corpus scan.
+    */
+  private def queryPanel(dists: DataFrame, nQueries: Int): DataFrame =
+    dists.select(col("v_id")).distinct()
+      .withColumn("__b", graft.operators.Sampling.hashBucket(col("v_id"), 1000000000))
+      .orderBy(col("__b"), col("v_id")).limit(nQueries)
+      .select(col("v_id"))
+
+  /** Restrict the probe (query) side of an IVF serving path to the
+    * deterministic panel; the index side stays the full corpus.
+    */
+  private def restrictToPanel(dists: DataFrame, nQueries: Option[Int]): DataFrame =
+    nQueries match {
+      case Some(q) => dists.join(broadcast(queryPanel(dists, q)), Seq("v_id"))
+      case None => dists
+    }
+
   /** [[ivfTopK]] over a prebuilt (already persisted) [[ivfDists]] frame —
     * the setup/query split: the distance frame IS the IVF index, built
-    * once per corpus and probed by every retrieval query.
+    * once per corpus and probed by every retrieval query. `nQueries`
+    * bounds the query side to the deterministic hash-reservoir panel
+    * (the scale-safe way to serve a PINNED-cells index — see
+    * [[queryPanel]]); None keeps every corpus vector as a query, which
+    * is only linear when numCells tracks the corpus (√N law).
     */
-  def ivfTopKFrom(dists: DataFrame, nprobe: Int, k: Int): DataFrame =
-    ivfCandidatesFrom(dists, nprobe)
+  def ivfTopKFrom(dists: DataFrame, nprobe: Int, k: Int,
+      nQueries: Option[Int] = None): DataFrame =
+    ivfCandidatesFrom(dists, nprobe, nQueries)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))))
       .filter(col("rank") <= k)
@@ -297,9 +327,10 @@ object Similarity {
     * (hard-negative mining filters by label BEFORE ranking; plain
     * retrieval ranks directly).
     */
-  def ivfCandidatesFrom(dists: DataFrame, nprobe: Int): DataFrame = {
+  def ivfCandidatesFrom(dists: DataFrame, nprobe: Int,
+      nQueries: Option[Int] = None): DataFrame = {
     val assign = ivfArgmin(dists)
-    val probes = dists
+    val probes = restrictToPanel(dists, nQueries)
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("v_id")).orderBy(col("d2"), col("cid"))))
       .filter(col("pr") <= nprobe)
@@ -337,7 +368,8 @@ object Similarity {
       nprobe: Int,
       prefixDims: Int,
       shortlist: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      nQueries: Option[Int] = None): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
     val assign = ivfArgmin(dists)
     // Shape discipline learned at sf1 (first cut: 433 s, 300× sf0.1):
@@ -356,7 +388,7 @@ object Similarity {
     //    spilling task. Explicit repartition pins the fan-out across
     //    the cluster.
     val parts = dists.sparkSession.sessionState.conf.numShufflePartitions
-    val probes = dists
+    val probes = restrictToPanel(dists, nQueries)
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("v_id")).orderBy(col("d2"), col("cid"))))
       .filter(col("pr") <= nprobe)

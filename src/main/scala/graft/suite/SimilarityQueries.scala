@@ -47,6 +47,28 @@ object SimilarityQueries {
   private val IvfCells = 16
   private val IvfProbe = 2
 
+  /** Query-panel size for the PINNED-cells serving forms. A
+    * constant-cells index costs ~nprobe·N/numCells per probe, so
+    * serving ALL N corpus vectors as queries is quadratic in N — at the
+    * sf1 replay the pinned pair alone cost 79 s (14% of the wall).
+    * Their oracle-stability role (recall comparisons at a FIXED
+    * operating point across corpus sizes) only needs a FIXED query
+    * panel, so the pinned forms serve the deterministic 32-vector hash
+    * reservoir (same set at any N — the sim_cosine_topk trick) while
+    * the √N-cells `_scaled` twins remain the measured full-corpus
+    * serving path.
+    */
+  private val IvfPanel = 32
+
+  /** DuckDB mirror of [[Similarity.queryPanel]]: the IvfPanel vectors
+    * with the smallest (hash_bucket(id), id).
+    */
+  private val panelSql =
+    s"""panel AS (SELECT vec_id FROM (
+          SELECT vec_id,
+            ${SamplingQueries.hashSql("CAST(vec_id AS VARCHAR)", 1000000000)} AS b
+          FROM embeddings) s ORDER BY b, vec_id LIMIT $IvfPanel)"""
+
   /** The shared IVF index — the vector×centroid distance frame both IVF
     * queries derive from — memoized per (session, corpus fingerprint)
     * like the dedup pair graph: an index is built once and probed many
@@ -226,8 +248,9 @@ object SimilarityQueries {
     * without re-running the vote.
     */
   private def knnClassifyDf(s: org.apache.spark.sql.SparkSession, dir: String,
-      dists: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val nn = Similarity.ivfTopKFrom(dists, IvfProbe, k = 3)
+      dists: org.apache.spark.sql.DataFrame,
+      nQueries: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val nn = Similarity.ivfTopKFrom(dists, IvfProbe, k = 3, nQueries)
     val lab = tbl(s, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("lab"))
     nn.join(lab.select(col("vec_id").as("c_id"), col("lab")), "c_id")
@@ -245,12 +268,13 @@ object SimilarityQueries {
   /** DuckDB mirror of [[knnClassifyDf]], parameterized by the IVF
     * prelude so the pinned and √N-cells forms share one body.
     */
-  private def knnClassifySql(prelude: String): String = s"""
-    WITH $prelude,
+  private def knnClassifySql(prelude: String, panel: Boolean = false): String = s"""
+    WITH $prelude${if (panel) ",\n    " + panelSql else ""},
     probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
                  SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
                    ORDER BY d2, cid) AS pr
-                 FROM dists d JOIN av a ON a.vec_id = d.vec_id)
+                 FROM dists d JOIN av a ON a.vec_id = d.vec_id${
+                   if (panel) "\n                 JOIN panel pl ON pl.vec_id = d.vec_id" else ""})
                WHERE pr <= $IvfProbe),
     cand AS (SELECT p.q_id, s.vec_id AS c_id,
                ${intDotSql("p.q_ie", "s.ie")} AS idot,
@@ -283,12 +307,13 @@ object SimilarityQueries {
     * ([[Similarity.ivfPrefixRerankTopK]]), parameterized by the IVF
     * prelude so the pinned and √N-cells forms share one body.
     */
-  private def prefixRerankSql(prelude: String): String = s"""
-    WITH $prelude,
+  private def prefixRerankSql(prelude: String, panel: Boolean = false): String = s"""
+    WITH $prelude${if (panel) ",\n    " + panelSql else ""},
     probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
                  SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
                    ORDER BY d2, cid) AS pr
-                 FROM dists d JOIN av a ON a.vec_id = d.vec_id)
+                 FROM dists d JOIN av a ON a.vec_id = d.vec_id${
+                   if (panel) "\n                 JOIN panel pl ON pl.vec_id = d.vec_id" else ""})
                WHERE pr <= $IvfProbe),
     coarse AS (SELECT p.q_id, s.vec_id AS c_id, p.q_ie, s.ie AS c_ie,
                  p.q_aa, sa.aa AS c_aa,
@@ -370,15 +395,22 @@ object SimilarityQueries {
         // COSINE over the integer embeddings (idot/(sqrt(q·q)sqrt(c·c)),
         // all correctly-rounded IEEE ops) — raw-dot order loses recall
         // whenever corpus norms vary; see AnnRecallSpec for the recorded
-        // nprobe/numCells recall sweep. Probes the SHARED ivf index
-        Similarity.ivfTopKFrom(sharedIvfDists(s, dir), IvfProbe, k = 3)
+        // nprobe/numCells recall sweep. Probes the SHARED ivf index.
+        // The PINNED-16-cell operating point serves the deterministic
+        // IvfPanel query reservoir (a constant-cells index probed by
+        // all N queries is quadratic — the full-corpus serving path is
+        // sim_ivf_topk_scaled, whose cells track √N).
+        Similarity.ivfTopKFrom(sharedIvfDists(s, dir), IvfProbe, k = 3,
+            nQueries = Some(IvfPanel))
           .orderBy("q_id", "rank"),
       Some(s"""
         WITH $ivfPreludeSql,
+        $panelSql,
         probes AS (SELECT vec_id AS q_id, ie AS q_ie, aa AS q_aa, cid AS cell FROM (
                      SELECT d.*, a.aa, row_number() OVER (PARTITION BY d.vec_id
                        ORDER BY d2, cid) AS pr
-                     FROM dists d JOIN av a ON a.vec_id = d.vec_id)
+                     FROM dists d JOIN av a ON a.vec_id = d.vec_id
+                     JOIN panel pl ON pl.vec_id = d.vec_id)
                    WHERE pr <= $IvfProbe),
         cand AS (SELECT p.q_id, s.vec_id AS c_id,
                    ${intDotSql("p.q_ie", "s.ie")} AS idot,
@@ -432,8 +464,15 @@ object SimilarityQueries {
 
     QDef(
       "sim_knn_classify",
-      (s, dir) => knnClassifyDf(s, dir, sharedIvfDists(s, dir)),
-      Some(knnClassifySql(ivfPreludeSql))),
+      (s, dir) =>
+        // the pinned-16-cell vote serves the deterministic IvfPanel
+        // query reservoir — its oracle-stability role (a fixed
+        // operating point across corpus sizes) needs a FIXED panel,
+        // not all N queries (which made this the most expensive query
+        // in the sf1 replay: 42.9 s, pure quadratic candidate volume).
+        // The full-corpus vote is sim_knn_classify_scaled.
+        knnClassifyDf(s, dir, sharedIvfDists(s, dir), Some(IvfPanel)),
+      Some(knnClassifySql(ivfPreludeSql, panel = true))),
 
     QDef(
       "sim_knn_classify_scaled",
@@ -493,10 +532,13 @@ object SimilarityQueries {
         // recall premise is an MRL-trained embedding whose prefix
         // concentrates signal; AnnRecallSpec records the measured
         // recall collapse on these isotropic synthetic vectors.
+        // Pinned-cells form: serves the deterministic IvfPanel query
+        // reservoir (same rationale as sim_ivf_topk — the scaled twin
+        // is the full-corpus funnel).
         Similarity.ivfPrefixRerankTopK(sharedIvfDists(s, dir), IvfProbe,
-            prefixDims = 8, shortlist = 10, k = 3)
+            prefixDims = 8, shortlist = 10, k = 3, nQueries = Some(IvfPanel))
           .orderBy("q_id", "rank"),
-      Some(prefixRerankSql(ivfPreludeSql))),
+      Some(prefixRerankSql(ivfPreludeSql, panel = true))),
 
     QDef(
       "sim_ivf_rerank_scaled",
