@@ -101,6 +101,37 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // ---- environment fingerprint (round 10, VERDICT #4) ----
+    // Cross-round bench deltas have twice been pure machine state (r9:
+    // 190.3 vs 178.1 s at identical head). Record enough here to detect
+    // uniform inflation mechanically: load average at start, available
+    // memory, and the page-cache warm-up timing (a fixture-only, plan-
+    // free I/O pass — its drift calibrates I/O-side churn the same way
+    // f_range_label's entry in `queries` calibrates CPU-side churn).
+    def memAvailableKb: Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("MemAvailable:") =>
+            l.split("\\s+")(1).toLong
+        }.getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+    val loadAvgStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val memAvailStartKb = memAvailableKb
+
+    // Block-manager storage occupancy (bytes in use across executors).
+    // Recorded at each lap start: the widest queries measure whatever
+    // storage state their predecessors left (the sim_hard_negatives lap
+    // spread hypothesis — co-resident artifact pressure); this makes
+    // the pressure VISIBLE per lap instead of inferred.
+    def storageUsedBytes: Long = {
+      val st = spark.sparkContext.getExecutorMemoryStatus
+      st.values.map { case (max, remaining) => max - remaining }.sum
+    }
+    val lapStorageStart = scala.collection.mutable.ArrayBuffer[Long]()
+
     def lap(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -118,6 +149,7 @@ object Bench {
       }
 
     val setupAndColdT0 = System.nanoTime()
+    lapStorageStart += storageUsedBytes
     val cold = lap()
     // fit the warm phase to the remaining wall budget: a warm lap costs
     // at most a cold lap, so laps = floor(remaining / coldLapSec),
@@ -133,7 +165,11 @@ object Bench {
       System.err.println(s"[bench] budget: ${WarmLaps} warm laps (of " +
         s"$warmLapsMax) fit in ${benchBudgetSec}s after ${spentSec.toInt}s " +
         s"setup+cold with ${coldLapSec.toInt}s cold lap")
-    val warmLaps = (1 to WarmLaps).map { _ => resetCaches(spark); lap() }
+    val warmLaps = (1 to WarmLaps).map { _ =>
+      resetCaches(spark)
+      lapStorageStart += storageUsedBytes
+      lap()
+    }
 
     def stat(pick: Seq[Double] => Double): Map[String, Double] =
       cold.keys.map { name =>
@@ -164,7 +200,13 @@ object Bench {
         s""","warm_laps":$WarmLaps,"cold_value":${f"${cold.values.filter(_ >= 0).sum}%.3f"}""" +
         s""","queries_cold":${fmt(cold)}""" +
         s""","setup_sec":${f"${setup.values.sum}%.3f"},"setup":${fmt(setup.toMap)}""" +
-        s""","errors":${fmtS(errors)},"sf":"$sfDir"}"""
+        s""","errors":${fmtS(errors)},"sf":"$sfDir"""" +
+        s""","env":{"load_avg_start":${f"$loadAvgStart%.2f"}""" +
+        s""","mem_available_start_kb":$memAvailStartKb""" +
+        s""","mem_available_end_kb":$memAvailableKb""" +
+        s""","load_avg_end":${f"${java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage}%.2f"}""" +
+        s""","storage_used_at_lap_start_bytes":[${lapStorageStart.mkString(",")}]}}"""
     println(json)
     // stdout capture can truncate a multi-KB line; keep a durable copy so
     // per-query round deltas stay computable

@@ -359,6 +359,46 @@ object TextQueries {
         FROM top ORDER BY rank""")),
 
     QDef(
+      "text_index_incremental",
+      (s, dir) => {
+        // incremental text-index maintenance (the dedup family's
+        // incremental pattern applied to the BM25 term stats): docs
+        // with doc_id % 5 = 0 play the newly-ingested batch, the rest
+        // the persisted index. The base partition's per-term stats
+        // (df, ttf) derive from the SHARED tf artifact — a filter +
+        // re-aggregate on the persisted frame, no re-tokenize; ONLY
+        // the new batch pays tokenize+explode; the merge is algebraic
+        // (df and ttf are per-doc sums, so merged = base + delta term
+        // by term). A corpus append therefore costs O(|batch|) + one
+        // vocabulary-grain merge instead of a full index retrain. The
+        // oracle recomputes the stats FROM SCRATCH over the whole
+        // corpus — merged == retrained is the verified contract
+        // (TextIndexIncrementalSpec pins it over the FULL vocabulary;
+        // the registered result is the deterministic top-100 slice).
+        val tf = sharedBm25Tf(s, dir)
+        val base = graft.text.Corpus.termStats(
+          tf.filter(col("doc_id") % 5 =!= 0))
+        val delta = graft.text.Corpus.termStats(
+          graft.text.Corpus.bm25Tf(
+            tbl(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+            "doc_id", "text"))
+        graft.text.Corpus.mergeTermStats(base, delta)
+          .orderBy(col("ttf").desc, col("word_id")).limit(100)
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id,
+               ${DedupQueries.wordHashSql("word")} AS word_id
+               FROM (SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS word
+                     FROM documents)),
+        tf AS (SELECT doc_id, word_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT word_id, count(*) AS df,
+                    CAST(sum(tf) AS BIGINT) AS ttf
+                  FROM tf GROUP BY 1)
+        SELECT word_id, df, ttf FROM dfreq
+        ORDER BY ttf DESC, word_id LIMIT 100""")),
+
+    QDef(
       "pipeline_decontaminate",
       (s, dir) => {
         // train/eval contamination sweep: src0 is the held-out eval set;

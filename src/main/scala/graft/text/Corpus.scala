@@ -86,6 +86,30 @@ object Corpus {
       .groupBy(col("doc_id"), col("word_id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Per-term corpus statistics of a [[bm25Tf]] frame:
+    * `(word_id, df, ttf)` — document frequency and total term
+    * frequency, the persisted half of a text index. One map-side-
+    * combined groupBy over the tf grain.
+    */
+  def termStats(tf: DataFrame): DataFrame =
+    tf.groupBy(col("word_id"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+
+  /** Algebraic merge of two [[termStats]] frames over DISJOINT document
+    * sets (the persisted index + a newly ingested batch): df and ttf
+    * are both per-doc sums, so `merged(w) = base(w) + delta(w)` term by
+    * term — a corpus append costs O(|batch|) tokenization plus one
+    * vocabulary-grain merge, never a re-tokenize of the indexed corpus
+    * (the incremental-aggregate pattern applied to the text index).
+    * Union + re-aggregate rather than a full outer join: map-side
+    * combinable at any vocabulary size, no per-column null-coalescing,
+    * and n-way merges compose by chaining.
+    */
+  def mergeTermStats(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+      .groupBy(col("word_id"))
+      .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
+
   def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
       nTerms: Int, k: Int, tfOverride: Option[DataFrame] = None): DataFrame = {
     import graft.functions.PortableLog.log2q10
