@@ -413,6 +413,60 @@ object ExtrasQueries {
         WHERE rn = 1 ORDER BY event_id""")),
 
     QDef(
+      "join_asof_auto",
+      (s, dir) => {
+        // the TOLERANCE-BOUNDED as-of in its NAIVE SQL shape: candidate
+        // matches come from a raw theta join (purchase in
+        // [view - 48 h, view], same user), the nearest match from a
+        // per-event window argmax. The staleness bound makes the time
+        // conjuncts a point-in-interval PAIR, so RangeJoinRewrite
+        // rescues the candidate join into the bucketed equi-join
+        // automatically (user_id stays a real join key; bucket = the
+        // 48 h tolerance, fan-out <= 2) — naive as-of SQL gets a plan
+        // instead of a nested loop whenever it carries the tolerance
+        // every production feature store uses anyway. The UNBOUNDED
+        // nearest-match stays operator-only (AsofJoin.asofBackward's
+        // union-and-window): with no lower bound a row may need to look
+        // arbitrarily far back, so no bucketing has bounded fan-out —
+        // see SCALE.md round-10 design note.
+        val tolSec = 2L * 86400
+        Registry.withRangeBucket(s, tolSec) {
+          val ev = tbl(s, dir, "events")
+          val views = ev.filter(col("event_type") === "view")
+            .select(col("event_id"), col("user_id").as("v_uid"),
+              unix_timestamp(col("ts")).as("v_sec"))
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_uid"), col("event_id").as("p_id"),
+              unix_timestamp(col("ts")).as("p_sec"))
+          views.join(purchases,
+              col("p_uid") === col("v_uid") &&
+                col("p_sec") <= col("v_sec") &&
+                col("p_sec") >= col("v_sec") - tolSec)
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("event_id"))
+                .orderBy(col("p_sec").desc, col("p_id").desc)))
+            .filter(col("rn") === 1)
+            .select(col("event_id"), col("v_uid").as("user_id"), col("p_id"),
+              (col("v_sec") - col("p_sec")).as("age_sec"))
+            .orderBy("event_id")
+        }
+      },
+      Some("""
+        WITH v AS (SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, event_id AS p_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT v.event_id, v.user_id, p.p_id, v.sec - p.sec AS age_sec,
+                row_number() OVER (PARTITION BY v.event_id
+                  ORDER BY p.sec DESC, p.p_id DESC) AS rn
+              FROM v JOIN p ON p.user_id = v.user_id
+                AND p.sec <= v.sec AND p.sec >= v.sec - 172800)
+        SELECT event_id, user_id, p_id, age_sec FROM c WHERE rn = 1
+        ORDER BY event_id""")),
+
+    QDef(
       "agg_markov_stationary",
       (s, dir) => {
         // stationary distribution of the behavior Markov chain: the

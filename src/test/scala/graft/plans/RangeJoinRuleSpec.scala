@@ -254,7 +254,8 @@ class RangeJoinRuleSpec extends SparkSpec {
     spark.conf.unset(BucketKey)
     try {
       val sfDir = "/root/testdata/sf0.001"
-      for (q <- Seq("join_range_auto", "join_overlap_auto", "join_band_auto")) {
+      for (q <- Seq("join_range_auto", "join_overlap_auto", "join_band_auto",
+          "join_asof_auto")) {
         val df = graft.SparkEntry.queries(q)(spark, sfDir)
         // count() shape: Aggregate over the returned plan, fresh QE
         val countShaped = df.groupBy().count()
