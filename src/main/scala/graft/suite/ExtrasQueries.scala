@@ -3050,6 +3050,70 @@ object ExtrasQueries {
         ORDER BY rule""")),
 
     QDef(
+      "dq_feature_drift_psi",
+      (s, dir) => {
+        // feature-drift monitoring via the Population Stability Index —
+        // the train/serve distribution-shift gate every feature store
+        // runs before a model refresh. `value` is binned into 20 fixed
+        // cents-width buckets; the even/odd event_id halves play the
+        // reference and current populations. Everything is EXACT
+        // integer arithmetic: proportions in millionths (integer div),
+        // +1 Laplace floor keeps the log domain positive, and the log
+        // is PortableLog.log2q10 — so each bin's PSI term
+        // (p−q)·(log2q10(p)−log2q10(q)) is an exact BIGINT in units of
+        // millionth·(bit/1024), order-independent and hash-stable.
+        // Per-bin terms are emitted (not just the total) so a drifted
+        // bucket is visible, the dq convention. One fact-grain pass +
+        // one 20-key aggregate; totals attach as scalar subqueries —
+        // no join, no second scan.
+        import graft.functions.PortableLog.log2q10
+        val e = tbl(s, dir, "events").select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val binned = e
+          .withColumn("bin", least(expr("cents div 2500"), lit(19L)))
+          .withColumn("is_ref", (col("event_id") % 2 === 0).cast("long"))
+        val nRef = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          binned.agg(sum(col("is_ref")).as("n")))
+        val nCur = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          binned.agg(sum(lit(1L) - col("is_ref")).as("n")))
+        binned.groupBy(col("bin"))
+          .agg(sum(col("is_ref")).as("n_ref"),
+            sum(lit(1L) - col("is_ref")).as("n_cur"))
+          .withColumn("n_ref_tot", nRef)
+          .withColumn("n_cur_tot", nCur)
+          .withColumn("p_mil", expr("(1000000 * n_ref) div n_ref_tot + 1"))
+          .withColumn("q_mil", expr("(1000000 * n_cur) div n_cur_tot + 1"))
+          .withColumn("psi_term_q",
+            (col("p_mil") - col("q_mil")) *
+              (log2q10(col("p_mil")) - log2q10(col("q_mil"))))
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            col("p_mil"), col("q_mil"), col("psi_term_q"))
+          .orderBy("bin")
+      },
+      Some(s"""
+        WITH ${graft.functions.PortableLog.l2tCte},
+        e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+        b AS (SELECT least(cents // 2500, 19) AS bin,
+                CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+              FROM e),
+        t AS (SELECT CAST(sum(is_ref) AS BIGINT) AS n_ref_tot,
+                CAST(sum(1 - is_ref) AS BIGINT) AS n_cur_tot FROM b),
+        g AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+                CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+              FROM b GROUP BY bin),
+        m AS (SELECT bin, n_ref, n_cur,
+                (1000000 * n_ref) // n_ref_tot + 1 AS p_mil,
+                (1000000 * n_cur) // n_cur_tot + 1 AS q_mil
+              FROM g, t)
+        SELECT bin, n_ref, n_cur, p_mil, q_mil,
+               CAST((p_mil - q_mil) *
+                 (${graft.functions.PortableLog.log2q10Sql("p_mil")}
+                  - ${graft.functions.PortableLog.log2q10Sql("q_mil")})
+                 AS BIGINT) AS psi_term_q
+        FROM m, l2t ORDER BY bin""")),
+
+    QDef(
       "pipeline_scd2_history",
       (s, dir) => {
         // slowly-changing-dimension type-2 history from a change
