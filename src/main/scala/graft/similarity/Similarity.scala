@@ -244,6 +244,24 @@ object Similarity {
       numCells: Int): DataFrame =
     ivfArgmin(ivfDists(vectors, idCol, embCol, numCells))
 
+  /** Assignment against a FROZEN codebook — the incremental-index
+    * append: a new batch lands in the nearest existing cell without
+    * retraining (centroid drift is deferred to the next scheduled
+    * rebuild, the standard production trade). `v` carries the
+    * [[kmeansCodebook]] input grain (v_id, ie, aa); `cents` is a
+    * trained (cid, ce) codebook, broadcast — assignment is one
+    * map-side pass + a per-vector argmin, never a shuffle of the
+    * batch against the corpus.
+    */
+  def ivfAssignFrozen(v: DataFrame, cents: DataFrame): DataFrame = {
+    val dotL = graft.functions.VectorExpressions.dotLong _
+    v.join(broadcast(cents.withColumn("cc", dotL(col("ce"), col("ce")))))
+      .withColumn("d2", col("aa") - lit(2L) * dotL(col("ie"), col("ce")) + col("cc"))
+      .groupBy(col("v_id"))
+      .agg(first(col("ie")).as("ie"), first(col("aa")).as("aa"),
+        min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
+  }
+
   /** [[ivfAssign]] over a prebuilt [[ivfDists]] frame. */
   def ivfAssignFrom(dists: DataFrame): DataFrame = ivfArgmin(dists)
 

@@ -187,18 +187,21 @@ object SimilarityQueries {
     * centroid — the exact mirror of Similarity.kmeansCodebook.
     */
   private def kmeansCteSql(iters: Int,
-      limitSql: String = IvfCells.toString, prefix: String = ""): String = {
+      limitSql: String = IvfCells.toString, prefix: String = "",
+      src: String = "av"): String = {
     // `prefix` namespaces the CTE chain so several codebooks (the
-    // cells-count tuning curve) can train inside ONE WITH clause
+    // cells-count tuning curve) can train inside ONE WITH clause;
+    // `src` picks the training population (sim_ivf_incremental trains
+    // on the base partition only)
     val init =
-      s"${prefix}c0 AS (SELECT vec_id AS cid, ie AS ce FROM av ORDER BY vec_id LIMIT $limitSql)"
+      s"${prefix}c0 AS (SELECT vec_id AS cid, ie AS ce FROM $src ORDER BY vec_id LIMIT $limitSql)"
     val steps = (1 to iters).map { i =>
       s"""${prefix}a$i AS (SELECT vec_id, ie, cid AS cell FROM (
               SELECT v.vec_id, v.ie, c.cid,
                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
                   v.aa - 2 * ${intDotSql("v.ie", "c.ce")}
                     + ${intDotSql("c.ce", "c.ce")}, c.cid) AS rn
-              FROM av v, ${prefix}c${i - 1} c) WHERE rn = 1),
+              FROM $src v, ${prefix}c${i - 1} c) WHERE rn = 1),
           ${prefix}m$i AS (SELECT cell, d,
                 CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mu
               FROM (SELECT a.cell, dd.d, a.ie[dd.d] AS v
@@ -387,6 +390,60 @@ object SimilarityQueries {
       Some(s"""
         WITH $ivfPreludeSql
         SELECT cell, count(*) AS n FROM assign GROUP BY cell ORDER BY cell""")),
+
+    QDef(
+      "sim_ivf_incremental",
+      (s, dir) => {
+        // incremental index append (the dedup/text incremental pattern
+        // on the embedding side): vec_id % 5 = 0 plays the newly
+        // arrived batch. The codebook is trained on the BASE partition
+        // only and FROZEN; the batch is assigned to its nearest
+        // existing cell with one broadcast argmin pass — no retrain,
+        // no batch×corpus shuffle; centroid drift waits for the next
+        // scheduled rebuild (the production serving trade). Output is
+        // the merged per-cell occupancy (base/new/total), i.e. the
+        // index catalog entry a router needs after the append.
+        val v = tbl(s, dir, "embeddings")
+          .select(col("vec_id").as("v_id"),
+            Similarity.intEmbedding(col("embedding")).as("ie"))
+          .withColumn("aa", graft.functions.VectorExpressions.dotLong(
+            col("ie"), col("ie")))
+        val base = v.filter(col("v_id") % 5 =!= 0)
+        val batch = v.filter(col("v_id") % 5 === 0)
+        val cents = Similarity.kmeansCodebook(base, IvfCells,
+          Similarity.IvfKmeansIters)
+        val nb = Similarity.ivfAssignFrozen(base, cents)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+        val nn = Similarity.ivfAssignFrozen(batch, cents)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+        nb.join(nn, Seq("cell"), "full_outer")
+          .select(col("cell"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("n_total", col("n_base") + col("n_new"))
+          .orderBy("cell")
+      },
+      Some(s"""
+        WITH iv AS (SELECT vec_id, $intEmbSql AS ie FROM embeddings),
+        av AS (SELECT vec_id, ie, ${intDotSql("ie", "ie")} AS aa FROM iv),
+        avb AS (SELECT * FROM av WHERE vec_id % 5 <> 0),
+        ${kmeansCteSql(graft.similarity.Similarity.IvfKmeansIters,
+          IvfCells.toString, src = "avb")},
+        cents AS (SELECT cid, ce, ${intDotSql("ce", "ce")} AS cc
+                  FROM c${graft.similarity.Similarity.IvfKmeansIters}),
+        asg AS (SELECT vec_id, cid AS cell FROM (
+                  SELECT a.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                      a.aa - 2 * ${intDotSql("a.ie", "c.ce")} + c.cc, c.cid)
+                      AS rn
+                  FROM av a, cents c) WHERE rn = 1)
+        SELECT cell,
+               CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_base,
+               CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_new,
+               count(*) AS n_total
+        FROM asg GROUP BY cell ORDER BY cell""")),
 
     QDef(
       "sim_ivf_topk",
