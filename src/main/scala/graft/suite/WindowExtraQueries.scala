@@ -416,6 +416,44 @@ object WindowExtraQueries {
         FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QDef(
+      "stream_static_enrich",
+      (s, dir) => {
+        // stream-static enrichment: the event stream joined to the
+        // customer→nation dimension chain (broadcast — Spark rescans
+        // the static side per micro-batch with ZERO state, the
+        // cheapest join a stream can do), then per-nation daily
+        // revenue in exact cents. The batch form here and the
+        // readStream form share this code path; StreamStaticSpec pins
+        // stream == batch under AvailableNow. At 100 TB the stream
+        // side never shuffles for the join — only the windowed
+        // aggregate exchanges, map-side combined.
+        val dim = tbl(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+          .join(broadcast(tbl(s, dir, "nation")
+            .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+            Seq("c_nationkey"))
+          .select(col("user_id"), col("n_name"))
+        tbl(s, dir, "events")
+          .join(broadcast(dim), Seq("user_id"))
+          .groupBy(col("n_name"), window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+          .select(col("n_name"), unix_timestamp(col("w.start")).as("win_start"),
+            col("n"), col("sum_cents"))
+          .orderBy("n_name", "win_start")
+      },
+      Some("""
+        SELECT n.n_name,
+               (epoch_us(e.ts) // 86400000000) * 86400 AS win_start,
+               count(*) AS n,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QDef(
       "stream_windowed_topk",
       (s, dir) => {
         // trending: top-3 event types per 1-day tumbling window — the
