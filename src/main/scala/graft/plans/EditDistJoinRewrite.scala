@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{array, array_distinct, array_intersect, array_min, col, concat, explode, length, lit, sequence, transform}
+import org.apache.spark.sql.functions.{array, array_distinct, array_intersect, array_min, col, concat, explode, length, lit, sequence, transform, xxhash64}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /** Automatic similarity-join recognition for STRINGS — the edit-distance
@@ -106,14 +106,28 @@ class EditDistJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The string itself plus (for k=1) its one-char-deletion variants,
-    * distinct — the FastSS blocking key set.
+    * distinct, HASHED to 64-bit keys — the FastSS blocking key set.
+    *
+    * Hashing is what keeps the exchange narrow (round 10): the variant
+    * set of an n-char string is ~n strings of ~n chars (O(n²) bytes per
+    * row riding the shuffle TWICE — as the exploded join key and as
+    * both gate arrays); as xxhash64 longs the same information is 8·n
+    * bytes. Bit-exactness is unchanged: a hash collision only ADDS a
+    * candidate pair, which the exact levenshtein residual kills; the
+    * exactly-once argument transfers verbatim to the hashed key space
+    * (arrays are distinct longs, one row survives per pair — the one
+    * whose joined key equals the min of the hash-set intersection).
+    * Measured A/B at sf1 in SCALE.md round-10 notes (string keys ran
+    * 15.7 s in-suite; hashed keys probe at 6.7 s isolated).
     */
   private def keyCol(e: Expression, k: Int) = {
     val c = ColumnBridge.column(e)
-    if (k == 0) array(c)
-    else array_distinct(concat(array(c),
-      transform(sequence(lit(1), length(c)),
-        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
+    if (k == 0) array(xxhash64(c))
+    else array_distinct(transform(
+      concat(array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))),
+      v => xxhash64(v)))
   }
 
   private def rewrite(

@@ -3266,15 +3266,23 @@ object ExtrasQueries {
         // plans/EditDistJoinRewrite emits; 25.5 s → join_edit_dist_auto
         // territory). The oracle runs the naive quadratic within-nation
         // join — the green hash is the recall proof.
+        // variants ride the shuffle as xxhash64 longs, not strings
+        // (round 10): an 18-char name's 19 variants are ~340 string
+        // bytes per row on the join key AND both gate arrays; hashed,
+        // 152 bytes. A collision only adds a candidate (killed by the
+        // exact levenshtein gate) and the min-shared-key argument is
+        // unchanged over the hashed key space — bit-exact, same oracle.
         val c = tbl(s, dir, "customer")
           .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
             col("c_name").as("nm"))
-          .withColumn("blks", array_union(
-            transform(sequence(lit(1), length(col("nm"))),
-              i => concat(
-                col("nm").substr(lit(1), i - 1),
-                col("nm").substr(i + 1, length(col("nm"))))),
-            array(col("nm"))))
+          .withColumn("blks", array_distinct(transform(
+            concat(
+              transform(sequence(lit(1), length(col("nm"))),
+                i => concat(
+                  col("nm").substr(lit(1), i - 1),
+                  col("nm").substr(i + 1, length(col("nm"))))),
+              array(col("nm"))),
+            v => xxhash64(v))))
         val keyed = c.withColumn("blk", explode(col("blks")))
         // verification uses the BANDED levenshtein (threshold=1, -1
         // above the band): O(k·n) instead of O(n²) per pair, and — the
