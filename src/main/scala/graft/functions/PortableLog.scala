@@ -42,13 +42,44 @@ object PortableLog {
 
   private lazy val boundaryCol: Column = typedLit(boundaries.toIndexedSeq)
 
-  /** floor-ish(Q·log2(n)) as an exact BIGINT column; n must be >= 1. */
-  def log2q10(n: Column): Column = {
+  /** floor-ish(Q·log2(n)) as an exact BIGINT column; n must be >= 1.
+    *
+    * Backed by the native [[org.apache.spark.sql.graft.Log2Q10Expr]]
+    * (round 10): the original higher-order `filter(boundaryCol, ...)`
+    * form evaluated 1024 boxed comparisons per CALL — applied at fact
+    * grain that dominated whole queries (text_bm25_topk spent 9.5 of
+    * 9.8 s at sf1 inside the two idf logs before they were hoisted).
+    * The expression is a codegen'd exponent-extract + binary search
+    * over the same static table — bit-identical results (PortableLog-
+    * Spec pins expression == HOF formula across the domain and on
+    * boundary-exact inputs), ~100× less work per call.
+    */
+  def log2q10(n: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.Log2Q10Expr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(n.cast("long"))))
+
+  /** The HOF reference form of [[log2q10]] — kept for the equivalence
+    * spec only.
+    */
+  private[graft] def log2q10Hof(n: Column): Column = {
     val nl = n.cast("long")
     val e = (length(bin(nl)) - 1).cast("int")
     // exact: numerator < 2^53, denominator a power of two
     val x = nl.cast("double") / call_function("shiftleft", lit(1L), e).cast("double")
     e.cast("long") * Q + size(filter(boundaryCol, v => x >= v)).cast("long") - 1
+  }
+
+  /** Scalar runtime of the native expression — replicates the column
+    * form exactly, including the out-of-contract n <= 0 inputs
+    * (`bin()` length semantics: 1 for 0, 64 for negatives).
+    */
+  def log2q10Long(n: Long): Long = {
+    val e = if (n == 0L) 0 else 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val x = n.toDouble / (1L << e).toDouble
+    val idx = java.util.Arrays.binarySearch(boundaries, x)
+    val cnt = if (idx >= 0) idx + 1 else -(idx + 1)
+    e.toLong * Q + cnt - 1
   }
 
   /** The boundary table as a DuckDB CTE clause: `WITH <l2tCte>, ...`.

@@ -111,7 +111,9 @@ object Corpus {
       .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
 
   def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
-      nTerms: Int, k: Int, tfOverride: Option[DataFrame] = None): DataFrame = {
+      nTerms: Int, k: Int, tfOverride: Option[DataFrame] = None,
+      dlOverride: Option[DataFrame] = None,
+      dfOverride: Option[DataFrame] = None): DataFrame = {
     import graft.functions.PortableLog.log2q10
     // tf fans out to three consumers (scoring probe, dfreq, dl); pin it
     // so the tokenize+explode runs ONCE — plain reuse re-derives it per
@@ -124,30 +126,43 @@ object Corpus {
     // to unpersist raw RDDs).
     val tf = tfOverride.getOrElse(
       bm25Tf(docs, idCol, textCol).localCheckpoint(true))
-    // dl = Σ tf per doc — never a second pass over toks
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("word_id"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+    // dl (per-doc length) and dfreq (per-term stats) are the OTHER two
+    // persisted halves of a production BM25 index — callers with an
+    // artifact cache pass them in (round 10: saves two full
+    // map-side-combined passes over the tf grain per execution; a
+    // production index stores doc lengths and term stats, it does not
+    // recount them per query). Derived here otherwise.
+    val dl = dlOverride.getOrElse(
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    val dfreq = dfOverride.getOrElse(termStats(tf))
     val n = org.apache.spark.sql.graft.ColumnBridge.scalar(
       docs.select(countDistinct(col(idCol)).as("n_docs")))
-    // Σ tf == Σ tokenCount(text), but reads the checkpointed tf frame
-    // instead of regex-tokenizing the whole corpus a second time
+    // Σ tf == Σ tokenCount(text); read the cheapest materialized form —
+    // the doc-grain dl frame when the index provides it, else the
+    // checkpointed tf (never a second regex-tokenize of the corpus)
     val l = org.apache.spark.sql.graft.ColumnBridge.scalar(
-      tf.agg(sum(col("tf")).as("toks_total")))
+      dlOverride.map(d => d.agg(sum(col("dl")).as("toks_total")))
+        .getOrElse(tf.agg(sum(col("tf")).as("toks_total"))))
     // strict: df = N/2 would make the Robertson idf exactly zero and the
     // term a no-op in every score
     val qterms = dfreq.withColumn("n_docs", n)
       .filter(col("df") * 2 < col("n_docs"))
       .orderBy(col("ttf").desc, col("word_id"))
       .limit(nTerms)
-      .select(col("word_id"), col("df"))
+      // idf depends only on (df, N): compute it HERE, at TERM grain
+      // (nTerms rows), and broadcast the finished number. log2q10 is a
+      // 1024-boundary table scan per call; at posting grain the two
+      // calls cost 2048 comparisons PER CANDIDATE ROW and dominated the
+      // whole query (measured at sf1: 9.5 s → 0.9 s, identical rows —
+      // the values are exact integers, so hoisting changes nothing)
+      .withColumn("idf_q10",
+        log2q10(col("n_docs") * 2 - col("df") * 2 + 1) -
+          log2q10(col("df") * 2 + 1))
+      .select(col("word_id"), col("idf_q10"))
     val scored = tf.join(broadcast(qterms), Seq("word_id"))
       .join(dl, Seq("doc_id"))
       .withColumn("n_docs", n).withColumn("toks_total", l)
       .withColumn("nl_q10", expr("(dl * 1024 * n_docs) div toks_total"))
-      .withColumn("idf_q10",
-        log2q10(col("n_docs") * 2 - col("df") * 2 + 1) -
-          log2q10(col("df") * 2 + 1))
       .withColumn("score_q",
         expr("(idf_q10 * tf * 45056) div (20480 * tf + 6144 + 18 * nl_q10)"))
     val perDoc = scored.groupBy(col("doc_id"))

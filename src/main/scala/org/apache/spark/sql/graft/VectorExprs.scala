@@ -323,3 +323,33 @@ case class GraftDist3Expr(children: Seq[Expression])
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
+
+/** Native form of [[graft.functions.PortableLog.log2q10]]: fixed-point
+  * base-2 log of a long via exponent extraction + binary search over the
+  * static 1024-entry boundary table. The higher-order
+  * `size(filter(boundaries, v => x >= v))` reference form evaluates 1024
+  * boxed comparisons per call — applied at fact grain that dominates
+  * whole queries; this compiles to a static call inside whole-stage
+  * codegen with O(log 1024) comparisons and bit-identical results
+  * (PortableLogSpec pins the equivalence, including boundary-exact and
+  * out-of-contract inputs).
+  */
+case class Log2Q10Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_log2q10"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.PortableLog.log2q10Long(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortableLog.log2q10Long($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -32,6 +32,37 @@ class PortableLogSpec extends SparkSpec {
     got.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
   }
 
+  test("native Log2Q10Expr == the HOF reference form, bit for bit") {
+    // the native binary-search expression must replicate the original
+    // filter-over-boundary-table column EXACTLY, including
+    // boundary-exact inputs (powers of two — x lands on T[0]=1.0),
+    // values adjacent to every table step at several exponents, and
+    // out-of-contract n <= 0 (bin() length semantics)
+    val rnd = new scala.util.Random(20260815)
+    val boundaryish = for {
+      e <- Seq(10, 20, 40, 52)
+      k <- Seq(0, 1, 511, 512, 1023)
+      d <- Seq(-1L, 0L, 1L)
+    } yield (math.ceil(PortableLog.boundaries(k) * (1L << e)).toLong + d).max(1L)
+    val ns = Seq(0L, -1L, -42L, Long.MinValue, 1L, 2L, 3L, Long.MaxValue) ++
+      boundaryish ++
+      (1 to 500).map(_ => math.abs(rnd.nextLong()) % (1L << 52) + 1)
+    val rows = ns.toDF("n")
+      .select(col("n"), PortableLog.log2q10(col("n")).as("fast"),
+        PortableLog.log2q10Hof(col("n")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"n=${r.getLong(0)} native=${r.getLong(1)} hof=${r.getLong(2)}")
+    }
+    // and the scalar runtime agrees with the column path
+    ns.foreach { n =>
+      val viaDf = Seq(n).toDF("n")
+        .select(PortableLog.log2q10(col("n"))).collect()(0).getLong(0)
+      assert(PortableLog.log2q10Long(n) == viaDf, s"scalar diverged at n=$n")
+    }
+  }
+
   test("entropy identity: uniform counts give log2(k), single class gives 0") {
     // H = (n*L(n) - sum c*L(c)) / (n*Q); for k equal counts c: n = k*c,
     // H should be ~log2 k; for one class H = 0 exactly
