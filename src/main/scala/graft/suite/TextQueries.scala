@@ -576,13 +576,24 @@ object TextQueries {
         // novelty = mostly recycled text. Grams dedupe at the (doc,
         // gram) grain map-side; the introducer is one min-aggregation
         // per gram; the join back is on the already-deduped gram grain.
+        // grams ride every shuffle (distinct + introducer groupBy +
+        // join-back) as INTEGER keys, not ~30-byte strings (round 10):
+        // the key is a polynomial fold of the 5 word ids mod P — the
+        // repo's hash-id convention, computed by the IDENTICAL integer
+        // formula in the oracle, so both engines see the same keys and
+        // the compare stays bit-exact by construction. Word ids hash
+        // once per token (native polyHash), not once per covering gram.
+        val P = graft.functions.Scalars.polyHashP
         val grams = tbl(s, dir, "documents")
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
           .filter(size(col("w")) >= 5)
           .select(col("doc_id"),
+            transform(col("w"), t => graft.dedup.Dedup.wordId(t)).as("ws"))
+          .select(col("doc_id"),
             explode(transform(
-              sequence(lit(0), size(col("w")) - lit(5)),
-              i => concat_ws(" ", slice(col("w"), i + lit(1), lit(5))))).as("gram"))
+              sequence(lit(0), size(col("ws")) - lit(5)),
+              i => aggregate(slice(col("ws"), i + lit(1), lit(5)), lit(0L),
+                (acc, x) => (acc * lit(131L) + x) % lit(P)))).as("gram"))
           .distinct()
         val firstSeen = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
         grams.join(firstSeen, "gram")
@@ -591,12 +602,18 @@ object TextQueries {
             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
           .orderBy("doc_id")
       },
-      Some("""
-        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
                    FROM documents),
-        g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
-              FROM t, (SELECT unnest(generate_series(1, 1000)) AS i) ii
-              WHERE len(w) >= 5 AND i + 4 <= len(w)),
+        ids AS (SELECT doc_id,
+                  list_transform(w, x -> ${DedupQueries.wordHashSql("x")}) AS ws
+                FROM t),
+        g AS (SELECT DISTINCT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), ws[i:i+4]),
+                  (acc, x) -> (acc * 131 + x)
+                    % ${graft.functions.Scalars.polyHashP}) AS gram
+              FROM ids, (SELECT unnest(generate_series(1, 1000)) AS i) ii
+              WHERE len(ws) >= 5 AND i + 4 <= len(ws)),
         fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
         SELECT g.doc_id, count(*) AS n_grams,
                CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
