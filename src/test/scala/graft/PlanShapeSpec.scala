@@ -48,7 +48,11 @@ class PlanShapeSpec extends SparkSpec {
       // tuning curve: three limit-seeded codebooks (k <= 64 centroid
       // rows each), same iterated join/agg-over-limit boundedness as
       // the serving queries above
-      "sim_ivf_cells_curve")
+      "sim_ivf_cells_curve",
+      // incremental append: the FROZEN codebook broadcast is the same
+      // 16-row limit-seeded k-means trained on the base partition —
+      // iterated join/agg-over-limit, bounded by numCells at any N
+      "sim_ivf_incremental")
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Unpartitioned windows over frames bounded by DOMAIN, not data
