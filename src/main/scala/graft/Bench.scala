@@ -58,6 +58,32 @@ object Bench {
     suite.Artifacts.rewarmAll(spark)
   }
 
+  /** Indexes (0-based) of warm laps that were GLOBALLY disturbed:
+    * machine churn inflates unrelated queries together (the sf1-replay
+    * pattern — one lap where even the plan-free calibration query
+    * drifted), so the signal is the MEDIAN across queries of
+    * "this lap's time / this query's best lap". A slow lap of one
+    * query is that query's variance; a slow lap of the TYPICAL query
+    * is the machine's. Threshold 1.5×: normal lap-to-lap medians sit
+    * within a few percent of 1.0, while the observed disturbed laps
+    * ran 2-37× — the flag marks medians no healthy lap produces.
+    * Queries that errored anywhere (-1) are excluded.
+    */
+  def disturbedLaps(laps: Seq[Map[String, Double]]): Seq[Int] = {
+    if (laps.size < 2) return Nil
+    val names = laps.head.keys
+      .filter(n => laps.forall(_.getOrElse(n, -1.0) > 0)).toSeq
+    if (names.isEmpty) return Nil
+    val best = names.map(n => n -> laps.map(_(n)).min).toMap
+    laps.indices.filter { i =>
+      val rs = names.map(n => laps(i)(n) / best(n)).sorted
+      val medR =
+        if (rs.size % 2 == 1) rs(rs.size / 2)
+        else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2.0
+      medR >= 1.5
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmLapsMax =
@@ -160,7 +186,20 @@ object Bench {
     val lapsFit =
       if (coldLapSec <= 0) warmLapsMax
       else ((benchBudgetSec - spentSec) / coldLapSec).toInt
-    val WarmLaps = math.max(1, math.min(warmLapsMax, lapsFit))
+    // sf >= 1 replays keep a 3-lap floor: an even warm-lap count has
+    // twice let ONE globally disturbed lap contaminate the median
+    // (SCALE.md round-10 — a 518 s intermediate replay from a 2-lap
+    // median); with 3+ laps a single disturbed lap can never be the
+    // median, only a flagged outlier. Budget shedding still applies
+    // at sf < 1 where laps are cheap and plentiful anyway.
+    val sfGe1 = """sf(\d+(?:\.\d+)?)""".r.findFirstMatchIn(
+      new java.io.File(sfDir).getName)
+      .exists(_.group(1).toDouble >= 1.0)
+    // floor respects an EXPLICIT lower SPARK_GRAFT_WARM_LAPS (the env
+    // var stays the operator override); what it refuses is the BUDGET
+    // fit silently shedding an sf>=1 replay below 3 laps
+    val warmFloor = if (sfGe1) math.min(3, warmLapsMax) else 1
+    val WarmLaps = math.max(warmFloor, math.min(warmLapsMax, lapsFit))
     if (WarmLaps < warmLapsMax)
       System.err.println(s"[bench] budget: ${WarmLaps} warm laps (of " +
         s"$warmLapsMax) fit in ${benchBudgetSec}s after ${spentSec.toInt}s " +
@@ -170,6 +209,11 @@ object Bench {
       lapStorageStart += storageUsedBytes
       lap()
     }
+    val disturbed = disturbedLaps(warmLaps)
+    if (disturbed.nonEmpty)
+      System.err.println(s"[bench] disturbed warm laps (median query " +
+        s">=1.5x its best lap): ${disturbed.mkString(",")} — medians " +
+        "below include them; re-run or raise SPARK_GRAFT_WARM_LAPS")
 
     def stat(pick: Seq[Double] => Double): Map[String, Double] =
       cold.keys.map { name =>
@@ -188,24 +232,31 @@ object Bench {
     val mn = stat(_.head)
     val mx = stat(_.last)
 
+    // JSON numbers must be locale-independent: the f-interpolator
+    // formats under the DEFAULT locale, so a comma-decimal locale would
+    // emit `0,52` — invalid JSON (driver-advice r10). Every numeric
+    // field goes through this Locale.ROOT formatter.
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     def fmt(m: Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }.mkString("{", ",", "}")
     def fmtS(m: scala.collection.Map[String, String]): String =
       m.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\"" }
         .mkString("{", ",", "}")
 
     val json =
-      s"""{"metric":"total","value":${f"${med.values.filter(_ >= 0).sum}%.3f"},"unit":"sec"""" +
+      s"""{"metric":"total","value":${num(med.values.filter(_ >= 0).sum, 3)},"unit":"sec"""" +
         s""","queries":${fmt(med)},"queries_min":${fmt(mn)},"queries_max":${fmt(mx)}""" +
-        s""","warm_laps":$WarmLaps,"cold_value":${f"${cold.values.filter(_ >= 0).sum}%.3f"}""" +
+        s""","warm_laps":$WarmLaps,"cold_value":${num(cold.values.filter(_ >= 0).sum, 3)}""" +
         s""","queries_cold":${fmt(cold)}""" +
-        s""","setup_sec":${f"${setup.values.sum}%.3f"},"setup":${fmt(setup.toMap)}""" +
+        s""","setup_sec":${num(setup.values.sum, 3)},"setup":${fmt(setup.toMap)}""" +
         s""","errors":${fmtS(errors)},"sf":"$sfDir"""" +
-        s""","env":{"load_avg_start":${f"$loadAvgStart%.2f"}""" +
+        s""","disturbed_laps":[${disturbed.mkString(",")}]""" +
+        s""","env":{"load_avg_start":${num(loadAvgStart, 2)}""" +
         s""","mem_available_start_kb":$memAvailStartKb""" +
         s""","mem_available_end_kb":$memAvailableKb""" +
-        s""","load_avg_end":${f"${java.lang.management.ManagementFactory
-          .getOperatingSystemMXBean.getSystemLoadAverage}%.2f"}""" +
+        s""","load_avg_end":${num(java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage.toDouble, 2)}""" +
         s""","storage_used_at_lap_start_bytes":[${lapStorageStart.mkString(",")}]}}"""
     println(json)
     // stdout capture can truncate a multi-KB line; keep a durable copy so

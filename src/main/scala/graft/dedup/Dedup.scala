@@ -283,6 +283,94 @@ object Dedup {
   def simhashNear(sig: DataFrame, bits: Int, maxHam: Int = 3): DataFrame =
     bandedHammingPairs(sig, "doc_id", "simhash", bits, maxHam)
 
+  /** 128-bit SimHash as TWO 64-bit words `(sim_lo, sim_hi)`, assembled
+    * from four independent 32-bit affine-hash halves the same way
+    * [[simhash64]] assembles two (that single-modulus form caps at 45
+    * bits; two-long composition has no cap). Words 0-1 pack into
+    * `sim_lo`, words 2-3 into `sim_hi`.
+    *
+    * Width is the SCALE lever (r10 verdict #1): banding a `w`-bit
+    * signature into `maxHam+1` bands keys each band on `w/(maxHam+1)`
+    * bits, so expected candidate pairs grow ~N²·(maxHam+1)/2^(w/(maxHam+1))
+    * — a CONSTANT key space, quadratic in the corpus no matter the
+    * width. At 64 bits (4×16-bit bands) the 2^16-way blocking was
+    * already the #2 sf1 head and is computationally impossible at 10^9
+    * docs; at 128 bits the same 4-band pigeonhole guarantee holds while
+    * band populations drop 2^16× (N/2^32), keeping candidate density at
+    * the base near-dup rate out to ~10^10 docs. Same plan shape, same
+    * recall proof, one extra long per row.
+    */
+  def simhash128(wordIds: DataFrame): DataFrame = {
+    val coeffs = Seq((40503L, 9973L), (31973L, 7919L),
+      (27673L, 6841L), (23911L, 5527L))
+    val perWord = coeffs.zipWithIndex.foldLeft(
+        wordIds.select(col("doc_id"), col("word_id")).distinct()) {
+      case (df, ((a, b), j)) =>
+        df.withColumn(s"h$j", (col("word_id") * a + b) % (1L << 32))
+    }
+    val sums = (0 until 4).flatMap { j =>
+      (0 until 32).map { k =>
+        sum(when(shiftright(col(s"h$j"), k) % 2 === 1, 1).otherwise(-1))
+          .as(s"s_${j}_$k")
+      }
+    }
+    def word(j: Int) = (0 until 32).map { k =>
+      when(col(s"s_${j}_$k") > 0, lit(1L << k)).otherwise(0L)
+    }.reduce(_ + _)
+    perWord.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        shiftleft(word(1), 32).bitwiseOR(word(0)).as("sim_lo"),
+        shiftleft(word(3), 32).bitwiseOR(word(2)).as("sim_hi"))
+  }
+
+  /** All (a, b) id pairs whose 128-bit hashes (as two 64-bit words) are
+    * within Hamming distance `maxHam`, FULL recall: fixed 4 bands of 32
+    * bits (two per word — the pigeonhole argument needs maxHam+1 = 4
+    * bands; 32-bit keys are the width dividend of the 128-bit
+    * signature). Same certified-superset plan as [[bandedHammingPairs]]:
+    * equi-join on (band, 32-bit key), exact two-word popcount verify,
+    * distinct. Masking AFTER the arithmetic shift extracts each band
+    * correctly for sign-bit-set words on both engines.
+    */
+  def bandedHammingPairs128(
+      hashes: DataFrame,
+      idCol: String,
+      loCol: String,
+      hiCol: String,
+      maxHam: Int = 3): DataFrame = {
+    require(maxHam == 3,
+      "128-bit banding is fixed at 4 bands of 32 bits (pigeonhole radius 3)")
+    val m32 = (1L << 32) - 1
+    val bands = Seq(
+      col("__lo").bitwiseAND(lit(m32)),
+      shiftright(col("__lo"), 32).bitwiseAND(lit(m32)),
+      col("__hi").bitwiseAND(lit(m32)),
+      shiftright(col("__hi"), 32).bitwiseAND(lit(m32)))
+    val keyed = hashes
+      .select(col(idCol).as("__id"), col(loCol).as("__lo"), col(hiCol).as("__hi"))
+      .select(col("__id"), col("__lo"), col("__hi"),
+        explode(array(bands.zipWithIndex.map { case (k, b) =>
+          struct(lit(b).as("band"), k.as("key"))
+        }: _*)).as("bk"))
+      .select(col("__id"), col("__lo"), col("__hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    keyed.as("x")
+      .join(keyed.as("y"), Seq("band", "key"))
+      .filter(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        (bit_count(col("x.__lo").bitwiseXOR(col("y.__lo"))) +
+          bit_count(col("x.__hi").bitwiseXOR(col("y.__hi")))).as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .distinct()
+  }
+
+  /** 128-bit SimHash near-dup candidates — the 4×32 banding of
+    * [[bandedHammingPairs128]] over a [[simhash128]] signature frame.
+    */
+  def simhashNear128(sig: DataFrame, maxHam: Int = 3): DataFrame =
+    bandedHammingPairs128(sig, "doc_id", "sim_lo", "sim_hi", maxHam)
+
   // ---- connected components (survivor selection) -----------------------
 
   /** Connected components over an undirected pair graph by iterative

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{array, array_distinct, array_intersect, array_min, col, concat, explode, length, lit, sequence, transform, xxhash64}
+import org.apache.spark.sql.functions.{array, array_distinct, array_intersect, array_min, col, concat, explode, length, lit, sequence, transform, when, xxhash64}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /** Automatic similarity-join recognition for STRINGS — the edit-distance
@@ -122,7 +122,15 @@ class EditDistJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     */
   private def keyCol(e: Expression, k: Int) = {
     val c = ColumnBridge.column(e)
-    if (k == 0) array(xxhash64(c))
+    // k=0 keeps null-rejection explicit: xxhash64(NULL) is the SEED (a
+    // real long), so hashing a NULL string would hand every null row
+    // the same join key — a quadratic NULL×NULL candidate block on
+    // null-heavy columns (correct but skewed; the levenshtein residual
+    // null-rejects anyway). A null key row instead dies at the equi-join,
+    // matching the k=1 path where sequence(1, length(NULL)) already
+    // nulls the variant array and explode drops the row.
+    if (k == 0) array(when(c.isNull, lit(null).cast("long"))
+      .otherwise(xxhash64(c)))
     else array_distinct(transform(
       concat(array(c),
         transform(sequence(lit(1), length(c)),

@@ -746,45 +746,63 @@ object DedupQueries {
     QDef(
       "dedup_simhash_near",
       (s, dir) =>
-        // 64-bit signature: 4 bands of 16 bits keep band populations at
-        // N/65536 — candidate volume shrinks ~2^8 vs the 32-bit form at
-        // identical pigeonhole recall; this is the width a 100 TB corpus
-        // needs (and the top bench line before it)
-        Dedup.simhashNear(Dedup.simhash64(docWordIds(s, dir)),
-            bits = 64, maxHam = 3)
+        // 128-bit signature, 4 bands of 32 bits (r10 verdict #1): band
+        // key space is now a WIDTH dividend that scales with the
+        // signature, not a constant — populations N/2^32 put expected
+        // candidate pairs at ~4·N²/2^33 (base-rate density out to
+        // ~10^10 docs), where the previous 4×16 banding's fixed 2^16
+        // buckets grew candidates ~4·N²/2^17 regardless of corpus size
+        // (already the #2 sf1 head at 50 K docs, impossible at 10^9).
+        // Pigeonhole recall at maxHam 3 is unchanged: 4 bands, a <=3-bit
+        // difference leaves >=1 band untouched. Oracle runs the
+        // identical four-half integer construction, so the green hash
+        // proves the two-word popcount verify exact.
+        Dedup.simhashNear128(Dedup.simhash128(docWordIds(s, dir)), maxHam = 3)
           .orderBy("a", "b"),
       Some {
-        val bitSums = ((0 until 32).map { k =>
-          s"sum(CASE WHEN (h0 >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s_$k"
-        } ++ (0 until 32).map { k =>
-          s"sum(CASE WHEN (h1 >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS t_$k"
-        }).mkString(", ")
-        val lo = (0 until 32).map { k =>
-          s"CASE WHEN s_$k > 0 THEN ${1L << k} ELSE 0 END"
+        val coeffs = Seq((40503L, 9973L), (31973L, 7919L),
+          (27673L, 6841L), (23911L, 5527L))
+        val hs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+          s"(word_id * $a + $b) % ${1L << 32} AS h$j"
+        }.mkString(", ")
+        val bitSums = (0 until 4).flatMap { j =>
+          (0 until 32).map { k =>
+            s"sum(CASE WHEN (h$j >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s_${j}_$k"
+          }
+        }.mkString(", ")
+        def word(j: Int) = (0 until 32).map { k =>
+          s"CASE WHEN s_${j}_$k > 0 THEN ${1L << k} ELSE 0 END"
         }.mkString(" + ")
-        val hi = (0 until 32).map { k =>
-          s"CASE WHEN t_$k > 0 THEN ${1L << k} ELSE 0 END"
-        }.mkString(" + ")
+        // two-long composition, sign-safe: w1/w3 are 32-bit unsigned in
+        // BIGINT; subtract 2^32 when the sign bit is set so the *2^32
+        // never overflows checked BIGINT math yet reproduces the Java
+        // bit pattern of shiftleft(w,32)|lo exactly (the simhash64 trick)
         s"""WITH $vocabSql,
             pw AS (SELECT DISTINCT doc_id, word_id FROM ids),
-            hs AS (SELECT doc_id,
-                     (word_id * 40503 + 9973) % ${1L << 32} AS h0,
-                     (word_id * 31973 + 7919) % ${1L << 32} AS h1 FROM pw),
+            hs AS (SELECT doc_id, $hs FROM pw),
             bs AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id),
-            hl AS (SELECT doc_id, CAST($lo AS BIGINT) AS lo,
-                     CAST($hi AS BIGINT) AS hi FROM bs),
+            ws AS (SELECT doc_id, CAST(${word(0)} AS BIGINT) AS w0,
+                     CAST(${word(1)} AS BIGINT) AS w1,
+                     CAST(${word(2)} AS BIGINT) AS w2,
+                     CAST(${word(3)} AS BIGINT) AS w3 FROM bs),
             sh AS (SELECT doc_id,
-                     (hi - CASE WHEN hi >= ${1L << 31} THEN ${1L << 32} ELSE 0 END)
-                       * ${1L << 32} + lo AS simhash FROM hl),
+                     (w1 - CASE WHEN w1 >= ${1L << 31} THEN ${1L << 32} ELSE 0 END)
+                       * ${1L << 32} + w0 AS lo,
+                     (w3 - CASE WHEN w3 >= ${1L << 31} THEN ${1L << 32} ELSE 0 END)
+                       * ${1L << 32} + w2 AS hi FROM ws),
             keyed AS (
-              SELECT doc_id, simhash, band,
-                     (simhash >> (16 * band)) & 65535 AS nib
+              SELECT doc_id, lo, hi, band,
+                     CASE band WHEN 0 THEN lo & 4294967295
+                               WHEN 1 THEN (lo >> 32) & 4294967295
+                               WHEN 2 THEN hi & 4294967295
+                               ELSE (hi >> 32) & 4294967295 END AS key
               FROM sh, (VALUES (0), (1), (2), (3)) AS bands(band))
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                   CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+                   CAST(bit_count(xor(x.lo, y.lo))
+                        + bit_count(xor(x.hi, y.hi)) AS INT) AS hamming
             FROM keyed x JOIN keyed y
-              ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id
-            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+              ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
             ORDER BY a, b"""
       }),
 

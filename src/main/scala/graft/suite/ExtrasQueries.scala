@@ -3067,10 +3067,15 @@ object ExtrasQueries {
         // one 20-key aggregate; totals attach as scalar subqueries —
         // no join, no second scan.
         import graft.functions.PortableLog.log2q10
+        // bin is clamped on BOTH ends: Spark's `div` truncates toward
+        // zero while DuckDB's `//` floors, so a negative cents value
+        // would bin differently across engines one step above the floor
+        // — but every negative bin lands <= 0 in both, so the lower
+        // clamp restores engine agreement for any sign of `value`
         val e = tbl(s, dir, "events").select(col("event_id"),
           round(col("value") * 100).cast("long").as("cents"))
         val binned = e
-          .withColumn("bin", least(expr("cents div 2500"), lit(19L)))
+          .withColumn("bin", greatest(least(expr("cents div 2500"), lit(19L)), lit(0L)))
           .withColumn("is_ref", (col("event_id") % 2 === 0).cast("long"))
         val nRef = org.apache.spark.sql.graft.ColumnBridge.scalar(
           binned.agg(sum(col("is_ref")).as("n")))
@@ -3081,8 +3086,11 @@ object ExtrasQueries {
             sum(lit(1L) - col("is_ref")).as("n_cur"))
           .withColumn("n_ref_tot", nRef)
           .withColumn("n_cur_tot", nCur)
-          .withColumn("p_mil", expr("(1000000 * n_ref) div n_ref_tot + 1"))
-          .withColumn("q_mil", expr("(1000000 * n_cur) div n_cur_tot + 1"))
+          // greatest(tot, 1): an empty reference/current half would be
+          // NULL `div` in Spark but a division-by-zero ERROR in DuckDB;
+          // with the floor both engines emit p=q=1 per bin (PSI term 0)
+          .withColumn("p_mil", expr("(1000000 * n_ref) div greatest(n_ref_tot, 1) + 1"))
+          .withColumn("q_mil", expr("(1000000 * n_cur) div greatest(n_cur_tot, 1) + 1"))
           .withColumn("psi_term_q",
             (col("p_mil") - col("q_mil")) *
               (log2q10(col("p_mil")) - log2q10(col("q_mil"))))
@@ -3094,7 +3102,7 @@ object ExtrasQueries {
         WITH ${graft.functions.PortableLog.l2tCte},
         e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
               FROM events),
-        b AS (SELECT least(cents // 2500, 19) AS bin,
+        b AS (SELECT greatest(least(cents // 2500, 19), 0) AS bin,
                 CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
               FROM e),
         t AS (SELECT CAST(sum(is_ref) AS BIGINT) AS n_ref_tot,
@@ -3103,8 +3111,8 @@ object ExtrasQueries {
                 CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
               FROM b GROUP BY bin),
         m AS (SELECT bin, n_ref, n_cur,
-                (1000000 * n_ref) // n_ref_tot + 1 AS p_mil,
-                (1000000 * n_cur) // n_cur_tot + 1 AS q_mil
+                (1000000 * n_ref) // greatest(n_ref_tot, 1) + 1 AS p_mil,
+                (1000000 * n_cur) // greatest(n_cur_tot, 1) + 1 AS q_mil
               FROM g, t)
         SELECT bin, n_ref, n_cur, p_mil, q_mil,
                CAST((p_mil - q_mil) *

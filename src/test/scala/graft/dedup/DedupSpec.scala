@@ -74,6 +74,40 @@ class DedupSpec extends SparkSpec {
     assert(sh.forall { case (id, v) => (v & 0xffffffffL) === sh32(id) })
   }
 
+  test("simhash128: identical texts equal; low word equals the 32-bit simhash") {
+    val ids = Dedup.docWordIds(docs, "doc_id", "text")
+    val sh = Dedup.simhash128(ids).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sh(1L) === sh(2L))
+    // word 0 of sim_lo shares simhash(bits=32)'s hash coefficients —
+    // proving the four-half composition packs (w1<<32|w0, w3<<32|w2)
+    val sh32 = Dedup.simhash(ids, bits = 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.forall { case (id, (lo, _)) => (lo & 0xffffffffL) === sh32(id) })
+  }
+
+  test("bandedHammingPairs128: FULL recall at maxHam=3 vs brute-force Hamming") {
+    // a corpus dense enough that near pairs exist at several radii:
+    // rotations/substitutions of a base text plus unrelated docs
+    val many = (0L until 40L).map { i =>
+      val words = (0 until 12).map { j =>
+        if ((i + j) % 7 == 0) s"w${(i * 3 + j) % 9}" else s"base$j"
+      }
+      (i, words.mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val sig = Dedup.simhash128(Dedup.docWordIds(many, "doc_id", "text"))
+    val rows = sig.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, alo, ahi) <- rows; (b, blo, bhi) <- rows if a < b
+      h = java.lang.Long.bitCount(alo ^ blo) + java.lang.Long.bitCount(ahi ^ bhi)
+      if h <= 3
+    } yield ((a, b), h)).toMap
+    assert(brute.nonEmpty, "fixture must produce near pairs")
+    val banded = Dedup.simhashNear128(sig, maxHam = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(banded === brute) // recall AND precision: exactly the <=3 set
+  }
+
   test("connected components: chain A~B~C (A!~C) collapses to one survivor") {
     val pairs = Seq((10L, 20L), (20L, 30L), (50L, 40L)).toDF("a", "b")
     val comp = Dedup.connectedComponents(pairs, "a", "b")
