@@ -13,7 +13,7 @@ object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def build(appName: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,7 +35,16 @@ object GraftSession {
       // scope the conf around plan construction and force optimization
       // while it is set — see Registry.withRangeBucket
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    // probe hook: `SPARK_GRAFT_CONF="k=v;k2=v2"` overrides any of the
+    // above for matched A/B runs (e.g. AQE coalesce settings) without
+    // code edits — measurement tooling only, nothing reads it in prod
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -1233,18 +1233,30 @@ object ExtrasQueries {
       (s, dir) => {
         // TPC-H Q16 shape (partsupp stood in by the observed
         // part-supplier pairs in lineitem): how many distinct suppliers
-        // can provide each (brand, type, size) bucket. The pair list is
-        // deduped at the fact grain FIRST — one map-side-combinable
-        // distinct — so the part join and the count-distinct run over
-        // |pairs|, not |lineitem|.
-        val pairs = tbl(s, dir, "lineitem")
-          .select(col("l_partkey"), col("l_suppkey")).distinct()
-        pairs
-          .join(broadcast(tbl(s, dir, "part")
-            .filter(col("p_brand") =!= "Brand#45" && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))),
-            col("l_partkey") === col("p_partkey"))
+        // can provide each (brand, type, size) bucket. The selective
+        // dimension filter joins BELOW the dedup (round 11): 8 sizes of
+        // ~50 cut lineitem to ~16% before anything shuffles, and the
+        // dedup then runs directly at the OUTPUT-side grain —
+        // distinct (brand, type, size, suppkey) — so the old
+        // pair-grain distinct + countDistinct expand (two full-width
+        // shuffles of all observed pairs) collapses to one shuffle of
+        // the filtered stream + a plain count (sf1: 5.4 → ~1.5 s).
+        // Same result: countDistinct(suppkey) per (b,t,s) counts
+        // exactly the distinct (b,t,s,suppkey) tuples, whether pairs
+        // dedup first or not.
+        val bpart = broadcast(tbl(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#45" &&
+            col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size")))
+        tbl(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+          .join(bpart, col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("p_type"), col("p_size"),
+            col("l_suppkey"))
+          .distinct()
           .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .agg(count(lit(1)).as("supplier_cnt"))
           .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
       },
       Some("""
@@ -2780,22 +2792,29 @@ object ExtrasQueries {
       (s, dir) => {
         // median absolute deviation — the robust spread statistic every
         // data-quality profile wants next to stddev. Two passes of the
-        // same per-group exact-quantile operator (partitioned window
-        // rank, parallel across groups, no global sort): the group
-        // median, then the median of |x - median|.
-        // The 5-row median frame broadcasts back onto the fact table, so
-        // the second pass costs the same single shuffle as the first.
+        // same per-group exact-quantile operator, in its BUCKETED form
+        // (round 11): event_type has ~5 values, so the plain
+        // partitioned-window form sorts each type's FULL value grain in
+        // one task (parallelism = |groups|, the few-huge-groups trap the
+        // operator's own scaladoc warns about) — bucketing keys the only
+        // full-grain shuffle on (type, cents div 500) with map-side
+        // combine and ranks one bucket per group (sf1: 5.5 → ~2 s).
+        // cents > 0 by the generator's value domain (the div-bucketing
+        // monotonicity precondition); `dev` is an abs, nonnegative by
+        // construction.
         val ev = tbl(s, dir, "events")
           .select(col("event_type"), cents(col("value")).as("cents"),
             col("event_id"))
-        val med = graft.operators.Quantiles.exactQuantileByGroup(
-            ev, "event_type", "cents", "event_id", q = 0.5)
+        val med = graft.operators.Quantiles.exactQuantileByGroupBucketed(
+            ev, "event_type", "cents", "event_id", q = 0.5,
+            bucketWidth = 500L)
           .select(col("event_type"), col("cents").as("med_cents"))
         val dev = ev.join(broadcast(med), "event_type")
           .select(col("event_type"),
             abs(col("cents") - col("med_cents")).as("dev"), col("event_id"))
-        val mad = graft.operators.Quantiles.exactQuantileByGroup(
-            dev, "event_type", "dev", "event_id", q = 0.5)
+        val mad = graft.operators.Quantiles.exactQuantileByGroupBucketed(
+            dev, "event_type", "dev", "event_id", q = 0.5,
+            bucketWidth = 500L)
           .select(col("event_type"), col("dev").as("mad_cents"))
         med.join(mad, "event_type")
           .select("event_type", "med_cents", "mad_cents")
@@ -2964,19 +2983,31 @@ object ExtrasQueries {
         // association-mining shape. The pair join is a WEDGE join on
         // the order key: per-order fan-out is C(k,2), bounded by the
         // basket size (TPC-H orders carry ~4 lines), never all part
-        // pairs; support counting is one map-side-combined groupBy and
-        // the top-20 is a TakeOrdered, not a window. A/B note: the
-        // collect_set + map-side array-expansion alternative (one
-        // fewer shuffle) measured SLOWER at sf1 (19.7 s vs 15.5 s) —
-        // nested per-row transform/slice allocation beats a shuffle
-        // only for much larger baskets. Ties deterministic (support
-        // desc, then pair).
+        // pairs. Round-11 plan surgery, both from a measured probe
+        // (ProbeCopurchase at sf1, 12M pair rows):
+        //  - ONE width-pinned repartition on the order key up front;
+        //    the (orderkey, partkey) dedup's clustering requirement is
+        //    satisfied by hash(orderkey) (partitioning-subset rule), so
+        //    dedup AND self-join run exchange-free on that layout;
+        //  - the pair-count shuffle is pinned to the session width
+        //    (REPARTITION_BY_NUM): with parallelismFirst=false AQE
+        //    coalesced this ~200MB CPU-heavy exchange to ~4 of 32
+        //    cores — the starved count stage, not the pair volume, was
+        //    the whole cost (15.5 s → ~3 s warm at sf1).
+        // Support counting stays one groupBy (nearly all pairs are
+        // unique, so map-side combine is moot); top-20 is a
+        // TakeOrdered, not a window. Ties deterministic (support desc,
+        // then pair).
+        val width = s.sparkContext.defaultParallelism
         val items = tbl(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .select(col("l_orderkey"), col("l_partkey"))
+          .repartition(width, col("l_orderkey"))
+          .dropDuplicates("l_orderkey", "l_partkey")
         items.select(col("l_orderkey"), col("l_partkey").as("p1"))
           .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
             "l_orderkey")
           .filter(col("p1") < col("p2"))
+          .repartition(width, col("p1"), col("p2"))
           .groupBy(col("p1"), col("p2"))
           .agg(count(lit(1)).as("n_orders"))
           .filter(col("n_orders") >= 2)
@@ -3173,18 +3204,24 @@ object ExtrasQueries {
         // (median and MAD have 50% breakdown; mean/stddev have 0%).
         // The 5-row robust-stats frame broadcasts onto the fact scan,
         // so flagging costs one map-side comparison per row. All
-        // integer, engine-exact.
+        // integer, engine-exact. Median/MAD use the BUCKETED per-group
+        // quantile (round 11, same move as agg_mad): event_type is ~5
+        // groups, so the partitioned-window form sorted each type's
+        // full grain in one task; bucketed, the full-grain shuffle is
+        // a map-side-combined (type, cents div 500) count.
         val ev = tbl(s, dir, "events")
           .select(col("event_type"), cents(col("value")).as("cents"),
             col("event_id"))
-        val med = graft.operators.Quantiles.exactQuantileByGroup(
-            ev, "event_type", "cents", "event_id", q = 0.5)
+        val med = graft.operators.Quantiles.exactQuantileByGroupBucketed(
+            ev, "event_type", "cents", "event_id", q = 0.5,
+            bucketWidth = 500L)
           .select(col("event_type"), col("cents").as("med_cents"))
         val dev = ev.join(broadcast(med), "event_type")
           .select(col("event_type"),
             abs(col("cents") - col("med_cents")).as("dev"), col("event_id"))
-        val mad = graft.operators.Quantiles.exactQuantileByGroup(
-            dev, "event_type", "dev", "event_id", q = 0.5)
+        val mad = graft.operators.Quantiles.exactQuantileByGroupBucketed(
+            dev, "event_type", "dev", "event_id", q = 0.5,
+            bucketWidth = 500L)
           .select(col("event_type"), col("dev").as("mad_cents"))
         ev.join(broadcast(med), "event_type")
           .join(broadcast(mad), "event_type")
