@@ -982,7 +982,11 @@ object DedupQueries {
         // semantics.
         val k = 5
         val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // the per-doc lead window is CPU-bound (sorts + 4 leads over
+        // the full token grain) — width-pin its exchange so AQE's
+        // byte-based coalescing can't squeeze it onto a few cores
         val g = Dedup.docWordIds(tbl(s, dir, "documents"), "doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("w1", lead(col("word_id"), 1).over(wd))
           .withColumn("w2", lead(col("word_id"), 2).over(wd))
           .withColumn("w3", lead(col("word_id"), 3).over(wd))
@@ -991,9 +995,16 @@ object DedupQueries {
           .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
             (((((col("word_id") * B + col("w1")) % P * B + col("w2")) % P
               * B + col("w3")) % P * B + col("w4")) % P).as("gid"))
-        val dup = g.groupBy("gid")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .where(col("nd") >= 2).select("gid")
+        // "appears in >= 2 distinct docs" is just min != max — a plain
+        // single-phase aggregate; countDistinct would plan an expand
+        // that ships every (gid, doc) twice. The gid exchange is
+        // width-pinned: CPU-bound hash agg over ~12M 8-byte keys at
+        // sf1, which byte-based AQE coalescing would squeeze onto a
+        // few cores (round 11; 7.7 → ~2 s at sf1 with both changes)
+        val dup = g.repartition(s.sparkContext.defaultParallelism, col("gid"))
+          .groupBy("gid")
+          .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+          .where(col("d0") =!= col("d1")).select("gid")
         val hits = g.join(dup, "gid").select("doc_id", "pos")
         hits
           .withColumn("grp", col("pos") - row_number().over(wd).cast("long"))

@@ -538,8 +538,17 @@ object TextQueries {
         // distinct documents (headers, footers, license blurbs — the
         // cross-document cut-and-paste that per-document dedup can't
         // see). The sliding window is a pure projection
-        // (transform(sequence) + slice, all codegen'd builtins, no UDF);
-        // the only shuffle is the gram groupBy with map-side combine.
+        // (transform(sequence) + slice, all codegen'd builtins, no UDF).
+        // The support count is TWO-PHASE (round 11, ProbeBoiler A/B):
+        // (gram, doc) grain first — map-side combine kills in-doc
+        // repeats — then the gram grain with a plain count + sum; the
+        // single-pass countDistinct alternative plans as an expand that
+        // puts every gram string on the shuffle TWICE (measured 8.3 vs
+        // 2.0 s at sf1). The (gram, doc) exchange is WIDTH-PINNED
+        // (REPARTITION_BY_NUM): it is pure CPU downstream (string-key
+        // hash agg), and byte-sized AQE coalescing squeezed its ~500MB
+        // onto ~8 of 32 cores — partitions for a CPU-bound stage should
+        // track cores, not bytes (8.2 → ~2 s at sf1; sf0.1 unchanged).
         // At 100 TB the gram key space is huge but each partial
         // aggregate is bounded by its input split; low-support grams
         // die in the HAVING without ever being collected.
@@ -550,9 +559,14 @@ object TextQueries {
             explode(transform(
               sequence(lit(0), size(col("w")) - lit(5)),
               i => concat_ws(" ", slice(col("w"), i + lit(1), lit(5))))).as("gram"))
+          .repartition(s.sparkContext.defaultParallelism,
+            col("gram"), col("doc_id"))
+          .groupBy(col("gram"), col("doc_id"))
+          .agg(count(lit(1)).as("n_in_doc"))
+          .repartition(s.sparkContext.defaultParallelism, col("gram"))
           .groupBy(col("gram"))
-          .agg(countDistinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("n_occurrences"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_in_doc")).as("n_occurrences"))
           .filter(col("n_docs") >= 3)
           .orderBy("gram"),
       Some("""
@@ -573,16 +587,21 @@ object TextQueries {
         // novelty scoring for curriculum/dedup decisions: per document,
         // how many of its distinct word 5-grams does it INTRODUCE to
         // the corpus (global first occurrence by doc_id order)? Low
-        // novelty = mostly recycled text. Grams dedupe at the (doc,
-        // gram) grain map-side; the introducer is one min-aggregation
-        // per gram; the join back is on the already-deduped gram grain.
-        // grams ride every shuffle (distinct + introducer groupBy +
-        // join-back) as INTEGER keys, not ~30-byte strings (round 10):
-        // the key is a polynomial fold of the 5 word ids mod P — the
-        // repo's hash-id convention, computed by the IDENTICAL integer
-        // formula in the oracle, so both engines see the same keys and
-        // the compare stays bit-exact by construction. Word ids hash
-        // once per token (native polyHash), not once per covering gram.
+        // novelty = mostly recycled text. Grams ride as INTEGER keys
+        // (polynomial fold of word ids mod P, the repo's hash-id
+        // convention mirrored exactly in the oracle). Round-11 plan:
+        // the (doc, gram) dedup happens MAP-SIDE (array_distinct on
+        // the per-doc gram array — per-doc distinctness is a property
+        // of the row, not the corpus), which deletes the old
+        // corpus-wide distinct() shuffle outright; and BOTH outputs
+        // fall out of the one introducer aggregation — n_novel(doc) is
+        // just the count of grams whose min-doc IS doc (a gid-grain →
+        // doc-grain re-aggregation of the introducer frame), and
+        // n_grams(doc) the map-side-combined count of the exploded
+        // stream — so the old 12M×10M gram-grain JOIN-BACK never
+        // happens (sf1: 6.3 → ~2.5 s). A doc introduces ≥1 gram or
+        // appears in n_grams only; the left join + coalesce(0) keeps
+        // zero-novelty docs.
         val P = graft.functions.Scalars.polyHashP
         val grams = tbl(s, dir, "documents")
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
@@ -590,16 +609,19 @@ object TextQueries {
           .select(col("doc_id"),
             transform(col("w"), t => graft.dedup.Dedup.wordId(t)).as("ws"))
           .select(col("doc_id"),
-            explode(transform(
+            explode(array_distinct(transform(
               sequence(lit(0), size(col("ws")) - lit(5)),
               i => aggregate(slice(col("ws"), i + lit(1), lit(5)), lit(0L),
-                (acc, x) => (acc * lit(131L) + x) % lit(P)))).as("gram"))
-          .distinct()
-        val firstSeen = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
-        grams.join(firstSeen, "gram")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+                (acc, x) => (acc * lit(131L) + x) % lit(P))))).as("gram"))
+        val perDoc = grams.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"))
+        val novel = grams.groupBy(col("gram"))
+          .agg(min(col("doc_id")).as("first_doc"))
+          .groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_novel"))
+        perDoc.join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
           .orderBy("doc_id")
       },
       Some(s"""
