@@ -25,11 +25,8 @@ object StatQueries {
   /** KMV sketch size (k smallest distinct hash values kept). */
   val KmvK = 256
 
-  /** HLL bias constant alpha_256 = 0.7213/(1+1.079/256), scaled to Q20
-    * fixed point: floor(alpha * 2^20). Kept as an integer so the HLL
-    * estimate is pure BIGINT arithmetic in both engines.
-    */
-  val HllA20 = 753163L
+  /** HLL alpha constant in Q20 fixed point — see [[graft.operators.Hll]]. */
+  private val HllA20 = graft.operators.Hll.A20
 
   /** Fixed-point scale of [[graft.functions.PortableLog]] results. */
   private val Q10 = graft.functions.PortableLog.Q
@@ -178,30 +175,17 @@ object StatQueries {
         // audit columns EXPOSE the raw estimator's bias rather than
         // hiding it (the observed error at both test scales is ~2-6%,
         // the textbook 1.04/sqrt(256) envelope).
+        import graft.operators.Hll
         val ev = tbl(s, dir, "events")
           .select(col("event_type"), col("user_id"))
-        val rk = ev
-          .withColumn("h", Sampling.hashBucket(col("user_id"), 1 << 30))
-          .select(col("event_type"), (col("h") % 256).as("bucket"),
-            expr("h div 256").as("w"))
-          .select(col("event_type"), col("bucket"),
-            when(col("w") === 0, lit(23))
-              .otherwise(lit(23) - length(bin(col("w")))).as("rank"))
-          .groupBy(col("event_type"), col("bucket"))
-          .agg(max(col("rank")).as("r"))
-        def estimate(regs: DataFrame) = regs
-          .groupBy(col("event_type"))
-          .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), 23 - r)")) +
-            (lit(256L) - count(lit(1))) * lit(8388608L)).as("z23"))
-          .withColumn("hll_est",
-            expr(s"(($HllA20 * 549755813888) div z23) div 1048576"))
-        val perType = estimate(rk)
+        val rk = Hll.registers(ev, Seq("event_type"), col("user_id"))
+        val perType = Hll.estimate(rk, Seq("event_type"))
           .join(ev.groupBy(col("event_type"))
             .agg(countDistinct(col("user_id")).as("n_exact")),
             Seq("event_type"))
-        val merged = rk.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+        val merged = Hll.merge(rk, Nil)
           .withColumn("event_type", lit("(all)"))
-        val allRow = estimate(merged)
+        val allRow = Hll.estimate(merged, Seq("event_type"))
           .withColumn("n_exact", org.apache.spark.sql.graft.ColumnBridge
             .scalar(ev.agg(countDistinct(col("user_id")).as("n"))))
         perType.unionByName(allRow)
@@ -212,11 +196,10 @@ object StatQueries {
           .orderBy("event_type")
       },
       Some(s"""
-        WITH e AS (SELECT event_type, user_id FROM events),
-        hh AS (SELECT event_type,
-                 ${SamplingQueries.hashSql("CAST(user_id AS VARCHAR)", 1 << 30)} AS h
-               FROM e),
-        rr AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w FROM hh),
+        WITH e AS (SELECT event_type, user_id,
+                     CAST(user_id AS VARCHAR) AS k FROM events),
+        ${graft.operators.Hll.mixSqlCtes("e", "event_type")},
+        rr AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w FROM hmix),
         rk AS (SELECT event_type, bucket,
                  max(CASE WHEN w = 0 THEN 23
                      ELSE 23 - length(bin(w)) END) AS r
