@@ -226,6 +226,56 @@ object StreamingQueries {
           FROM events)
         SELECT user_id, event_id AS last_event_id, event_type AS last_type,
                value_c AS last_value_c, sec AS last_sec
-        FROM r WHERE rn = 1 ORDER BY user_id"""))
+        FROM r WHERE rn = 1 ORDER BY user_id""")),
+
+    QDef(
+      "stream_hll_distinct",
+      (s, dir) => {
+        // streaming cardinality monitoring: per event-time day, the
+        // approximate distinct-user count from HLL REGISTERS — the
+        // bounded-state alternative to streaming countDistinct (whose
+        // state grows with true cardinality; registers are a fixed 256
+        // rows per day, forever). The register aggregation is a plain
+        // max — associative and insensitive to arrival order or
+        // micro-batch boundaries — so this batch form and the
+        // readStream form are the SAME code path
+        // (graft.operators.Hll.registers; StreamingHllSpec proves
+        // register parity on out-of-order micro-batched arrival, the
+        // batch≡stream convention). Exact per-day audit columns ride
+        // along, same as agg_hll_distinct.
+        import graft.operators.Hll
+        val ev = tbl(s, dir, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id"))
+        val rk = Hll.registers(ev, Seq("d"), col("user_id"))
+        Hll.estimate(rk, Seq("d"))
+          .join(ev.groupBy(col("d"))
+            .agg(countDistinct(col("user_id")).as("n_exact")), Seq("d"))
+          .select(col("d"), col("z23"), col("hll_est"), col("n_exact"),
+            expr("abs(hll_est - n_exact) * 1000000 div n_exact")
+              .as("abs_err_ppm"))
+          .orderBy("d")
+      },
+      Some(s"""
+        WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id,
+                     CAST(user_id AS VARCHAR) AS k FROM events),
+        ${graft.operators.Hll.mixSqlCtes("e", "d")},
+        rr AS (SELECT d, h % 256 AS bucket, h // 256 AS w FROM hmix),
+        rk AS (SELECT d, bucket,
+                 max(CASE WHEN w = 0 THEN 23
+                     ELSE 23 - length(bin(w)) END) AS r
+               FROM rr GROUP BY 1, 2),
+        zt AS (SELECT d,
+                 CAST(sum(1::BIGINT << (23 - r))
+                   + (256 - count(*)) * 8388608 AS BIGINT) AS z23
+               FROM rk GROUP BY 1),
+        et AS (SELECT d, z23,
+                 ((${graft.operators.Hll.A20} * 549755813888) // z23)
+                   // 1048576 AS hll_est
+               FROM zt),
+        xt AS (SELECT d, count(DISTINCT user_id) AS n_exact
+               FROM e GROUP BY 1)
+        SELECT et.d, et.z23, et.hll_est, xt.n_exact,
+               abs(hll_est - n_exact) * 1000000 // n_exact AS abs_err_ppm
+        FROM et JOIN xt USING (d) ORDER BY d"""))
   )
 }
