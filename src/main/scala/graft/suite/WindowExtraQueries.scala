@@ -1009,6 +1009,97 @@ object WindowExtraQueries {
         WHERE NOT EXISTS (SELECT 1 FROM p b
                           WHERE (b.price_c < a.price_c AND b.p_size >= a.p_size)
                              OR (b.price_c <= a.price_c AND b.p_size > a.p_size))
-        ORDER BY p_partkey"""))
+        ORDER BY p_partkey""")),
+
+    QDef(
+      "win_cusum_changepoint",
+      (s, dir) => {
+        // CUSUM drift detection over the daily event-volume series per
+        // event_type — the classic sequential change-point monitor a
+        // pipeline runs on its own throughput. EXACT integer form: with
+        // S = Σn and D = |days| per type (scalar frame, joined back),
+        // the mean-deviation cumsum is carried scaled by D —
+        // cusum_d = Σ_{d'≤d} (n_d'·D − S) — so no division ever
+        // happens; the alarm fires when |cusum| exceeds 20% of S·D
+        // (i.e. |mean-scaled drift| > 0.2·S — threshold in the same
+        // scaled units, exact in both engines). The fact scan collapses
+        // to the (type, day) grain FIRST (map-side-combined count), so
+        // the window runs over |types|·|days| rows — the
+        // collapsed-grain pattern: at 100 TB the expensive part stays
+        // one aggregation.
+        val daily = tbl(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        val tot = daily.groupBy(col("event_type"))
+          .agg(sum(col("n")).as("s_tot"), count(lit(1)).as("n_days"))
+        val wc = Window.partitionBy(col("event_type")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(broadcast(tot), Seq("event_type"))
+          .withColumn("cusum_scaled",
+            sum(col("n") * col("n_days") - col("s_tot")).over(wc))
+          .select(col("event_type"), col("d"), col("n"), col("cusum_scaled"),
+            (abs(col("cusum_scaled")) * lit(5L) >
+              col("s_tot") * col("n_days")).as("drift_alarm"))
+          .orderBy("event_type", "d")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                         count(*) AS n
+                       FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s_tot,
+                count(*) AS n_days
+              FROM daily GROUP BY 1)
+        SELECT daily.event_type, d, n,
+               CAST(sum(n * n_days - s_tot) OVER (
+                 PARTITION BY daily.event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cusum_scaled,
+               abs(CAST(sum(n * n_days - s_tot) OVER (
+                 PARTITION BY daily.event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT)) * 5 > s_tot * n_days AS drift_alarm
+        FROM daily JOIN t USING (event_type)
+        ORDER BY event_type, d""")),
+
+    QDef(
+      "dq_benford_check",
+      (s, dir) => {
+        // Benford first-digit audit of the money column — the
+        // fabricated-data / unit-mixup smell test (organic multi-scale
+        // amounts follow log10(1+1/d); a constant-injected or truncated
+        // feed doesn't). Expected per-mille masses enter as the NINE
+        // FIXED INTEGERS everyone publishes (301, 176, ...), observed
+        // masses as exact integer per-mille quotients, deviation in
+        // per-mille — engine-exact end to end. One map-side-combined
+        // 9-group aggregate; the total attaches as a scalar subquery.
+        val exp = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+        val li = tbl(s, dir, "lineitem")
+          .select(substring(cents(col("l_extendedprice")).cast("string"), 1, 1)
+            .cast("long").as("digit"))
+        val total = org.apache.spark.sql.graft.ColumnBridge.scalar(
+          li.agg(count(lit(1)).as("n")))
+        val expCol = element_at(typedLit(exp), col("digit").cast("int"))
+        li.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .withColumn("total", total)
+          .select(col("digit"), col("n"),
+            expr("n * 1000 div total").as("obs_pm"),
+            expCol.as("benford_pm"),
+            (expr("n * 1000 div total") - expCol).as("dev_pm"))
+          .orderBy("digit")
+      },
+      Some("""
+        WITH d AS (SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100)
+                     AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                   FROM lineitem),
+        e(digit, benford_pm) AS (VALUES (1, 301), (2, 176), (3, 125),
+          (4, 97), (5, 79), (6, 67), (7, 58), (8, 51), (9, 46)),
+        g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+        SELECT g.digit, g.n,
+               CAST(g.n * 1000 // (SELECT sum(n) FROM g) AS BIGINT) AS obs_pm,
+               CAST(e.benford_pm AS BIGINT) AS benford_pm,
+               CAST(g.n * 1000 // (SELECT sum(n) FROM g)
+                 - e.benford_pm AS BIGINT) AS dev_pm
+        FROM g JOIN e USING (digit)
+        ORDER BY digit"""))
   )
 }

@@ -115,9 +115,49 @@ object ProbeEntity {
         .groupBy().count()
     }
 
-    time("S3_join_gate", s3)
-    time("S3H_shuffle_hash", s3h)
-    time("S4H_full_hash_count", s4h)
+    // P: ONE exchange of the exploded stream by (nk, blk); the
+    // multi-member-bucket filter (min(k) != max(k) per bucket), the
+    // semi-join back, and the pair self-join all reuse that layout —
+    // and the SMJ sorts run over only the ~few% of rows in buckets of
+    // size >= 2
+    def pVariant = {
+      val width = spark.sparkContext.defaultParallelism
+      val kk = keyed.repartition(width, col("nk"), col("blk"))
+      val multi = kk.groupBy(col("nk"), col("blk"))
+        .agg(min(col("k")).as("k0"), max(col("k")).as("k1"))
+        .where(col("k0") =!= col("k1"))
+        .select(col("nk"), col("blk"))
+      val slim = kk.join(multi, Seq("nk", "blk"), "left_semi")
+      slim.as("a").join(slim.as("b"),
+          col("a.nk") === col("b.nk") && col("a.blk") === col("b.blk") &&
+            col("a.k") < col("b.k"))
+        .filter(col("a.blk") ===
+          array_min(array_intersect(col("a.blks"), col("b.blks"))))
+        .withColumn("edit_dist",
+          levenshtein(col("a.nm"), col("b.nm"), 1).cast("long"))
+        .filter(col("edit_dist") >= 0)
+        .select(col("a.k").as("a_custkey"), col("b.k").as("b_custkey"),
+          col("edit_dist"))
+        .groupBy().count()
+    }
+    def s4count = {
+      val kk = keyed
+      kk.as("a").join(kk.as("b"),
+          col("a.nk") === col("b.nk") && col("a.blk") === col("b.blk") &&
+            col("a.k") < col("b.k"))
+        .filter(col("a.blk") ===
+          array_min(array_intersect(col("a.blks"), col("b.blks"))))
+        .withColumn("edit_dist",
+          levenshtein(col("a.nm"), col("b.nm"), 1).cast("long"))
+        .filter(col("edit_dist") >= 0)
+        .select(col("a.k").as("a_custkey"), col("b.k").as("b_custkey"),
+          col("edit_dist"))
+        .groupBy().count()
+    }
+    time("S4_count_base", s4count)
+    time("P_prefilter", pVariant)
+    time("S4_count_base", s4count)
+    time("P_prefilter", pVariant)
     spark.stop()
   }
 }
