@@ -86,7 +86,11 @@ object Hll {
     * full-data shuffle, carrying ≤ |keys|·256 partial rows per split.
     */
   def registers(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
-    df.withColumn("__h", mixed(value))
+    // a NULL value carries no cardinality; unfiltered it would thread a
+    // NULL bucket row through the register frame (engine-consistently,
+    // but as a phantom 257th bucket in the absent-bucket arithmetic)
+    df.filter(value.isNotNull)
+      .withColumn("__h", mixed(value))
       .select(keys.map(col) :+ (col("__h") % M).as("bucket")
         :+ expr(s"__h div $M").as("__w"): _*)
       .select(keys.map(col) :+ col("bucket")

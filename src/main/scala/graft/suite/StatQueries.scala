@@ -197,7 +197,8 @@ object StatQueries {
       },
       Some(s"""
         WITH e AS (SELECT event_type, user_id,
-                     CAST(user_id AS VARCHAR) AS k FROM events),
+                     CAST(user_id AS VARCHAR) AS k FROM events
+                   WHERE user_id IS NOT NULL),
         ${graft.operators.Hll.mixSqlCtes("e", "event_type")},
         rr AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w FROM hmix),
         rk AS (SELECT event_type, bucket,

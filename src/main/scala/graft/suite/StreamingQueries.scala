@@ -257,7 +257,8 @@ object StreamingQueries {
       },
       Some(s"""
         WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id,
-                     CAST(user_id AS VARCHAR) AS k FROM events),
+                     CAST(user_id AS VARCHAR) AS k FROM events
+                   WHERE user_id IS NOT NULL),
         ${graft.operators.Hll.mixSqlCtes("e", "d")},
         rr AS (SELECT d, h % 256 AS bucket, h // 256 AS w FROM hmix),
         rk AS (SELECT d, bucket,

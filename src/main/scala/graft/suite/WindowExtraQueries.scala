@@ -1073,8 +1073,16 @@ object WindowExtraQueries {
         // per-mille — engine-exact end to end. One map-side-combined
         // 9-group aggregate; the total attaches as a scalar subquery.
         val exp = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+        // the > 0 gate keeps the digit extraction total for ANY input:
+        // cents = 0 would yield digit 0 (element_at(exp, 0) is an ANSI
+        // error) and a negative amount a '-' first char (a CAST error
+        // in the oracle). Prices are positive in this data — the gate
+        // is the latent-input guard, with the identical predicate in
+        // the oracle so both engines see the same rows by construction
         val li = tbl(s, dir, "lineitem")
-          .select(substring(cents(col("l_extendedprice")).cast("string"), 1, 1)
+          .select(cents(col("l_extendedprice")).as("c"))
+          .filter(col("c") > 0)
+          .select(substring(col("c").cast("string"), 1, 1)
             .cast("long").as("digit"))
         val total = org.apache.spark.sql.graft.ColumnBridge.scalar(
           li.agg(count(lit(1)).as("n")))
@@ -1088,9 +1096,11 @@ object WindowExtraQueries {
           .orderBy("digit")
       },
       Some("""
-        WITH d AS (SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100)
-                     AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
                    FROM lineitem),
+        d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                AS digit
+              FROM c WHERE c > 0),
         e(digit, benford_pm) AS (VALUES (1, 301), (2, 176), (3, 125),
           (4, 97), (5, 79), (6, 67), (7, 58), (8, 51), (9, 46)),
         g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
