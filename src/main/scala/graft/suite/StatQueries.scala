@@ -555,6 +555,95 @@ object StatQueries {
         FROM u""")),
 
     QDef(
+      "agg_hll_set_ops",
+      (s, dir) => {
+        // HLL sketch SET ALGEBRA — the companion to agg_kmv_set_ops on
+        // the other sketch family: per-set register frames for two
+        // customer populations (urgent vs low-priority buyers), the
+        // UNION as the per-bucket register max (exact by the merge
+        // law — never a join of raw sets), and the intersection by
+        // inclusion–exclusion over the three estimates. At 100 TB each
+        // side reduces to ≤ 256 register rows before anything
+        // combines. All arithmetic BIGINT (est_intersect is signed —
+        // inclusion–exclusion of two noisy estimates can undershoot);
+        // exact audit columns ride along, so the sketch error is
+        // visible per set operation.
+        import graft.operators.Hll
+        import org.apache.spark.sql.graft.ColumnBridge.scalar
+        val orders = tbl(s, dir, "orders")
+        def keys(p: String) = orders
+          .filter(col("o_orderpriority") === p).select(col("o_custkey"))
+        def regs(p: String) = Hll.registers(keys(p), Nil, col("o_custkey"))
+        def est(r: DataFrame) =
+          scalar(Hll.estimate(r, Nil).select(col("hll_est")))
+        def exact(df: DataFrame) =
+          scalar(df.agg(countDistinct(col("o_custkey")).as("n")))
+        val eU = est(Hll.merge(
+          regs("1-URGENT").unionByName(regs("5-LOW")), Nil))
+        import s.implicits._
+        Seq(1).toDF("one")
+          .select(
+            est(regs("1-URGENT")).as("est_a"),
+            est(regs("5-LOW")).as("est_b"),
+            eU.as("est_union"),
+            exact(keys("1-URGENT")).as("n_a"),
+            exact(keys("5-LOW")).as("n_b"),
+            exact(keys("1-URGENT").unionByName(keys("5-LOW"))).as("n_union"))
+          .withColumn("est_intersect",
+            col("est_a") + col("est_b") - col("est_union"))
+          .withColumn("n_intersect", col("n_a") + col("n_b") - col("n_union"))
+          .select(col("est_a"), col("est_b"), col("est_union"),
+            col("est_intersect"), col("n_a"), col("n_b"), col("n_union"),
+            col("n_intersect"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+                 ELSE 'b' END AS sn,
+                 o_custkey, CAST(o_custkey AS VARCHAR) AS k
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            AND o_custkey IS NOT NULL),
+        ${graft.operators.Hll.mixSqlCtes("base", "sn")},
+        rr AS (SELECT sn, h % 256 AS bucket, h // 256 AS w FROM hmix),
+        rk AS (SELECT sn, bucket,
+                 max(CASE WHEN w = 0 THEN 23
+                     ELSE 23 - length(bin(w)) END) AS r
+               FROM rr GROUP BY 1, 2),
+        rku AS (SELECT bucket, max(r) AS r FROM rk GROUP BY 1),
+        za AS (SELECT CAST(sum(1::BIGINT << (23 - r))
+                 + (256 - count(*)) * 8388608 AS BIGINT) AS z23
+               FROM rk WHERE sn = 'a'),
+        zb AS (SELECT CAST(sum(1::BIGINT << (23 - r))
+                 + (256 - count(*)) * 8388608 AS BIGINT) AS z23
+               FROM rk WHERE sn = 'b'),
+        zu AS (SELECT CAST(sum(1::BIGINT << (23 - r))
+                 + (256 - count(*)) * 8388608 AS BIGINT) AS z23
+               FROM rku),
+        ea AS (SELECT ((${graft.operators.Hll.A20} * 549755813888) // z23)
+                 // 1048576 AS e FROM za),
+        eb AS (SELECT ((${graft.operators.Hll.A20} * 549755813888) // z23)
+                 // 1048576 AS e FROM zb),
+        eu AS (SELECT ((${graft.operators.Hll.A20} * 549755813888) // z23)
+                 // 1048576 AS e FROM zu),
+        xa AS (SELECT count(DISTINCT o_custkey) AS n FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+        xb AS (SELECT count(DISTINCT o_custkey) AS n FROM orders
+               WHERE o_orderpriority = '5-LOW'),
+        xu AS (SELECT count(DISTINCT o_custkey) AS n FROM orders
+               WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+        SELECT (SELECT e FROM ea) AS est_a,
+               (SELECT e FROM eb) AS est_b,
+               (SELECT e FROM eu) AS est_union,
+               (SELECT e FROM ea) + (SELECT e FROM eb)
+                 - (SELECT e FROM eu) AS est_intersect,
+               (SELECT n FROM xa) AS n_a,
+               (SELECT n FROM xb) AS n_b,
+               (SELECT n FROM xu) AS n_union,
+               (SELECT n FROM xa) + (SELECT n FROM xb)
+                 - (SELECT n FROM xu) AS n_intersect""")),
+
+    QDef(
       "agg_countmin_estimate",
       (s, dir) => {
         // Count-Min sketch with a certified overestimate audit: d=4
