@@ -37,11 +37,15 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
     // probe hook: `SPARK_GRAFT_CONF="k=v;k2=v2"` overrides any of the
     // above for matched A/B runs (e.g. AQE coalesce settings) without
-    // code edits — measurement tooling only, nothing reads it in prod
+    // code edits — measurement tooling only, nothing reads it in prod.
+    // Every applied override is logged to stderr (driver-advice r11):
+    // a bench/verify run under a non-default conf must leave a trace,
+    // or published numbers could carry unrecorded configuration.
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).filter(_.contains('='))
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
+        System.err.println(s"[graft] SPARK_GRAFT_CONF override: ${k.trim}=${v.trim}")
         builder.config(k.trim, v.trim)
       }
     val spark = builder.getOrCreate()

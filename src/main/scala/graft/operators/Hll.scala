@@ -85,7 +85,18 @@ object Hll {
     * One map-side-combinable aggregation over the scan — the only
     * full-data shuffle, carrying ≤ |keys|·256 partial rows per split.
     */
-  def registers(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
+  /** Column names the operator writes; a caller key named like one of
+    * these would be silently shadowed (or ambiguous) mid-pipeline, so
+    * collisions fail loudly instead (driver-advice r11).
+    */
+  private val reservedCols = Set("bucket", "r", "z23", "hll_est", "__h", "__w", "__rank")
+  private def checkKeys(keys: Seq[String]): Unit =
+    require(!keys.exists(reservedCols),
+      s"HLL key columns ${keys.mkString(",")} collide with operator-internal " +
+        s"names ${reservedCols.mkString(",")} — rename the key before aggregating")
+
+  def registers(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    checkKeys(keys)
     // a NULL value carries no cardinality; unfiltered it would thread a
     // NULL bucket row through the register frame (engine-consistently,
     // but as a phantom 257th bucket in the absent-bucket arithmetic)
@@ -98,21 +109,26 @@ object Hll {
           .otherwise(lit(23) - length(bin(col("__w")))).as("__rank"): _*)
       .groupBy(keys.map(col) :+ col("bucket"): _*)
       .agg(max(col("__rank")).as("r"))
+  }
 
   /** Merge register frames (or re-key one) to a coarser grain: max per
     * (newKeys..., bucket). Exact — max is associative/commutative.
     */
-  def merge(regs: DataFrame, newKeys: Seq[String]): DataFrame =
+  def merge(regs: DataFrame, newKeys: Seq[String]): DataFrame = {
+    checkKeys(newKeys)
     regs.groupBy(newKeys.map(col) :+ col("bucket"): _*)
       .agg(max(col("r")).as("r"))
+  }
 
   /** Per-key scaled harmonic sum `z23` and BIGINT estimate `hll_est`
     * from a register frame.
     */
-  def estimate(regs: DataFrame, keys: Seq[String]): DataFrame =
+  def estimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    checkKeys(keys)
     regs.groupBy(keys.map(col): _*)
       .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), 23 - r)")) +
         (lit(M.toLong) - count(lit(1))) * lit(8388608L)).as("z23"))
       .withColumn("hll_est",
         expr(s"(($A20 * 549755813888) div z23) div 1048576"))
+  }
 }

@@ -166,7 +166,33 @@ class EditDistJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     val out = lK.join(rK, lK("__graft_lk") === rK("__graft_rk"), "inner")
       .filter(dedupGate && ColumnBridge.column(residual))
       .select(join.output.map(ColumnBridge.column): _*)
-    reapplyHint(out.queryExecution.analyzed, join.hint)
+    // r12: the variant join must never BROADCAST — Spark's size estimate
+    // of an exploded side stays at the scan's bytes, so it auto-built a
+    // hash relation ~|s|x the input table that grows with the corpus
+    // (sf1: 28.5M rows with array payloads — memory-thrash laps of
+    // 8-89 s, and past ~10x it crosses the 8 GB / 512M-row broadcast
+    // cap outright). SHUFFLE_MERGE is the graceful-spill strategy the
+    // r11 SHUFFLE_HASH negative already established; ProbeFastss
+    // round-robin minima at sf1: merge 7.8 s (worst lap 17 s) vs
+    // broadcast 7.7 s (worst lap 44 s). The hint goes on the Join node
+    // DIRECTLY (a Dataset .hint() here would leave a ResolvedHint the
+    // already-finished hint-elimination batch never merges — planner
+    // INTERNAL_ERROR); the user's own hint, if any, still wins below.
+    reapplyHint(applyMergeHint(out.queryExecution.analyzed), join.hint)
+  }
+
+  /** Set SHUFFLE_MERGE on the first (topmost) Join under unary nodes —
+    * the pair join this rule just built — leaving any nested joins from
+    * the original children untouched.
+    */
+  private def applyMergeHint(plan: LogicalPlan): LogicalPlan = plan match {
+    case j: Join if j.hint == JoinHint.NONE =>
+      j.copy(hint = JoinHint(None,
+        Some(org.apache.spark.sql.catalyst.plans.logical.HintInfo(
+          strategy = Some(org.apache.spark.sql.catalyst.plans.logical.SHUFFLE_MERGE)))))
+    case u if u.children.size == 1 =>
+      u.withNewChildren(Seq(applyMergeHint(u.children.head)))
+    case other => other
   }
 
   private def reapplyHint(plan: LogicalPlan, hint: JoinHint): LogicalPlan =

@@ -3329,13 +3329,27 @@ object ExtrasQueries {
               array(col("nm"))),
             v => xxhash64(v))))
         val keyed = c.withColumn("blk", explode(col("blks")))
+        // r12 (guide §3.1): the pair join is MERGE-hinted. Spark's size
+        // estimate of the exploded side stays at the parquet scan's
+        // bytes, so it auto-BROADCAST a build side that is ~19x the
+        // customer table and GROWS WITH THE CORPUS — at sf1 that hash
+        // relation thrashed memory (in-suite laps swung 8-89 s; probe
+        // worst lap 44 s vs 17 s merge, equal minima) and it crosses
+        // the 8 GB / 512M-row broadcast cap near sf10 outright.
+        // Sort-merge spills gracefully (the r11 SHUFFLE_HASH negative's
+        // lesson) at ~+0.4 s at sf0.1 — the r11 bucketed-median scale
+        // trade. A count>=2 bucket prune before the join was measured
+        // and REJECTED: it re-evaluates the non-codegen HOF variant
+        // construction in four more plan sites (no subtree sharing) —
+        // 237 s cold vs 47 s, ProbeFastssCold — and prunes nothing on
+        // corpora with replicated names.
         // verification uses the BANDED levenshtein (threshold=1, -1
         // above the band): O(k·n) instead of O(n²) per pair, and — the
         // part that bit in round 6 — the un-thresholded form in a join
         // filter re-matches plans/EditDistJoinRewrite, which would
         // stack a SECOND deletion-variant explode on the already-
         // blocked join (measured 31 s; this shape is 2 s)
-        keyed.as("a").join(keyed.as("b"),
+        keyed.as("a").join(keyed.as("b").hint("MERGE"),
             col("a.nk") === col("b.nk") && col("a.blk") === col("b.blk") &&
               col("a.k") < col("b.k"))
           .filter(col("a.blk") ===

@@ -763,8 +763,14 @@ object WindowExtraQueries {
             .otherwise(lit(0.0))).reduce(_ + _)
         val nt = (0 to 7).map(d =>
           when(col(s"l$d").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+        // latent-input guard (driver-advice r11): a row whose 8 lags are
+        // all NULL (possible only if `value` itself were NULL — the
+        // current generator never emits one) would divide 0.0/0.0 = NaN;
+        // emit NULL instead, matching the repo convention (da5e1b1).
+        // No-op on non-null input: den >= 1.0 whenever l0 is present.
         lags.select(col("user_id"), col("event_id"),
-          (num / den).as("ewma_cents"), nt.as("n_terms"))
+          when(den === 0.0, lit(null)).otherwise(num / den).as("ewma_cents"),
+          nt.as("n_terms"))
           .orderBy("event_id")
       },
       Some("""
