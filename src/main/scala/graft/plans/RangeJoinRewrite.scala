@@ -199,14 +199,39 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     * references both sides, so predicate pushdown keeps it in the join
     * condition rather than pushing it below one child.
     */
+  /** `badIsLeft` names the side holding the guard-rejected rows; that
+    * side gets an explicit BROADCAST hint (set on the Join node — see
+    * applyMergeHint's ResolvedHint caveat in EditDistJoinRewrite). Why
+    * (r12, sf10 probe): without it Spark broadcast the FULL other side
+    * — for join_overlap_auto that meant sorting and broadcasting the
+    * whole sessionize result once per fallback branch (sf10: 120 s vs
+    * 27 s for the explicit operator). With the (normally EMPTY) bad
+    * side as the build, the branch costs its build only, and AQE's
+    * empty-relation propagation prunes the full side's subtree
+    * entirely once the 0-row broadcast materializes. Pathological data
+    * now broadcasts its outlier rows — bounded by how many ≥maxFanout-
+    * bucket intervals exist, the regime the fallback was built for.
+    */
   private def fallbackJoin(
       l: org.apache.spark.sql.DataFrame,
       r: org.apache.spark.sql.DataFrame,
-      residual: Expression): org.apache.spark.sql.DataFrame =
-    l.withColumn(MarkerL, ColumnBridge.column(GuardMarker()))
+      residual: Expression,
+      badIsLeft: Boolean): org.apache.spark.sql.DataFrame = {
+    val joined = l.withColumn(MarkerL, ColumnBridge.column(GuardMarker()))
       .join(r.withColumn(MarkerR, ColumnBridge.column(GuardMarker())),
         ColumnBridge.column(residual) && (col(MarkerL) || col(MarkerR)),
         "inner")
+    val analyzed = joined.queryExecution.analyzed
+    val hinted = analyzed match {
+      case j: Join if j.hint == JoinHint.NONE =>
+        val hi = Some(org.apache.spark.sql.catalyst.plans.logical.HintInfo(
+          strategy = Some(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)))
+        j.copy(hint =
+          if (badIsLeft) JoinHint(hi, None) else JoinHint(None, hi))
+      case other => other
+    }
+    ColumnBridge.ofRows(session, hinted)
+  }
 
   private def rewrite(
       join: Join,
@@ -229,8 +254,16 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     val span = bkt(hi, width) - bkt(lo, width)
     val valid = ColumnBridge.column(lo) <= ColumnBridge.column(hi)
     val nan = nanBound(lo) || nanBound(hi)
+    // the branch-split guards go through PushdownBarrier: they must
+    // stay ABOVE the interval child so (a) both branches share the
+    // child's exchange (ReuseExchange — unpinned, join_range_auto
+    // computed its sessionize twice) and (b) the good/wide partition is
+    // decided on the child's OUTPUT rows, not pushed through a merging
+    // aggregation onto pre-merge values
+    def pin(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(PushdownBarrier(ColumnBridge.expression(c)))
     val pC = pDf.withColumn(PointBucket, bkt(p, width))
-    val iC = iDf.filter(!nan && valid && span < lit(maxFanout))
+    val iC = iDf.filter(pin(!nan && valid && span < lit(maxFanout)))
       .withColumn(IntervalBucket, explode(sequence(bkt(lo, width), bkt(hi, width))))
     val (lC, rC) = if (pointIsLeft) (pC, iC) else (iC, pC)
     // cross-side equality conjuncts (the join's real keys — user_id,
@@ -257,9 +290,10 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // fan-out guard: intervals wider than the cap — or carrying a NaN
     // bound, whose bucket would be wrong — take the original theta join
     // (marker-tagged); normally zero rows
-    val wide = iDf.filter(nan || (valid && span >= lit(maxFanout)))
+    val wide = iDf.filter(pin(nan || (valid && span >= lit(maxFanout))))
     val (fL, fR) = if (pointIsLeft) (pDf, wide) else (wide, pDf)
-    val fb = fallbackJoin(fL, fR, residual).select(outCols: _*)
+    val fb = fallbackJoin(fL, fR, residual, badIsLeft = !pointIsLeft)
+      .select(outCols: _*)
     main.union(fb).queryExecution.analyzed
   }
 
@@ -274,6 +308,11 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       allConjuncts: Seq[Expression]): LogicalPlan = {
     val aDf = ColumnBridge.ofRows(session, join.left)
     val bDf = ColumnBridge.ofRows(session, join.right)
+    // same pushdown pin as the point case: branch-split guards stay
+    // above the children so the union branches share each child's
+    // exchange and split on output rows, not pre-aggregation values
+    def pin(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(PushdownBarrier(ColumnBridge.expression(c)))
     def lohi(lo: Expression, hi: Expression) = {
       val span = bkt(hi, width) - bkt(lo, width)
       val valid = ColumnBridge.column(lo) <= ColumnBridge.column(hi)
@@ -289,9 +328,9 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val (goodA, badA) = lohi(aLo, aHi)
     val (goodB, badB) = lohi(bLo, bHi)
-    val aC = aDf.filter(goodA).withColumn(PointBucket,
+    val aC = aDf.filter(pin(goodA)).withColumn(PointBucket,
       explode(sequence(bkt(aLo, width), bkt(aHi, width))))
-    val bC = bDf.filter(goodB).withColumn(IntervalBucket,
+    val bC = bDf.filter(pin(goodB)).withColumn(IntervalBucket,
       explode(sequence(bkt(bLo, width), bkt(bHi, width))))
     val equi = allConjuncts.filter {
       case EqualTo(a, b) =>
@@ -316,8 +355,10 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       .select(outCols: _*)
     // partition of pairs: (good,good) → main; (bad,*) → fb1;
     // (good,bad) → fb2 — each qualifying pair in exactly one branch
-    val fb1 = fallbackJoin(aDf.filter(badA), bDf, residual).select(outCols: _*)
-    val fb2 = fallbackJoin(aDf.filter(goodA), bDf.filter(badB), residual)
+    val fb1 = fallbackJoin(aDf.filter(pin(badA)), bDf, residual, badIsLeft = true)
+      .select(outCols: _*)
+    val fb2 = fallbackJoin(aDf.filter(pin(goodA)), bDf.filter(pin(badB)), residual,
+        badIsLeft = false)
       .select(outCols: _*)
     main.union(fb1).union(fb2).queryExecution.analyzed
   }
@@ -392,4 +433,30 @@ case class GuardMarker() extends LeafExpression with CodegenFallback {
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = true
   override def prettyName: String = "graft_guard_marker"
+}
+
+/** Identity wrapper declared NON-deterministic so PushDownPredicates
+  * pins the branch-split guard filters exactly where [[RangeJoinRewrite]]
+  * put them — directly above the interval child (r12). Unpinned, the
+  * deterministic guard predicates were pushed through the child: the two
+  * union branches' subtrees then differ below the child's exchange, so
+  * ReuseExchange cannot share it and the (often expensive) interval
+  * child — `join_range_auto`'s full sessionize window — computes once
+  * per branch. Worse, when the child is a MERGING aggregation
+  * (session_window), pushing a predicate on the merged bounds below the
+  * merge re-evaluates it against PRE-merge per-row windows, so the
+  * good/wide row partition the union's exactness proof relies on would
+  * be decided on the wrong values. Evaluation cost is one interpreted
+  * boolean per interval row (CodegenFallback), far below the duplicated
+  * subtree it prevents.
+  */
+case class PushdownBarrier(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override lazy val deterministic: Boolean = false
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def withNewChildInternal(newChild: Expression): PushdownBarrier =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pushdown_pin"
 }

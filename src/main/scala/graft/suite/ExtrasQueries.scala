@@ -3158,16 +3158,25 @@ object ExtrasQueries {
         // slowly-changing-dimension type-2 history from a change
         // stream: each customer's order-priority over time, with
         // consecutive equal values collapsed into one versioned
-        // validity interval (run collapse = the islands trick on
-        // row_number difference; zero joins until the final lead()).
-        // The lakehouse MERGE-history shape, built from plain windows.
+        // validity interval. The lakehouse MERGE-history shape, built
+        // from plain windows.
+        // r12 (guide §2.4): run collapse via lag+cumsum on ONE
+        // hash(c) window instead of the rn-difference trick's TWO
+        // (hash(c) and hash(c,p) sorts). A run starts where p changes
+        // (null-safe lag compare); the running break count numbers the
+        // run. Everything downstream keys on a superset of {c}, so the
+        // single exchange carries the whole query: the (c,grp) groupBy
+        // and the version window both reuse hash(c) clustering
+        // (partitioning-subset rule) — plan went 4 Exchanges -> 2
+        // (the remaining two: hash(c) + the presentation sort).
         val w = Window.partitionBy(col("c")).orderBy(col("d"), col("k"))
-        val wp = Window.partitionBy(col("c"), col("p")).orderBy(col("d"), col("k"))
         val runs = tbl(s, dir, "orders")
           .select(col("o_custkey").as("c"), col("o_orderdate").as("d"),
             col("o_orderkey").as("k"), col("o_orderpriority").as("p"))
-          .withColumn("grp",
-            row_number().over(w) - row_number().over(wp))
+          .withColumn("brk",
+            when(not(col("p") <=> lag(col("p"), 1).over(w)), 1L).otherwise(0L))
+          .withColumn("grp", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("c"), col("p"), col("grp"))
           .agg(min(col("d")).as("valid_from"), min(col("k")).as("first_k"))
         val wv = Window.partitionBy(col("c")).orderBy(col("valid_from"), col("first_k"))

@@ -21,17 +21,26 @@ import graft.GraftSession
   *  - dimension tables (region, nation) are copied unchanged — dims do
   *    not grow with corpus size.
   *
-  * `runMain graft.tools.MakeSf [srcDir] [dstDir] [k]`
+  * `runMain graft.tools.MakeSf [srcDir] [dstDir] [k] [shift]`
+  *
+  * `shift` (default 1e8) must exceed the source dir's key range: a
+  * second-decade build (sf1 -> sf10) needs a larger shift (e.g. 1e10),
+  * or copy i's keys collide with copy i+1's first-generation copies and
+  * duplicate multiplicity inflates join/dedup outputs quadratically.
+  * Note for chained builds: rotations compose (copy (a,b) carries text
+  * rotation a+b), so sf10 texts/embeddings form identical-content
+  * groups of up to k per equal rotation total — exact-dup rate is
+  * higher than at sf1; read output rows alongside times.
   */
 object MakeSf {
 
-  private val Shift = 100000000L
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "/root/repo/tmp/sf1"
     val k = if (args.length > 2) args(2).toInt else 10
+    val Shift = if (args.length > 3) args(3).toLong else 100000000L
     val spark = GraftSession.build("graft-makesf")
 
     def copies(df: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =

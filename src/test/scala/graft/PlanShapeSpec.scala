@@ -127,6 +127,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, s"CartesianProduct found in: ${offenders.mkString(", ")}")
   }
 
+  /** The r11 width-pin rule as a spec (r12, verdict #9): CPU-per-row
+    * exchanges that AQE's byte-sized coalescing would starve are pinned
+    * with REPARTITION_BY_NUM, and ONLY those — a pin anywhere else
+    * would silently override the byte-sized default that is right for
+    * the IO-bound majority (the r11 global-flip A/B: 213 vs 180 s).
+    * Each entry documents why its exchange is CPU-bound; the two-sided
+    * set equality keeps the list honest — a dropped pin OR a stray new
+    * pin fails the suite, like domainBoundedWindow.
+    */
+  private val widthPinnedExchanges: Map[String, String] = Map(
+    "agg_copurchase_pairs" ->
+      "order-key dedup feed + (p1,p2) pair-count exchange: 12M-key hash aggregates whose cost is CPU per row, coalesced to ~4 tasks at sf1 by byte sizing",
+    "dedup_substring_spans" ->
+      "lead-window and gid exchanges after gram explode: per-row window/compare cost, byte-small but row-huge",
+    "text_boilerplate_ngrams" ->
+      "gram support-count exchanges: string-key aggregation, CPU-bound per row")
+
+  test("width-pinned exchanges: exactly the documented queries plan REPARTITION_BY_NUM") {
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    val withPin = plans.collect {
+      case (name, p) if p.collect {
+        case e: ShuffleExchangeExec if e.shuffleOrigin == REPARTITION_BY_NUM => e
+      }.nonEmpty => name
+    }.toSet
+    val missing = widthPinnedExchanges.keySet -- withPin
+    val stray = withPin -- widthPinnedExchanges.keySet
+    assert(missing.isEmpty,
+      s"width pin dropped (documented in widthPinnedExchanges but not planned): ${missing.mkString(", ")}")
+    assert(stray.isEmpty,
+      s"undocumented REPARTITION_BY_NUM exchange in: ${stray.mkString(", ")} — " +
+        "either remove the pin or document why that exchange is CPU-bound")
+  }
+
   test("every BroadcastNestedLoopJoin has a bounded broadcast side") {
     val offenders = plans.flatMap { case (name, p) =>
       val bad = p.collect {
