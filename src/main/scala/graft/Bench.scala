@@ -110,6 +110,17 @@ object Bench {
     // nothing but page-cache state (137.7s vs 222.7s, same code, warm
     // medians within 0.5%). With I/O state pinned here, "cold" measures
     // what the protocol defines: per-plan codegen/JIT/listing cost.
+    // honest setup accounting (r12 verdict #5): the artifact parquet
+    // spill under GRAFT_ARTIFACT_DIR survives across JVMs, so on a warm
+    // tmp/ the "build" steps below would record a parquet READ (~13 s)
+    // while the true one-time index cost (~200 s class on a throttled
+    // box) silently left the measurement. Wiping THIS dir's spills
+    // first makes every bench run's setup_sec a real build number;
+    // reruns stay comparable because they all rebuild. (Override:
+    // SPARK_GRAFT_KEEP_SPILL=1 for local iteration loops where setup
+    // honesty doesn't matter.)
+    if (!sys.env.get("SPARK_GRAFT_KEEP_SPILL").contains("1"))
+      setupStep("artifact_spill_wipe")(suite.Artifacts.wipeSpill(spark, sfDir))
     setupStep("page_cache_warm") {
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
@@ -122,6 +133,7 @@ object Bench {
     setupStep("dedup_corpus_index")(suite.DedupQueries.prebuildArtifacts(spark, sfDir))
     setupStep("ivf_index")(suite.SimilarityQueries.prebuildArtifacts(spark, sfDir))
     setupStep("bucketed_tables")(suite.ExtrasQueries.prebuildBucketed(spark, sfDir))
+    setupStep("fastss_variants")(suite.ExtrasQueries.prebuildFastss(spark, sfDir))
     setupStep("graph_edges")(suite.GraphQueries.prebuildArtifacts(spark, sfDir))
     setupStep("text_index")(suite.TextQueries.prebuildArtifacts(spark, sfDir))
 
@@ -262,6 +274,37 @@ object Bench {
     // stdout capture can truncate a multi-KB line; keep a durable copy so
     // per-query round deltas stay computable
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_full.json"), json + "\n")
+    // Parse-safe compact summary (r12 verdict #2): the full line above
+    // carries 352 per-query entries and has outgrown the driver's
+    // 2000-char tail capture since round 9 — its JSON has NEVER parsed
+    // (every BENCH_r*.json: parsed=null), so the driver's round-over-
+    // round PERF comparison has been empty. This SECOND line is an
+    // addition, not a replacement: same headline total, same schema
+    // keys, with the per-query map truncated to the slowest queries
+    // that fit a fixed byte budget (deterministic: sorted by median
+    // desc, then name; stop at first overflow). The complete map stays
+    // in the full line above and in BENCH_full.json.
+    val lineBudget = 1500
+    val slowest = med.filter(_._2 >= 0).toSeq.sortBy { case (k, v) => (-v, k) }
+    val qsb = new StringBuilder
+    var qn = 0
+    var full = false
+    slowest.foreach { case (k, v) =>
+      if (!full) {
+        val entry = (if (qn > 0) "," else "") + "\"" + k + "\":" + num(v, 3)
+        if (qsb.length + entry.length <= lineBudget) { qsb.append(entry); qn += 1 }
+        else full = true
+      }
+    }
+    val errNames = errors.keys.take(5).map("\"" + _ + "\"").mkString(",")
+    val compact =
+      s"""{"metric":"total","value":${num(med.values.filter(_ >= 0).sum, 3)},"unit":"sec"""" +
+        s""","queries":{${qsb}},"queries_total_n":${med.size},"queries_in_line_n":$qn""" +
+        s""","errors_n":${errors.size},"error_queries":[$errNames]""" +
+        s""","warm_laps":$WarmLaps,"setup_sec":${num(setup.values.sum, 3)}""" +
+        s""","sf":"$sfDir","disturbed_laps":[${disturbed.mkString(",")}]""" +
+        s""","full_line_above":true,"full_file":"BENCH_full.json"}"""
+    println(compact)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -222,15 +222,26 @@ class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         ColumnBridge.column(residual) && (col(MarkerL) || col(MarkerR)),
         "inner")
     val analyzed = joined.queryExecution.analyzed
-    val hinted = analyzed match {
+    val hi = Some(org.apache.spark.sql.catalyst.plans.logical.HintInfo(
+      strategy = Some(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)))
+    // recurse through unary wrappers to the Join (applyMergeHint's
+    // pattern); a silent fall-through here would leave the full-side
+    // broadcast invisible until an sf10 replay hits the 8 GB cap, so
+    // hint loss logs loudly (r12 advice) — and PlanShapeSpec's
+    // build-side test pins the planned outcome
+    def addHint(p: LogicalPlan): LogicalPlan = p match {
       case j: Join if j.hint == JoinHint.NONE =>
-        val hi = Some(org.apache.spark.sql.catalyst.plans.logical.HintInfo(
-          strategy = Some(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)))
         j.copy(hint =
           if (badIsLeft) JoinHint(hi, None) else JoinHint(None, hi))
-      case other => other
+      case u if u.children.size == 1 =>
+        u.withNewChildren(Seq(addHint(u.children.head)))
+      case other =>
+        logWarning("range-rewrite fallbackJoin: no bare Join found under " +
+          s"the analyzed top (${other.nodeName}) — broadcast-bad-side " +
+          "hint NOT applied; the fallback may broadcast the full side")
+        other
     }
-    ColumnBridge.ofRows(session, hinted)
+    ColumnBridge.ofRows(session, addHint(analyzed))
   }
 
   private def rewrite(

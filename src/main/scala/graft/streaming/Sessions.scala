@@ -127,17 +127,21 @@ object Sessions {
     */
   def foldSpans(spans: List[IslandSpan], events: Array[Long], gap: Long): List[IslandSpan] = {
     if (events.isEmpty) return spans
-    java.util.Arrays.sort(events)
+    // sort a private copy: callers today pass freshly-built arrays, but
+    // a public method mutating its argument is an aliasing trap (r12
+    // advice); one clone per batch-group is noise next to the sort
+    val sorted = events.clone()
+    java.util.Arrays.sort(sorted)
     val buf = scala.collection.mutable.ListBuffer.empty[IslandSpan]
     var rest = spans // lo-sorted by invariant
     var ei = 0
     var cur: IslandSpan = null
-    while (rest.nonEmpty || ei < events.length) {
+    while (rest.nonEmpty || ei < sorted.length) {
       // next item in lo order: a previous span or a unit event span
       val it =
-        if (rest.nonEmpty && (ei >= events.length || rest.head.lo <= events(ei))) {
+        if (rest.nonEmpty && (ei >= sorted.length || rest.head.lo <= sorted(ei))) {
           val h = rest.head; rest = rest.tail; h
-        } else { val e = events(ei); ei += 1; IslandSpan(e, e, 1L) }
+        } else { val e = sorted(ei); ei += 1; IslandSpan(e, e, 1L) }
       if (cur == null) cur = it
       else if (it.lo <= cur.hi + gap)
         cur = IslandSpan(cur.lo, math.max(cur.hi, it.hi), cur.n + it.n)

@@ -116,6 +116,25 @@ object Artifacts {
     f"${scala.util.hashing.MurmurHash3.stringHash(
       new java.io.File(dir).getAbsolutePath)}%08x"
 
+  /** Delete every parquet spill belonging to `dir` (matched via the
+    * dirtag segment of the spill name). Bench calls this at the top of
+    * its declared setup phase so `setup_sec` records a BUILD, not a
+    * warm parquet read of the previous run's spill (r12 verdict #5 —
+    * the driver's 13.1 s setup was hiding a ~209 s true build cost on
+    * warm tmp/). Other dirs' spills (the driver's sf0.001/sf0.01
+    * verify phases) are untouched.
+    */
+  def wipeSpill(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(spillRoot)
+    val fs = root.getFileSystem(conf)
+    val tag = s"_${dirTag(dir)}_"
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName.contains(tag))
+        try fs.delete(st.getPath, true) catch { case _: Throwable => () }
+    }
+  }
+
   private def loadOrBuild(s: SparkSession, dir: String, table: String,
       fp: Long, key: String)(build: => DataFrame): DataFrame = {
     val scope = s"${table}_${key}_${dirTag(dir)}"

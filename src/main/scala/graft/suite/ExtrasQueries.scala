@@ -33,6 +33,45 @@ object ExtrasQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  /** The FastSS deletion-neighborhood index over customer names —
+    * (k, nk, nm, blks) with blks = xxhash64 of the name plus each of
+    * its 1-char-deletion variants (r13, verdict #4; the same persisted-
+    * index pattern as DedupQueries.sharedSimhash128). The variant
+    * CONSTRUCTION is the head cost of both FastSS queries — a
+    * non-codegen higher-order-function chain (substr/concat per
+    * character) that JITs at ~45 s per cold plan site at sf1 and
+    * re-ran per lap in `join_entity_resolution`; as an artifact it is
+    * computed once in the declared setup phase. Stored UNEXPLODED
+    * (explode of a stored array is cheap codegen; storing the exploded
+    * frame would 19x the parquet). The query still does all its
+    * certified-superset join, minimal-shared-key gate and banded
+    * levenshtein verify work per run — this is index reuse, not result
+    * caching. `join_edit_dist_auto` cannot use it: its variant frame is
+    * built by plans/EditDistJoinRewrite INSIDE the optimizer from
+    * whatever join children it matched — substituting a parquet
+    * artifact there would require proving the matched subtree equals
+    * the artifact's build input, which a local rewrite cannot do.
+    */
+  private[suite] def sharedFastssVariants(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Artifacts.memo(s, dir, "customer", "fastss_del1")(
+      tbl(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          col("c_name").as("nm"))
+        .withColumn("blks", array_distinct(transform(
+          concat(
+            transform(sequence(lit(1), length(col("nm"))),
+              i => concat(
+                col("nm").substr(lit(1), i - 1),
+                col("nm").substr(i + 1, length(col("nm"))))),
+            array(col("nm"))),
+          v => xxhash64(v)))))
+
+  /** Bench setup hook for the FastSS index (itemized as its own step). */
+  def prebuildFastss(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    sharedFastssVariants(s, dir); ()
+  }
+
   def all: Seq[QDef] = Seq(
 
     QDef(
@@ -2849,12 +2888,22 @@ object ExtrasQueries {
         // the time axis (width ≈ max session length, fan-out ≤ 2) into
         // an equi-join, exactly-once via the first-shared-bucket rule.
         // Session derivation reuses the flagship islands operator.
+        // r13 (verdict #7, guide §7.2): the self-overlap consumes `sess`
+        // TWICE; unpersisted, the islands window (exchange + sort + two
+        // windows + two aggregates over the full events grain) planned
+        // once per side — the whole gap to the auto-rewrite form, whose
+        // union branches share the child exchange via the r12 barrier
+        // pin. Persisting the SKINNY session frame (user_id, lo, hi —
+        // ~1% of the fact grain) halves the window work and gives AQE
+        // real sizes for the overlap join. Per-execution cache, rebuilt
+        // every lap. sf10: 21.8-24.8 s → measured below auto's 18.8 s.
         val sess = graft.operators.Islands.islands(
             tbl(s, dir, "events")
               .select(col("user_id"), unix_timestamp(col("ts")).as("sec")),
             Seq("user_id"), "sec", maxGap = 1800L, minLen = 2L)
           .select(col("user_id"), col("island_start").as("lo"),
             col("island_end").as("hi"))
+          .persist()
         graft.operators.RangeJoin.intervalOverlap(
             sess, "lo", "hi", sess, "lo", "hi", Nil, bucketWidth = 3600L)
           .filter(col("user_id") < col("r_user_id"))
@@ -3326,39 +3375,49 @@ object ExtrasQueries {
         // 152 bytes. A collision only adds a candidate (killed by the
         // exact levenshtein gate) and the min-shared-key argument is
         // unchanged over the hashed key space — bit-exact, same oracle.
-        val c = tbl(s, dir, "customer")
-          .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
-            col("c_name").as("nm"))
-          .withColumn("blks", array_distinct(transform(
-            concat(
-              transform(sequence(lit(1), length(col("nm"))),
-                i => concat(
-                  col("nm").substr(lit(1), i - 1),
-                  col("nm").substr(i + 1, length(col("nm"))))),
-              array(col("nm"))),
-            v => xxhash64(v))))
-        val keyed = c.withColumn("blk", explode(col("blks")))
-        // r12 (guide §3.1): the pair join is MERGE-hinted. Spark's size
-        // estimate of the exploded side stays at the parquet scan's
-        // bytes, so it auto-BROADCAST a build side that is ~19x the
-        // customer table and GROWS WITH THE CORPUS — at sf1 that hash
-        // relation thrashed memory (in-suite laps swung 8-89 s; probe
-        // worst lap 44 s vs 17 s merge, equal minima) and it crosses
-        // the 8 GB / 512M-row broadcast cap near sf10 outright.
-        // Sort-merge spills gracefully (the r11 SHUFFLE_HASH negative's
-        // lesson) at ~+0.4 s at sf0.1 — the r11 bucketed-median scale
-        // trade. A count>=2 bucket prune before the join was measured
-        // and REJECTED: it re-evaluates the non-codegen HOF variant
-        // construction in four more plan sites (no subtree sharing) —
-        // 237 s cold vs 47 s, ProbeFastssCold — and prunes nothing on
-        // corpora with replicated names.
+        // r13 (verdict #4): the variant frame comes from the shared
+        // FastSS index artifact — construction cost (the non-codegen
+        // HOF chain) lands in the declared setup phase, the query pays
+        // the explode + join + gates. Same frame, bit-identical rows.
+        // r13 layout + prune (guide §2.3/§2.4; ProbeEntity sf1
+        // round-robin: 4.5-5.1 s vs 7.9-8.9 s two-exchange base): ONE
+        // explicit exchange of the exploded stream on the join key
+        // (nk, blk) — REPARTITION_BY_COL, width conf-driven and
+        // AQE-coalescible, NOT a local-core pin — then the multi-
+        // member-bucket count, the semi-join prune and the pair join
+        // all reuse that layout instead of shuffling the 19x-exploded
+        // frame twice more. The prune (keep buckets with >= 2 distinct
+        // keys) is bit-exact: `a.k < b.k` inside one bucket needs two
+        // distinct keys by definition. r12 measured and REJECTED this
+        // prune because its duplicated subtrees re-ran the non-codegen
+        // variant construction at four more plan sites (237 s cold,
+        // ProbeFastssCold) — with construction behind the artifact's
+        // cache scan every extra site is a memory read and the
+        // objection dissolves. Unique-name corpora (the driver's sf0.1
+        // grain) prune ~all singleton buckets before the SMJ sorts;
+        // MakeSf's replicated-name sf1/sf10 keep everything and the
+        // win is the single-exchange layout.
+        val keyed = sharedFastssVariants(s, dir)
+          .withColumn("blk", explode(col("blks")))
+          .repartition(col("nk"), col("blk"))
+        val multi = keyed.groupBy(col("nk"), col("blk"))
+          .agg(min(col("k")).as("__k0"), max(col("k")).as("__k1"))
+          .where(col("__k0") =!= col("__k1"))
+          .select(col("nk"), col("blk"))
+        val slim = keyed.join(multi, Seq("nk", "blk"), "left_semi")
+        // r12 (guide §3.1): the pair join stays MERGE-hinted. Spark's
+        // size estimate of the exploded side stays at the scan's bytes,
+        // so it auto-BROADCAST a build side ~19x the customer table
+        // that GROWS WITH THE CORPUS — sf1 laps swung 8-89 s and past
+        // ~sf10 it crosses the 8 GB / 512M-row broadcast cap outright.
+        // Sort-merge spills gracefully (r11 SHUFFLE_HASH negative).
         // verification uses the BANDED levenshtein (threshold=1, -1
         // above the band): O(k·n) instead of O(n²) per pair, and — the
         // part that bit in round 6 — the un-thresholded form in a join
         // filter re-matches plans/EditDistJoinRewrite, which would
         // stack a SECOND deletion-variant explode on the already-
         // blocked join (measured 31 s; this shape is 2 s)
-        keyed.as("a").join(keyed.as("b").hint("MERGE"),
+        slim.as("a").join(slim.as("b").hint("MERGE"),
             col("a.nk") === col("b.nk") && col("a.blk") === col("b.blk") &&
               col("a.k") < col("b.k"))
           .filter(col("a.blk") ===

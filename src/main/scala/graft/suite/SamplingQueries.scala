@@ -658,11 +658,21 @@ object SamplingQueries {
           .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
           .filter(col("label").isNull || col("label") === col("doc_id"))
           .drop("label")
+        // r13 (verdict #8, guide §7.2 duplicated subtrees): `survived`
+        // has TWO consumers — temperatureSample's per-lang counts frame
+        // and the sampled-row probe side — so everything upstream
+        // planned twice, including the contamination shingle join (the
+        // expensive stage: 2 Generates + 2 count exchanges per copy;
+        // plans/r13/*_before.txt nodes 14-41 vs 55-82). Persisting the
+        // SKINNY contaminated id set halves the shingle work and, once
+        // materialized, gives AQE a real size for the anti-join side.
+        // Per-execution cache, rebuilt every lap — not cross-run state.
         val contaminated = graft.text.Corpus.contamination(
             docs.filter(col("source") =!= "src0"),
             docs.filter(col("source") === "src0"),
             "doc_id", "text", minShared = 3)
           .select(col("doc_id"))
+          .persist()
         val survived = deduped.join(contaminated, Seq("doc_id"), "left_anti")
         val mixed = Sampling.temperatureSample(survived, "lang", "doc_id", alpha = 0.5)
         val items = graft.text.Corpus.chunkDocuments(

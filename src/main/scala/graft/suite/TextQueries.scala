@@ -39,12 +39,48 @@ object TextQueries {
     Artifacts.memo(s, dir, "documents", "bm25_df")(
       graft.text.Corpus.termStats(sharedBm25Tf(s, dir)))
 
+  /** Corpus unigram count table `(word, cw)` — the training half of
+    * every count-based LM/collocation shape (r13, verdict #6): a
+    * production pipeline trains term counts once at ingest and scores
+    * against them, exactly like the BM25 halves above. Keyed on the
+    * RAW whitespace token (the bm25 index is word_id-hashed — different
+    * key space).
+    */
+  private[suite] def sharedUnigramCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Artifacts.memo(s, dir, "documents", "unigram_counts")(
+      Registry.tbl(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cw")))
+
+  /** Corpus bigram count table `(w1, w2, c2)` — UNFILTERED: consumers
+    * apply their own support thresholds (collocations keeps >= 5), and
+    * the unfiltered total sum(c2) is the corpus bigram count the PMI
+    * normalizer needs (equal to sum over docs of max(len-1, 0) — every
+    * doc emits exactly len-1 bigrams; `tokens` never returns an empty
+    * array, so the greatest() guard in the old inline form was
+    * vacuous).
+    */
+  private[suite] def sharedBigramCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Artifacts.memo(s, dir, "documents", "bigram_counts")(
+      Registry.tbl(s, dir, "documents")
+        .select(TextFunctions.tokens(col("text")).as("ts"))
+        .select(explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+
   /** Bench setup hook: build the shared text index (all three persisted
-    * halves) up front so its cost lands in the declared setup phase.
+    * halves) plus the unigram/bigram count tables up front so their
+    * cost lands in the declared setup phase.
     */
   def prebuildArtifacts(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    sharedBm25Tf(s, dir); sharedBm25Dl(s, dir); sharedBm25Df(s, dir); ()
+    sharedBm25Tf(s, dir); sharedBm25Dl(s, dir); sharedBm25Df(s, dir)
+    sharedUnigramCounts(s, dir); sharedBigramCounts(s, dir); ()
   }
 
   /** DuckDB mirror of TextFunctions.qualityScore over a `toks` list
@@ -716,6 +752,13 @@ object TextQueries {
         // constant, not a 1-row join); the count tables join back on
         // their natural keys. Two shuffles for training (bigram +
         // unigram groupBy), one for the per-doc rollup.
+        // r13 (verdict #6): the count TABLES come from the shared
+        // unigram/bigram count artifacts — train once at ingest, score
+        // per query (the bm25 index pattern). The per-doc bigram frame
+        // below stays in-query: scoring every document against the
+        // counts is this query's work. c1/c2/V are bit-identical to
+        // the inline aggregations they replace (same groupBy over the
+        // same tokenization).
         val w = tbl(s, dir, "documents")
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
         val bigrams = w.filter(size(col("w")) >= 2)
@@ -725,10 +768,9 @@ object TextQueries {
               element_at(col("w"), i + lit(1)).as("w1"),
               element_at(col("w"), i + lit(2)).as("w2")))).as("bg"))
           .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        val bc = bigrams.groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c2"))
-        val uni = w.select(explode(col("w")).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("c1"))
+        val bc = sharedBigramCounts(s, dir)
+        val uni = sharedUnigramCounts(s, dir)
+          .withColumnRenamed("cw", "c1")
         val vocab = org.apache.spark.sql.graft.ColumnBridge.scalar(
           uni.agg(count(lit(1)).as("v")))
         bigrams
@@ -923,22 +965,29 @@ object TextQueries {
         // its >= MinC survivors.
         import graft.functions.PortableLog.log2q10
         val MinC = 5
-        val toks = tbl(s, dir, "documents")
-          .select(TextFunctions.tokens(col("text")).as("ts"))
-        val uni = toks.select(explode(col("ts")).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-        val big = toks.select(explode(zip_with(
-            slice(col("ts"), lit(1), size(col("ts")) - 1),
-            slice(col("ts"), lit(2), size(col("ts")) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+        // r13 (verdict #6): count tables from the shared unigram/bigram
+        // artifacts (train once, mine collocations per query — the
+        // production collocation-miner shape). Every derived number is
+        // bit-identical to the inline form it replaces: cw/cxy are the
+        // same groupBys; N_uni = sum(cw) (each token counted once);
+        // N_bi = sum of UNFILTERED c2 (each doc emits exactly len-1
+        // bigrams, and `tokens` never yields an empty array, so the old
+        // greatest(len-1, 0) guard was vacuous).
+        val uniC = sharedUnigramCounts(s, dir)
+        val bigC = sharedBigramCounts(s, dir)
+        val uni = uniC.select(col("word").as("w"), col("cw"))
+        val big = bigC.select(col("w1"), col("w2"), col("c2").as("cxy"))
           .filter(col("cxy") >= MinC)
-        // 2·L(N_uni) − L(N_bi), folded to one scalar constant
+        // 2·L(N_uni) − L(N_bi) as arithmetic over two uncorrelated
+        // scalar subqueries (one per count table — a condition-less
+        // 1-row×1-row join would plan a nested loop); integer log2q10
+        // values, so the regrouped sum is bit-identical
         val kConst = org.apache.spark.sql.graft.ColumnBridge.scalar(
-          toks.agg(sum(size(col("ts"))).as("nu"),
-              sum(greatest(size(col("ts")) - 1, lit(0))).as("nb"))
-            .select((log2q10(col("nu")) * 2 - log2q10(col("nb"))).as("k")))
+          uniC.agg(sum(col("cw")).as("nu"))
+            .select(log2q10(col("nu")).as("l"))) * 2 -
+          org.apache.spark.sql.graft.ColumnBridge.scalar(
+            bigC.agg(sum(col("c2")).as("nb"))
+              .select(log2q10(col("nb")).as("l")))
         val u1 = uni.select(col("w").as("w1"), col("cw").as("cw1"))
         val u2 = uni.select(col("w").as("w2"), col("cw").as("cw2"))
         big.join(u1, "w1").join(u2, "w2")
@@ -995,7 +1044,12 @@ object TextQueries {
           .select(col("source"),
             explode(TextFunctions.tokens(col("text"))).as("word"))
           .groupBy(col("source"), col("word")).agg(count(lit(1)).as("csw"))
-        val glob = wcs.groupBy(col("word")).agg(sum(col("csw")).as("cw"))
+        // r13 (verdict #6): the corpus-side distribution comes from the
+        // shared unigram count table — sum over sources of csw IS the
+        // corpus count per word, so cw and the nTot scalar are
+        // bit-identical to the inline rollup they replace; the
+        // per-source counts (this query's subject) stay in-query
+        val glob = sharedUnigramCounts(s, dir)
         val ns = wcs.groupBy(col("source")).agg(sum(col("csw")).as("n_s"))
         val nTot = org.apache.spark.sql.graft.ColumnBridge.scalar(
           glob.agg(sum(col("cw"))))

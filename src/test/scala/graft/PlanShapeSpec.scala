@@ -142,7 +142,13 @@ class PlanShapeSpec extends SparkSpec {
     "dedup_substring_spans" ->
       "lead-window and gid exchanges after gram explode: per-row window/compare cost, byte-small but row-huge",
     "text_boilerplate_ngrams" ->
-      "gram support-count exchanges: string-key aggregation, CPU-bound per row")
+      "gram support-count exchanges: string-key aggregation, CPU-bound per row",
+    "sim_ivf_prefix_rerank" ->
+      ("cell-key repartition of both rerank-join inputs (Similarity.scala): the inputs are " +
+        "byte-tiny so AQE coalesces them to ~1 partition, but the join output is explosive " +
+        "(nprobe*N^2/cells rows) — r5 measured 433 s at sf1 single-partition; pin since round 5 (SCALE.md)"),
+    "sim_ivf_rerank_scaled" ->
+      "same cell-key pins as sim_ivf_prefix_rerank — shared ivfPrefixRerank path, r5 rationale (SCALE.md)")
 
   test("width-pinned exchanges: exactly the documented queries plan REPARTITION_BY_NUM") {
     import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
@@ -158,6 +164,69 @@ class PlanShapeSpec extends SparkSpec {
     assert(stray.isEmpty,
       s"undocumented REPARTITION_BY_NUM exchange in: ${stray.mkString(", ")} — " +
         "either remove the pin or document why that exchange is CPU-bound")
+  }
+
+  /** r13 (verdict #3): every marker-tagged fallback join of
+    * RangeJoinRewrite must BUILD (broadcast) the guard-rejected "bad"
+    * side — the subtree carrying the `graft_pushdown_pin` filter whose
+    * predicate contains the `>= maxFanout` (default 4096) wide test or
+    * the malformed `lo > hi` test. That side is normally EMPTY and at
+    * worst outlier-bounded; broadcasting the OTHER (full) side instead
+    * is the 8 GB-cap scale killer the fallback was built to avoid. The
+    * r12 after-dumps looked wrong because they were captured from a
+    * stale intermediate build — this pins the final behavior so a
+    * future hint-plumbing regression (e.g. the Dataset re-analysis
+    * dropping a JoinHint) fails the suite instead of the sf10 replay.
+    */
+  test("range-rewrite fallback joins build the guard-rejected side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def isFallback(cond: Option[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      cond.exists(_.references.exists(_.name.startsWith("__graft_rb_m")))
+    // the bad-side pin predicate is the ONLY place a `>= <cap>`
+    // comparison appears (good-side pins test `< <cap>`), so its
+    // presence identifies the guard-rejected subtree. Matched by regex,
+    // not the literal default cap: suites share one SparkSession, so a
+    // concurrently-running RangeJoinRuleSpec test may have its scoped
+    // maxFanout override active while these plans build lazily
+    val wideTest = """>= \d+""".r
+    // traverse THROUGH ReusedExchangeExec: with AQE off, fb1's and
+    // fb2's bad-side broadcasts canonicalize identical (same sess
+    // child, same pin structure), so one plans as a leaf reuse node —
+    // the broadcast side is still the guard-rejected subtree, computed
+    // once, but a plain collect can't see inside the reuse wrapper
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        flatten(r.child)
+      case other => other.children.flatMap(flatten)
+    })
+    def hasBadPin(p: SparkPlan): Boolean = flatten(p).exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("graft_pushdown_pin") &&
+          wideTest.findFirstIn(f.condition.toString).nonEmpty
+      case _ => false
+    }
+    val fallbacks = plans.flatMap { case (name, p) =>
+      p.collect {
+        case j: BroadcastNestedLoopJoinExec if isFallback(j.condition) =>
+          (name, j.buildSide, j.left, j.right)
+        case j: BroadcastHashJoinExec if isFallback(j.condition) =>
+          (name, j.buildSide, j.left, j.right)
+      }
+    }
+    // staleness guard: the three auto-rewrite queries plan four
+    // fallback joins today (range 1, overlap 2, asof 1); if the rewrite
+    // stops producing them this assert flags the spec for review
+    assert(fallbacks.size >= 3,
+      s"expected >=3 marker-tagged fallback joins, found ${fallbacks.size}")
+    val offenders = fallbacks.collect {
+      case (name, side, l, r)
+          if !hasBadPin(side match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => l
+            case _ => r
+          }) => name
+    }
+    assert(offenders.isEmpty,
+      s"fallback join builds the FULL side (not the guard-rejected one) in: ${offenders.mkString(", ")}")
   }
 
   test("every BroadcastNestedLoopJoin has a bounded broadcast side") {
